@@ -1,0 +1,186 @@
+"""Token pipeline presets, byte-identical to the reference.
+
+Reference: ``/root/reference/pkg/textproc/pipeline.go`` — a tokenizer plus an
+ordered filter chain. Presets (``pipeline.go:43-71``,
+``pkg/ftspreset/presets.go:8-18``):
+
+- english       = tokenize, lowercase, minlen(3), EN stopwords, EN stem
+- russian      = tokenize, lowercase, minlen(3), RU stopwords, RU stem
+- multilingual = tokenize, lowercase, minlen(3), script-routed stop/stem
+- default      = tokenize + lowercase only
+  (``pkg/fts/default_pipeline.go:10-36``)
+
+Load-bearing quirks preserved:
+- min-length compares **UTF-8 byte length** (``pipeline.go:109``);
+- numeric tokens (Go ``ParseUint`` semantics) bypass minlen/stopword/stem
+  (``pipeline.go:302-308``);
+- stopword filtering precedes stemming; stemming calls ``Stem(tok, false)``
+  so stopwords would pass through unstemmed (``pipeline.go:156``);
+- mixed/unknown-script tokens are never stemmed in the multilingual preset
+  (``pipeline.go:239-266``).
+
+These are plain pure-Python functions; ``fts_engine_spark.functions.udfs``
+wraps them in vectorized Arrow pandas UDFs for the Spark DAG, and the query
+side calls them directly on the driver for guaranteed doc/query symmetry
+(mirrors ``NormalizeToKeys``, ``pkg/fts/filter_normalize.go:9-29``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from . import porter2, russian
+from .gocompat import (
+    SCRIPT_CYRILLIC,
+    SCRIPT_LATIN,
+    go_lower,
+    is_numeric_token,
+    token_script,
+    utf8_len,
+)
+from .stopwords import ENGLISH_STOPWORDS, RUSSIAN_STOPWORDS
+from .tokenizer import tokenize
+
+TokenFilter = Callable[[list[str]], list[str]]
+
+
+def lowercase_filter(tokens: list[str]) -> list[str]:
+    return [go_lower(t) for t in tokens if t]
+
+
+def min_length_filter(tokens: list[str], min_length: int = 3) -> list[str]:
+    ml = min_length if min_length > 0 else 1
+    return [
+        t
+        for t in tokens
+        if t and (is_numeric_token(t) or utf8_len(t) >= ml)
+    ]
+
+
+def english_stopword_filter(tokens: list[str]) -> list[str]:
+    return [
+        t
+        for t in tokens
+        if t and (is_numeric_token(t) or t not in ENGLISH_STOPWORDS)
+    ]
+
+
+def english_stem_filter(tokens: list[str]) -> list[str]:
+    return [
+        t if is_numeric_token(t) else porter2.stem(t, False)
+        for t in tokens
+        if t
+    ]
+
+
+def russian_stopword_filter(tokens: list[str]) -> list[str]:
+    return [
+        t
+        for t in tokens
+        if t and (is_numeric_token(t) or t not in RUSSIAN_STOPWORDS)
+    ]
+
+
+def russian_stem_filter(tokens: list[str]) -> list[str]:
+    return [
+        t if is_numeric_token(t) else russian.stem(t, False)
+        for t in tokens
+        if t
+    ]
+
+
+def multilingual_stopword_filter(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    for t in tokens:
+        if not t:
+            continue
+        if is_numeric_token(t):
+            out.append(t)
+            continue
+        s = token_script(t)
+        if s == SCRIPT_LATIN and t in ENGLISH_STOPWORDS:
+            continue
+        if s == SCRIPT_CYRILLIC and t in RUSSIAN_STOPWORDS:
+            continue
+        out.append(t)
+    return out
+
+
+def multilingual_stem_filter(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    for t in tokens:
+        if not t:
+            continue
+        if is_numeric_token(t):
+            out.append(t)
+            continue
+        s = token_script(t)
+        if s == SCRIPT_LATIN:
+            out.append(porter2.stem(t, False))
+        elif s == SCRIPT_CYRILLIC:
+            out.append(russian.stem(t, False))
+        else:
+            out.append(t)
+    return out
+
+
+@dataclass(frozen=True)
+class Pipeline:
+    """tokenizer → ordered filter chain (``pipeline.go:16-41``)."""
+
+    name: str
+    filters: Sequence[TokenFilter] = field(default_factory=tuple)
+
+    def process(self, text: str) -> list[str]:
+        tokens = tokenize(text)
+        for f in self.filters:
+            if f is None:
+                continue
+            tokens = f(tokens)
+        return tokens
+
+    __call__ = process
+
+
+def _minlen3(tokens: list[str]) -> list[str]:
+    return min_length_filter(tokens, 3)
+
+
+ENGLISH = Pipeline(
+    "english",
+    (lowercase_filter, _minlen3, english_stopword_filter, english_stem_filter),
+)
+RUSSIAN = Pipeline(
+    "russian",
+    (lowercase_filter, _minlen3, russian_stopword_filter, russian_stem_filter),
+)
+MULTILINGUAL = Pipeline(
+    "multilingual",
+    (
+        lowercase_filter,
+        _minlen3,
+        multilingual_stopword_filter,
+        multilingual_stem_filter,
+    ),
+)
+# defaultPipeline (pkg/fts/default_pipeline.go): tokenize + lowercase only.
+DEFAULT = Pipeline("default", (lowercase_filter,))
+
+# Oracle-friendly preset: tokenize + lowercase + minlen + EN stopwords, no
+# stemming — every stage is expressible in ANSI SQL, used by the DuckDB
+# correctness gate. Not a reference preset; documented as an extension.
+SIMPLE = Pipeline("simple", (lowercase_filter, _minlen3, english_stopword_filter))
+
+PRESETS: dict[str, Pipeline] = {
+    p.name: p for p in (ENGLISH, RUSSIAN, MULTILINGUAL, DEFAULT, SIMPLE)
+}
+
+
+def get_pipeline(name: str) -> Pipeline:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown pipeline preset {name!r}; have {sorted(PRESETS)}"
+        ) from None
