@@ -1,0 +1,327 @@
+"""Distributed inverted-index build (the reference's ``IndexDocument`` loop
+as one declarative Spark job).
+
+Reference semantics (``/root/reference/pkg/fts/engine.go:51-80``): for every
+document, tokenize → for each token ``index.Insert(term, docID)`` which
+upserts the posting and increments tf (``pkg/index/radix/radix.go:127-163``
+etc.). Relationally that whole loop is::
+
+    docs → tokenize (Arrow pandas UDF) → explode
+         → groupBy(term, doc_id).count()                       [tf]
+         → groupBy(shard_id, term).agg(sorted postings)        [lists]
+         → varbyte/delta encode (Arrow pandas UDF)             [blobs]
+         → write parquet, partitioned by shard_id
+
+Scale design (north rule):
+
+- **Dense docids** via a deterministic two-pass assignment (count per hash
+  bucket → prefix offsets broadcast → per-partition rank), no global sort,
+  no driver collect of data rows.
+- **Doc-sharded postings**: ``shard_id = doc_id // shard_size``. Head-term
+  skew is defused *structurally* — "the" becomes one bounded row per shard
+  (≤ shard_size postings) instead of one giant reducer key; this is the
+  salted-repartition idea (SURVEY.md §4 P6) with the doc-range as salt, and
+  it simultaneously gives document-partitioned WAND locality at query time.
+  AQE skew-join/partition splitting stays on as the safety net.
+- **Resumable**: shards are built in waves; each wave commits its shard
+  range to the manifest atomically (temp+rename, the reference's
+  ``persist/atomic.go:34-98`` pattern). Re-running skips committed waves.
+- **Per-partition lineage/metrics**: a ``metrics`` table records per-shard
+  term/posting/byte counts (reference ``Analyze``, SURVEY.md §2.3 I7).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .codec import SKIP_BLOCK, encode_postings, varbyte_encode
+from .checkpoint import Manifest, atomic_write_json
+from .functions.udfs import make_tokenize_by_lang_udf, make_tokenize_udf
+
+META_VERSION = 1
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("shard_id", LongType(), False),
+        StructField("count", IntegerType(), False),
+        StructField("tf_sum", LongType(), False),
+        StructField("doc_blob", BinaryType(), False),
+        StructField("tf_blob", BinaryType(), False),
+        StructField("dl_blob", BinaryType(), False),
+        StructField("skip_last_doc", ArrayType(LongType()), False),
+        StructField("skip_max_tf", ArrayType(IntegerType()), False),
+        StructField("skip_doc_off", ArrayType(IntegerType()), False),
+        StructField("skip_tf_off", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+@dataclass
+class BuildConfig:
+    preset: str = "by_lang"  # 'english' | 'russian' | 'multilingual' | 'simple' | 'by_lang'
+    shard_size: int = 1 << 20  # docs per shard (1M at scale)
+    skip_block: int = SKIP_BLOCK
+    id_buckets: int = 64  # hash buckets for dense-id assignment
+    n_waves: int = 1  # checkpoint granularity (shards split into waves)
+    extra: dict = field(default_factory=dict)
+
+
+def _tokenize_col(cfg: BuildConfig):
+    if cfg.preset == "by_lang":
+        udf = make_tokenize_by_lang_udf()
+        return lambda df: udf(F.col("text"), F.col("lang"))
+    udf = make_tokenize_udf(cfg.preset)
+    return lambda df: udf(F.col("text"))
+
+
+def assign_doc_ids(
+    docs: DataFrame, id_buckets: int = 64, url_col: str = "url"
+) -> DataFrame:
+    """Deterministic dense ``doc_id:LONG`` per distinct url.
+
+    Two passes, no global sort: (1) count rows per hash bucket, prefix-sum on
+    the driver (``id_buckets`` values only); (2) per-partition rank within
+    bucket order (bucket, xxhash64(url), url) + broadcast offset. Docids are
+    stable for a fixed (input, id_buckets).
+
+    Mirrors ``generateID`` (``loader.go:96-100``) — the string identity stays
+    as ``md5(url)`` in the docs table; the dense surrogate enables
+    delta/varbyte compression (SURVEY.md §7 hard parts).
+    """
+    h = F.xxhash64(F.col(url_col))
+    docs = docs.withColumn("_h", h).withColumn(
+        "_bucket", F.pmod(F.col("_h"), F.lit(id_buckets)).cast("long")
+    )
+    counts = dict(
+        (r["_bucket"], r["cnt"])
+        for r in docs.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for b in range(id_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+
+    spark = docs.sparkSession
+    offs_b = spark.sparkContext.broadcast(offsets)
+
+    out_schema = StructType(
+        docs.schema.fields + [StructField("doc_id", LongType(), False)]
+    )
+
+    def rank_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict[int, int] = {}
+        offsets_local = offs_b.value
+        for pdf in batches:
+            ids = np.empty(len(pdf), dtype=np.int64)
+            buckets = pdf["_bucket"].to_numpy()
+            for i, b in enumerate(buckets):
+                b = int(b)
+                n = seen.get(b, 0)
+                ids[i] = offsets_local[b] + n
+                seen[b] = n + 1
+            pdf = pdf.copy()
+            pdf["doc_id"] = ids
+            yield pdf
+
+    ranked = (
+        docs.repartition(id_buckets, "_bucket")
+        .sortWithinPartitions("_bucket", "_h", url_col)
+        .mapInPandas(rank_partition, schema=out_schema)
+    )
+    return ranked.drop("_h", "_bucket")
+
+
+def _make_encode_udf(shard_size: int, skip: int):
+    """applyInPandas kernel: one group = one (shard_id, term) posting list."""
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        shard_id = int(pdf["shard_id"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        enc = encode_postings(doc_ids, tfs, base_doc=shard_id * shard_size, skip=skip)
+        dl_blob = varbyte_encode(dls.astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "shard_id": [shard_id],
+                "count": [enc.count],
+                "tf_sum": [int(tfs.sum())],
+                "doc_blob": [enc.doc_blob],
+                "tf_blob": [enc.tf_blob],
+                "dl_blob": [dl_blob],
+                "skip_last_doc": [enc.skip_last_doc.tolist()],
+                "skip_max_tf": [enc.skip_max_tf.tolist()],
+                "skip_doc_off": [enc.skip_doc_off.tolist()],
+                "skip_tf_off": [enc.skip_tf_off.tolist()],
+            }
+        )
+
+    return encode_group
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build the full index at ``index_dir``. Returns build stats.
+
+    ``docs`` must carry (url, text, lang); ``html`` is accepted and ignored
+    (use ``extract_text_udf`` upstream to materialize ``text`` from
+    ``html``).
+    """
+    cfg = cfg or BuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    manifest = Manifest(index_dir)
+    t_start = time.monotonic()
+
+    # ---- pass 0: dense docids + doclens (cached across waves)
+    with_ids = assign_doc_ids(docs, cfg.id_buckets)
+    tok = _tokenize_col(cfg)
+    base = with_ids.withColumn("terms", tok(with_ids)).select(
+        "doc_id",
+        "url",
+        F.col("lang"),
+        "terms",
+        F.size("terms").alias("doclen"),
+    )
+    base = base.persist()
+    n_docs = base.count()
+
+    docs_table = base.select(
+        "doc_id",
+        "url",
+        F.md5(F.col("url")).alias("url_md5"),
+        "lang",
+        "doclen",
+    )
+    docs_path = os.path.join(index_dir, "docs")
+    if not (resume and manifest.is_done("docs")):
+        docs_table.write.mode("overwrite").parquet(docs_path)
+        manifest.mark_done("docs", {"n_docs": n_docs})
+
+    n_shards = max(1, math.ceil(n_docs / cfg.shard_size))
+    n_waves = min(cfg.n_waves, n_shards)
+    waves: list[tuple[int, int]] = []
+    per = math.ceil(n_shards / n_waves)
+    for w in range(n_waves):
+        lo, hi = w * per, min((w + 1) * per, n_shards)
+        if lo < hi:
+            waves.append((lo, hi))
+
+    postings_path = os.path.join(index_dir, "postings")
+    encode_group = _make_encode_udf(cfg.shard_size, cfg.skip_block)
+
+    # doclen travels with every token so the index stores per-posting norms
+    # (dl_blob) — BM25 scoring then needs no join against the docs table.
+    tokens = base.select(
+        "doc_id", "doclen", F.explode("terms").alias("term")
+    ).withColumn("shard_id", (F.col("doc_id") / cfg.shard_size).cast("long"))
+
+    for lo, hi in waves:
+        wave_key = f"postings_wave_{lo}_{hi}"
+        if resume and manifest.is_done(wave_key):
+            continue
+        wave_tokens = tokens.where(
+            (F.col("shard_id") >= lo) & (F.col("shard_id") < hi)
+        )
+        # tf: upsert-counter semantics (radix.go:127 etc.) as an aggregation;
+        # partial (map-side) aggregation halves the shuffle for free.
+        tf_df = wave_tokens.groupBy("shard_id", "term", "doc_id").agg(
+            F.count("*").cast("int").alias("tf"),
+            F.first("doclen").alias("dl"),
+        )
+        postings = tf_df.groupBy("shard_id", "term").applyInPandas(
+            _wrap_encode(encode_group), schema=POSTINGS_SCHEMA
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            postings.repartition("shard_id")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(postings_path)
+        )
+        manifest.mark_done(wave_key, {"shards": [lo, hi]})
+
+    # ---- global term stats (df/cf) merged across shards
+    terms_path = os.path.join(index_dir, "terms")
+    if not (resume and manifest.is_done("terms")):
+        postings_all = spark.read.parquet(postings_path)
+        # df/cf merge across shard-partial indexes — the "merge partial
+        # segment indexes into a global index" step, over the (small)
+        # postings table instead of the raw token stream.
+        terms = postings_all.groupBy("term").agg(
+            F.sum("count").cast("long").alias("df"),
+            F.sum("tf_sum").cast("long").alias("cf"),
+        )
+        terms.repartition(1).sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(terms_path)
+        manifest.mark_done("terms", {})
+
+    # ---- per-shard metrics (lineage: reference Analyze, stats.go:3-11)
+    if not (resume and manifest.is_done("meta")):
+        metrics_path = os.path.join(index_dir, "metrics")
+        postings_all = spark.read.parquet(postings_path)
+        metrics = postings_all.groupBy("shard_id").agg(
+            F.count("*").alias("n_terms"),
+            F.sum("count").alias("n_postings"),
+            F.sum(F.length("doc_blob") + F.length("tf_blob")).alias("blob_bytes"),
+        )
+        metrics.write.mode("overwrite").parquet(metrics_path)
+
+    if resume and manifest.is_done("meta"):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        base.unpersist()
+        return meta
+
+    avgdl = base.agg(F.avg("doclen")).first()[0] or 0.0
+    meta = {
+        "version": META_VERSION,
+        "n_docs": n_docs,
+        "avgdl": float(avgdl),
+        "shard_size": cfg.shard_size,
+        "n_shards": n_shards,
+        "skip_block": cfg.skip_block,
+        "preset": cfg.preset,
+        "id_buckets": cfg.id_buckets,
+        "build_seconds": time.monotonic() - t_start,
+    }
+    atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
+    manifest.mark_done("meta", {})
+    base.unpersist()
+    return meta
+
+
+def _wrap_encode(fn):
+    def inner(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf)
+
+    return inner

@@ -1,0 +1,137 @@
+"""End-to-end: build the sharded compressed index on the synthetic corpus and
+assert rank-identity of every Spark search path against the pure-Python
+oracle on the reference query set (north rule / SURVEY.md §5 step 2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fts_engine_spark.query import FtsIndex
+from tools.gen_corpus import REFERENCE_QUERIES, gen_rows
+
+from .oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def oracle(small_index, spark):
+    """Oracle indexed with the SAME doc_ids the Spark build assigned."""
+    index_dir, meta = small_index
+    fts = FtsIndex(spark, index_dir)
+    docs = {
+        r["url"]: r["doc_id"]
+        for r in fts.docs().select("url", "doc_id").collect()
+    }
+    urls, _, _, texts, langs = gen_rows(120)
+    oi = OracleIndex(by_lang=True)
+    for url, text, lang in zip(urls, texts, langs):
+        oi.index_document(docs[url], text, lang)
+    return oi
+
+
+def test_meta_consistency(small_index, oracle):
+    _, meta = small_index
+    assert meta["n_docs"] == 120
+    assert meta["n_docs"] == oracle.n_docs
+    assert abs(meta["avgdl"] - oracle.avgdl) < 1e-9
+
+
+@pytest.mark.parametrize("q", [q["query"] for q in REFERENCE_QUERIES[:12]])
+def test_reference_scorer_rank_identity(spark, small_index, oracle, q):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    got = [
+        (r["doc_id"], r["unique_matches"], r["total_matches"])
+        for r in fts.search_reference(q, k=10, preset="multilingual").collect()
+    ]
+    want, _total = oracle.search_reference(q, k=10, lang=None)
+    assert got == [(d, u, t) for d, u, t in want], f"query={q!r}"
+
+
+@pytest.mark.parametrize("mode", ["relational", "wand"])
+def test_bm25_rank_identity(spark, small_index, oracle, mode):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    for qd in REFERENCE_QUERIES:
+        q, k = qd["query"], qd["k"]
+        got = [
+            (r["doc_id"], round(r["score"], 8))
+            for r in fts.search_bm25(q, k=k, preset="multilingual", mode=mode).collect()
+        ]
+        want = [
+            (d, round(s, 8)) for d, s in oracle.search_bm25(q, k=k, lang=None)
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], f"query={q!r} docids"
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), f"query={q!r} doc={gd}"
+
+
+def test_wand_equals_relational(spark, small_index):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    for qd in REFERENCE_QUERIES[:8]:
+        q, k = qd["query"], qd["k"]
+        rel = fts.search_bm25(q, k=k, preset="multilingual", mode="relational").collect()
+        wnd = fts.search_bm25(q, k=k, preset="multilingual", mode="wand").collect()
+        assert [r["doc_id"] for r in rel] == [r["doc_id"] for r in wnd], q
+        for a, b in zip(rel, wnd):
+            assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_unknown_term_empty(spark, small_index):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    assert fts.search_bm25("zzzunknownzzz", k=10).count() == 0
+    assert fts.search_reference("zzzunknownzzz", k=10).count() == 0
+
+
+def test_stopword_only_query_empty(spark, small_index):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    # "the was" fully removed by the english pipeline (engine_test golden)
+    assert fts.search_bm25("the was", k=10, preset="english").count() == 0
+
+
+def test_duplicate_token_quirk(spark, small_index, oracle):
+    """'hotel hotel' doubles unique_matches for every matching doc
+    (engine.go:96-123)."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    single = {
+        r["doc_id"]: (r["unique_matches"], r["total_matches"])
+        for r in fts.search_reference("hotel", k=0, preset="english").collect()
+    }
+    double = {
+        r["doc_id"]: (r["unique_matches"], r["total_matches"])
+        for r in fts.search_reference("hotel hotel", k=0, preset="english").collect()
+    }
+    assert set(single) == set(double)
+    for d, (u, t) in single.items():
+        assert double[d] == (2 * u, 2 * t)
+
+
+def test_hydrate_roundtrip(spark, small_index):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    rows = fts.search_bm25("turtle", k=5, hydrate=True).collect()
+    assert len(rows) == 5
+    assert all(r["url"].startswith("https://site") for r in rows)
+    assert all(len(r["url_md5"]) == 32 for r in rows)
+
+
+def test_resume_skips_completed(spark, small_corpus, small_index, tmp_path):
+    """Re-running build with an intact manifest re-does nothing and produces
+    identical results (load-skip-rebuild, main.go:272-280)."""
+    import json
+    import os
+
+    from fts_engine_spark.build import BuildConfig, build_index
+
+    index_dir, _ = small_index
+    manifest_before = json.load(open(os.path.join(index_dir, "_manifest.json")))
+    docs = spark.read.parquet(small_corpus)
+    cfg = BuildConfig(preset="by_lang", shard_size=32, id_buckets=8, n_waves=2)
+    build_index(spark, docs, index_dir, cfg, resume=True)
+    manifest_after = json.load(open(os.path.join(index_dir, "_manifest.json")))
+    for step, entry in manifest_before.items():
+        assert manifest_after[step]["completed_at"] == entry["completed_at"], step
