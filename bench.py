@@ -1,0 +1,212 @@
+"""Benchmark harness.
+
+Default run (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...} plus
+index-build throughput (docs/sec) and warm top-k latency p50/p99 over the
+reference query set on the synthetic web corpus.
+
+``--scaling`` mode: re-executes the same workload in subprocesses at two
+parallelism levels (local[8] vs local[32], the sandbox stand-in for N vs 4N
+executors on identical input) and reports throughput scaling efficiency
+into BENCH/BASELINE.md (north rule: ≥ 0.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ensure_corpus(n_docs: int) -> str:
+    path = f"/tmp/fts_bench_corpus_{n_docs}.parquet"
+    if not os.path.exists(path):
+        from tools.gen_corpus import write_corpus
+
+        write_corpus(path, n_docs)
+    return path
+
+
+def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from fts_engine_spark.build import BuildConfig, build_index
+    from fts_engine_spark.query import FtsIndex
+    from fts_engine_spark.session import get_spark
+    from tools.gen_corpus import REFERENCE_QUERIES
+
+    spark = get_spark(
+        app_name=f"fts-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=str(max(8, int(cpus))),
+    )
+    t_all = time.monotonic()
+    timings: dict[str, float] = {}
+
+    # ---- 1. index build throughput on the synthetic web corpus
+    corpus_path = ensure_corpus(BENCH_DOCS)
+    docs = spark.read.parquet(corpus_path)
+    index_dir = f"/tmp/fts_bench_index_{BENCH_DOCS}_{cpus}"
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = BuildConfig(preset="by_lang", shard_size=1 << 14, id_buckets=64, n_waves=1)
+    t0 = time.monotonic()
+    build_index(spark, docs, index_dir, cfg, resume=False)
+    build_secs = time.monotonic() - t0
+    timings["index_build"] = round(build_secs, 3)
+    docs_per_sec = BENCH_DOCS / build_secs
+
+    # ---- 2. warm top-k latency over the reference query set
+    fts = FtsIndex(spark, index_dir)
+    fts.search_bm25("turtle", k=10, mode="wand").collect()  # warm up
+    lat_ms: list[float] = []
+    for qd in REFERENCE_QUERIES:
+        t0 = time.monotonic()
+        fts.search_bm25(qd["query"], k=qd["k"], mode="wand").collect()
+        lat_ms.append((time.monotonic() - t0) * 1000)
+    lat_sorted = sorted(lat_ms)
+    p50 = statistics.median(lat_sorted)
+    p99 = lat_sorted[min(len(lat_sorted) - 1, int(0.99 * len(lat_sorted)))]
+    timings["query_set"] = round(sum(lat_ms) / 1000, 3)
+
+    # ---- 3. operator suite on the driver tables at sf_dir
+    queries = entry_mod.queries()
+    suite = [
+        "fts_postings_tf",
+        "fts_term_stats",
+        "fts_search_coordinate",
+        "fts_search_bm25",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "text_quality",
+        "text_token_counts",
+    ]
+    for name in suite:
+        t0 = time.monotonic()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = time.monotonic() - t_all
+    result = {
+        "metric": "index-build docs/sec + query p50/p99 + operator suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "build_docs": BENCH_DOCS,
+        "build_docs_per_sec": round(docs_per_sec, 1),
+        "query_p50_ms": round(p50, 2),
+        "query_p99_ms": round(p99, 2),
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    if out_json:
+        print(json.dumps(result))
+    return result
+
+
+def run_scaling(sf_dir: str) -> None:
+    """Same workload at local[8] and local[32]; efficiency on build
+    throughput = (rate_32 / rate_8) / 4."""
+    results = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = cpus
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        out = subprocess.run(
+            [sys.executable, __file__, "--single"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    r8, r32 = results["8"], results["32"]
+    eff_build = (r32["build_docs_per_sec"] / r8["build_docs_per_sec"]) / 4.0
+    t8 = sum(v for k, v in r8["queries"].items() if k != "index_build")
+    t32 = sum(v for k, v in r32["queries"].items() if k != "index_build")
+    eff_query = (t8 / t32) / 4.0
+    report = {
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency_build": round(eff_build, 3),
+        "scaling_efficiency_query_suite": round(eff_query, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = [
+        "# BENCH/BASELINE.md — measured numbers (this repo's harness)",
+        "",
+        f"Generated by `python bench.py --scaling` at sf_dir={sf_dir},",
+        f"build corpus = {BENCH_DOCS} synthetic web pages (tools/gen_corpus.py).",
+        "",
+        "| metric | local[8] (N) | local[32] (4N) | scaling efficiency |",
+        "|---|---|---|---|",
+        (
+            f"| index build (docs/sec) | {r8['build_docs_per_sec']} | "
+            f"{r32['build_docs_per_sec']} | {round(eff_build, 3)} |"
+        ),
+        (
+            f"| query p50 ms (warm, k=10, WAND) | {r8['query_p50_ms']} | "
+            f"{r32['query_p50_ms']} | — |"
+        ),
+        (
+            f"| query p99 ms | {r8['query_p99_ms']} | {r32['query_p99_ms']} | — |"
+        ),
+        (
+            f"| operator suite total (s) | {t8:.2f} | {t32:.2f} | "
+            f"{round(eff_query, 3)} |"
+        ),
+        "",
+        "Efficiency = (throughput_4N / throughput_N) / 4 on identical input",
+        "(sandbox stand-in for N vs 4N executors; north rule target ≥ 0.8 on",
+        "the build path, which is the embarrassingly-parallel long pole).",
+        "",
+        "```json",
+        json.dumps(report, indent=1),
+        "```",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps(report))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single", action="store_true")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+    if args.scaling:
+        run_scaling(args.sf_dir)
+    else:
+        run_bench(args.sf_dir, CPUS)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are built-in Spark SQL functions (JVM, codegen); hashing uses
+``md5`` so the DuckDB oracle computes bit-identical values. Scale notes per
+operator are in the docstrings — each is a shuffle-bounded plan that holds
+at 10^12 docs (no driver collects, no cross joins over the full table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .sql_tokens import tokens_array
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, is_dup): hash-groupBy exact dedup.
+
+    Scale: one shuffle on md5(text) (256-bit key, uniform — no skew);
+    min(doc_id) is a partial-aggregatable min. 100 TB: works as-is.
+    """
+    h = F.md5(F.col(text_col)).alias("text_md5")
+    with_h = docs.select("doc_id", h)
+    canon = with_h.groupBy("text_md5").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        with_h.join(canon, "text_md5")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams of the simple-tokenized text."""
+    toks = tokens_array(stopwords=False)
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(_toks)-{n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """(a_id, b_id, jaccard) for pairs with shingle-Jaccard ≥ threshold.
+
+    Plan: distinct (doc, shingle) → self-join on shingle → pair-intersection
+    counts → join per-doc sizes. Scale: the self-join explodes on hot
+    shingles — at web scale this exact variant is for bounded candidate sets;
+    the scalable path is :func:`minhash_lsh_pairs` (banded LSH) which feeds
+    candidate pairs into this verifier. a_id < b_id.
+    """
+    sh = shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("a_id", "b_id")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signatures(docs: DataFrame, n_sig: int = 16, n: int = 3) -> DataFrame:
+    """(doc_id, sig_id, minhash): ``min(md5(sig_id || '|' || shingle))``.
+
+    The lexicographic min over salted md5 digests is a valid min-hash family
+    (each salt permutes the shingle space independently). One shuffle
+    (groupBy doc_id, sig_id); shingle×n_sig fan-out is map-side.
+    """
+    sh = shingles(docs, n)
+    sigs = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sig - 1))).alias("sig_id"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "sig_id",
+        F.md5(F.concat_ws("|", F.col("sig_id").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return sigs.groupBy("doc_id", "sig_id").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_sig: int = 16, band_size: int = 4, n: int = 3
+) -> DataFrame:
+    """(a_id, b_id) candidate near-dup pairs via banded minhash-LSH.
+
+    bands = n_sig / band_size; band hash = md5(concat of the band's sigs);
+    docs sharing any band hash become candidates. Scale: join key is the
+    band hash (uniform); candidate volume is tunable via band_size. This is
+    the standard shingle→minhash→band→bucket-join pipeline.
+    """
+    sig = minhash_signatures(docs, n_sig, n)
+    bands = (
+        sig.withColumn("band", (F.col("sig_id") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("sig_id").cast("string"), F.col("minhash"))
+        )))).alias("band_hash"))
+    )
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_hash")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): tf-weighted SimHash over simple tokens.
+
+    Per-term hash = first 15 hex chars of md5 (60 bits, int64-safe in both
+    engines); bit j contributes +tf/−tf; fingerprint assembles the sign
+    vector. Pure relational: explode(term × bit) → groupBy — two shuffles,
+    both on uniform keys.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens_array(stopwords=False)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+    per_bit = (
+        tf.withColumn("h", h)
+        .select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn(
+            "w",
+            F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("ws"))
+    )
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN ws >= 0 THEN shiftleft(cast(1 as bigint), bit) "
+                    "ELSE cast(0 as bigint) END"
+                )
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+def embedding_cosine_dups(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(a_id, b_id, cos) embedding near-dup pairs above threshold.
+
+    Brute-force O(n²) — correctness baseline; the scale path buckets by the
+    LSH signature first (see similarity.ann_lsh_bucketed) and verifies only
+    within buckets.
+    """
+    v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    a = base.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, e) -> acc + e)"
+    )
+    na = F.expr("sqrt(aggregate(transform(va, x -> x * x), cast(0 as double), (acc, e) -> acc + e))")
+    nb = F.expr("sqrt(aggregate(transform(vb, x -> x * x), cast(0 as double), (acc, e) -> acc + e))")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(dot / (na * nb), 4).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .orderBy("a_id", "b_id")
+    )
