@@ -1,0 +1,148 @@
+"""Public engine API — the reference's ``Engine`` interface re-expressed for
+Spark (``/root/reference/pkg/fts/types.go:69-72``: ``IndexDocument`` /
+``SearchDocuments``; options pattern ``pkg/fts/options.go:3-17``).
+
+State lives in tables, not heap (SURVEY.md §1.3): the engine object is a
+thin handle over (SparkSession, config, index_dir). ``index_documents`` is
+the whole build DAG; ``search`` the query plan; ``load``/``save`` are the
+snapshot codec equivalents (parquet segment dirs + manifest instead of gob
+envelopes, ``pkg/fts/snapshot.go``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import BuildConfig, build_index
+from .query import FtsIndex, normalize_query
+from .textproc.pipeline import get_pipeline
+
+
+@dataclass(frozen=True)
+class EngineOptions:
+    """Options pattern (WithPipeline/WithFilter → keyword args)."""
+
+    preset: str = "by_lang"
+    shard_size: int = 1 << 20
+    skip_block: int = 128
+    id_buckets: int = 64
+    n_waves: int = 1
+    scorer: str = "bm25"  # 'bm25' | 'reference'
+    mode: str = "wand"  # 'wand' | 'relational'
+
+
+class FtsEngine:
+    """End-to-end engine: build → persist → search, resumable."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, options: EngineOptions | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.options = options or EngineOptions()
+        self._index: FtsIndex | None = None
+
+    # ---- build (Entry point A/B, SURVEY.md §3.1/3.2)
+    def index_documents(self, docs: DataFrame, resume: bool = True) -> dict:
+        o = self.options
+        cfg = BuildConfig(
+            preset=o.preset,
+            shard_size=o.shard_size,
+            skip_block=o.skip_block,
+            id_buckets=o.id_buckets,
+            n_waves=o.n_waves,
+        )
+        meta = build_index(self.spark, docs, self.index_dir, cfg, resume=resume)
+        self._index = None
+        return meta
+
+    # ---- load (Entry point D: snapshot restore)
+    @property
+    def index(self) -> FtsIndex:
+        if self._index is None:
+            if not os.path.exists(os.path.join(self.index_dir, "meta.json")):
+                raise FileNotFoundError(
+                    f"no index at {self.index_dir}; run index_documents first"
+                )
+            self._index = FtsIndex(self.spark, self.index_dir)
+        return self._index
+
+    # ---- search (Entry point C)
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        scorer: str | None = None,
+        mode: str | None = None,
+        hydrate: bool = False,
+    ) -> DataFrame:
+        scorer = scorer or self.options.scorer
+        if scorer == "reference":
+            return self.index.search_reference(query, k, hydrate=hydrate)
+        if scorer == "bm25":
+            return self.index.search_bm25(
+                query, k, mode=mode or self.options.mode, hydrate=hydrate
+            )
+        raise ValueError(f"unknown scorer {scorer!r}")
+
+    # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats
+    def analyze(self) -> DataFrame:
+        """Per-shard metrics + global rollup of the index shape."""
+        m = self.spark.read.parquet(os.path.join(self.index_dir, "metrics"))
+        return m.orderBy("shard_id")
+
+    def stats(self) -> dict:
+        """Global index stats (reference Stats struct equivalent)."""
+        terms = self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+        row = terms.agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum("cf").alias("total_tokens"),
+            F.max("df").alias("max_df"),
+        ).first()
+        meta = self.index.meta
+        return {
+            "n_docs": meta["n_docs"],
+            "avgdl": meta["avgdl"],
+            "n_shards": meta["n_shards"],
+            "n_terms": row["n_terms"],
+            "n_postings": row["n_postings"],
+            "total_tokens": row["total_tokens"],
+            "max_df": row["max_df"],
+        }
+
+    # ---- ContainsNormalized (filter_normalize.go:31-52): ALL keys present
+    def contains_normalized(self, text: str, preset: str | None = None) -> bool:
+        preset = preset or (
+            "multilingual" if self.index.preset == "by_lang" else self.index.preset
+        )
+        keys = set(normalize_query(text, preset))
+        if not keys:
+            return False
+        stats = self.index.term_stats(list(keys))
+        return all(k in stats for k in keys)
+
+
+def highlight(text_col, query_terms: list[str], tag_open: str = "\x1b[1;31m", tag_close: str = "\x1b[0m"):
+    """Result highlight (cui.go:227-233): case-insensitive whole-word wrap.
+
+    Returns a Column; display-only cosmetic op.
+    """
+    col = text_col if not isinstance(text_col, str) else F.col(text_col)
+    for t in query_terms:
+        # Java regex, case-insensitive whole word
+        col = F.regexp_replace(
+            col, f"(?i)\\b({t})\\b", f"{tag_open}$1{tag_close}"
+        )
+    return col
+
+
+def load_key_file(spark: SparkSession, path: str) -> DataFrame:
+    """Key-file scan (S6, ribbon_file.go:15-46): line-per-key text file →
+    non-empty trimmed keys."""
+    return (
+        spark.read.text(path)
+        .select(F.trim(F.col("value")).alias("key"))
+        .where(F.length("key") > 0)
+    )
