@@ -1,0 +1,84 @@
+"""spark-submit entry point: build the index over a web-page table, then
+answer queries — the whole job ships via ``--py-files``.
+
+Usage:
+    spark-submit --py-files dist/fts_engine_spark.zip jobs/build_and_search.py \
+        --corpus /path/pages.parquet --index /path/index \
+        [--query "french hotel"] [--k 10] [--scorer bm25] [--mode wand] \
+        [--shard-size 1048576] [--waves 4] [--preset by_lang]
+
+On a cluster the same invocation runs unchanged at N or 4N executors — the
+job contains no local[.]-specific logic; parallelism comes entirely from
+``--master`` / executor conf.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True, help="parquet with (url, warc_ts, html, text, lang)")
+    ap.add_argument("--index", required=True, help="index output directory")
+    ap.add_argument("--query", action="append", default=[], help="query (repeatable)")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--scorer", default="bm25", choices=["bm25", "reference"])
+    ap.add_argument("--mode", default="wand", choices=["wand", "relational"])
+    ap.add_argument("--preset", default="by_lang")
+    ap.add_argument("--shard-size", type=int, default=1 << 20)
+    ap.add_argument("--waves", type=int, default=1)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--extract-html", action="store_true",
+                    help="materialize text from the html column first")
+    args = ap.parse_args()
+
+    # late imports so --py-files zip resolution happens after Spark setup
+    from fts_engine_spark.engine import EngineOptions, FtsEngine
+    from fts_engine_spark.functions.udfs import extract_text_udf
+
+    spark = SparkSession.builder.appName("fts-build-and-search").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.corpus)
+    if args.extract_html:
+        docs = docs.withColumn("text", extract_text_udf(docs["html"]))
+
+    engine = FtsEngine(
+        spark,
+        args.index,
+        EngineOptions(
+            preset=args.preset,
+            shard_size=args.shard_size,
+            n_waves=args.waves,
+            scorer=args.scorer,
+            mode=args.mode,
+        ),
+    )
+    t0 = time.monotonic()
+    meta = engine.index_documents(docs, resume=not args.no_resume)
+    build_secs = time.monotonic() - t0
+    print(json.dumps({"built": meta, "build_secs": round(build_secs, 2)}))
+
+    for q in args.query:
+        t0 = time.monotonic()
+        rows = engine.search(q, k=args.k, hydrate=True).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "query": q,
+            "ms": round(ms, 1),
+            "results": [
+                {k: r[k] for k in r.asDict() if k != "html"} for r in rows
+            ],
+        }, default=str))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
