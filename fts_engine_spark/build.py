@@ -148,38 +148,104 @@ def assign_doc_ids(
         .sortWithinPartitions("_bucket", "_h", url_col)
         .mapInPandas(rank_partition, schema=out_schema)
     )
-    return ranked.drop("_h", "_bucket")
+    return ranked.drop("_h", "_bucket"), acc
 
 
-def _make_encode_udf(shard_size: int, skip: int):
-    """applyInPandas kernel: one group = one (shard_id, term) posting list."""
+def _make_stream_encoder(shard_size: int, skip: int):
+    """mapInPandas kernel: consume (shard_id, term, doc_id, tf, dl) rows
+    sorted by (shard_id, term, doc_id) within the partition and emit one
+    encoded posting row per (shard_id, term) group.
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        shard_id = int(pdf["shard_id"].iloc[0])
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        enc = encode_postings(doc_ids, tfs, base_doc=shard_id * shard_size, skip=skip)
-        dl_blob = varbyte_encode(dls.astype(np.uint64))
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "shard_id": [shard_id],
-                "count": [enc.count],
-                "tf_sum": [int(tfs.sum())],
-                "doc_blob": [enc.doc_blob],
-                "tf_blob": [enc.tf_blob],
-                "dl_blob": [dl_blob],
-                "skip_last_doc": [enc.skip_last_doc.tolist()],
-                "skip_max_tf": [enc.skip_max_tf.tolist()],
-                "skip_doc_off": [enc.skip_doc_off.tolist()],
-                "skip_tf_off": [enc.skip_tf_off.tolist()],
+    Streaming with carry-over across Arrow batches: the final (possibly
+    incomplete) group of each batch is held back until the next batch proves
+    it complete. Group slicing is plain numpy — no per-group pandas objects,
+    which is what made the applyInPandas variant ~15s at 50k groups.
+    """
+
+    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("shard_id", "term", "doc_id", "tf", "dl")
+        pend: dict[str, np.ndarray] | None = None
+        out: list[tuple] = []
+
+        def flush_rows():
+            nonlocal out
+            if not out:
+                return None
+            pdf = pd.DataFrame(
+                out,
+                columns=[
+                    "term", "shard_id", "count", "tf_sum", "doc_blob",
+                    "tf_blob", "dl_blob", "skip_last_doc", "skip_max_tf",
+                    "skip_doc_off", "skip_tf_off",
+                ],
+            )
+            out = []
+            return pdf
+
+        def encode_group(terms, shards, doc_ids, tfs, dls, lo, hi):
+            term = terms[lo]
+            shard_id = int(shards[lo])
+            d = doc_ids[lo:hi]
+            t = tfs[lo:hi]
+            enc = encode_postings(d, t, base_doc=shard_id * shard_size, skip=skip)
+            dl_blob = varbyte_encode(dls[lo:hi].astype(np.uint64))
+            out.append(
+                (
+                    term, shard_id, enc.count, int(t.sum()), enc.doc_blob,
+                    enc.tf_blob, dl_blob, enc.skip_last_doc.tolist(),
+                    enc.skip_max_tf.tolist(), enc.skip_doc_off.tolist(),
+                    enc.skip_tf_off.tolist(),
+                )
+            )
+
+        def process(arrs, final: bool):
+            nonlocal pend
+            shards = arrs["shard_id"]
+            terms = arrs["term"]
+            n = len(shards)
+            if n == 0:
+                return
+            # group boundary where (shard, term) changes
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            if n > 1:
+                change[1:] = (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            last = len(starts) - 1
+            stop = len(starts) if final else last  # hold back last group
+            doc_ids = arrs["doc_id"]
+            tfs = arrs["tf"]
+            dls = arrs["dl"]
+            for g in range(stop):
+                encode_group(terms, shards, doc_ids, tfs, dls, starts[g], ends[g])
+            if not final:
+                lo = starts[last]
+                pend = {k: arrs[k][lo:] for k in cols}
+
+        for pdf in batches:
+            arrs = {
+                "shard_id": pdf["shard_id"].to_numpy(np.int64),
+                "term": pdf["term"].to_numpy(object),
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "tf": pdf["tf"].to_numpy(np.int64),
+                "dl": pdf["dl"].to_numpy(np.int64),
             }
-        )
+            if pend is not None:
+                arrs = {k: np.concatenate((pend[k], arrs[k])) for k in cols}
+                pend = None
+            process(arrs, final=False)
+            flushed = flush_rows()
+            if flushed is not None:
+                yield flushed
+        if pend is not None:
+            process(pend, final=True)
+            pend = None
+        flushed = flush_rows()
+        if flushed is not None:
+            yield flushed
 
-    return encode_group
+    return encode_stream
 
 
 def build_index(
@@ -199,9 +265,15 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     manifest = Manifest(index_dir)
     t_start = time.monotonic()
+    phases: dict[str, float] = {}
+
+    def _lap(name: str, t0: float) -> float:
+        now = time.monotonic()
+        phases[name] = round(now - t0, 3)
+        return now
 
     # ---- pass 0: dense docids + doclens (cached across waves)
-    with_ids = assign_doc_ids(docs, cfg.id_buckets)
+    with_ids, n_docs = assign_doc_ids(docs, cfg.id_buckets)
     tok = _tokenize_col(cfg)
     base = with_ids.withColumn("terms", tok(with_ids)).select(
         "doc_id",
@@ -211,7 +283,6 @@ def build_index(
         F.size("terms").alias("doclen"),
     )
     base = base.persist()
-    n_docs = base.count()
 
     docs_table = base.select(
         "doc_id",
@@ -221,9 +292,11 @@ def build_index(
         "doclen",
     )
     docs_path = os.path.join(index_dir, "docs")
+    t_phase = time.monotonic()
     if not (resume and manifest.is_done("docs")):
         docs_table.write.mode("overwrite").parquet(docs_path)
         manifest.mark_done("docs", {"n_docs": n_docs})
+    t_phase = _lap("docs_write", t_phase)
 
     n_shards = max(1, math.ceil(n_docs / cfg.shard_size))
     n_waves = min(cfg.n_waves, n_shards)
@@ -235,7 +308,7 @@ def build_index(
             waves.append((lo, hi))
 
     postings_path = os.path.join(index_dir, "postings")
-    encode_group = _make_encode_udf(cfg.shard_size, cfg.skip_block)
+    encode_stream = _make_stream_encoder(cfg.shard_size, cfg.skip_block)
 
     # doclen travels with every token so the index stores per-posting norms
     # (dl_blob) — BM25 scoring then needs no join against the docs table.
@@ -256,18 +329,19 @@ def build_index(
             F.count("*").cast("int").alias("tf"),
             F.first("doclen").alias("dl"),
         )
-        postings = tf_df.groupBy("shard_id", "term").applyInPandas(
-            _wrap_encode(encode_group), schema=POSTINGS_SCHEMA
+        postings = (
+            tf_df.repartition("shard_id")
+            .sortWithinPartitions("shard_id", "term", "doc_id")
+            .mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            postings.repartition("shard_id")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
+            postings.write.mode("overwrite")
             .partitionBy("shard_id")
             .parquet(postings_path)
         )
         manifest.mark_done(wave_key, {"shards": [lo, hi]})
+    t_phase = _lap("postings", t_phase)
 
     # ---- global term stats (df/cf) merged across shards
     terms_path = os.path.join(index_dir, "terms")
@@ -284,6 +358,7 @@ def build_index(
             "overwrite"
         ).parquet(terms_path)
         manifest.mark_done("terms", {})
+    t_phase = _lap("terms", t_phase)
 
     # ---- per-shard metrics (lineage: reference Analyze, stats.go:3-11)
     if not (resume and manifest.is_done("meta")):
@@ -302,7 +377,9 @@ def build_index(
         base.unpersist()
         return meta
 
+    t_phase = _lap("metrics", t_phase)
     avgdl = base.agg(F.avg("doclen")).first()[0] or 0.0
+    phases["total"] = round(time.monotonic() - t_start, 3)
     meta = {
         "version": META_VERSION,
         "n_docs": n_docs,
@@ -313,15 +390,10 @@ def build_index(
         "preset": cfg.preset,
         "id_buckets": cfg.id_buckets,
         "build_seconds": time.monotonic() - t_start,
+        "build_phases": phases,
     }
     atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
     manifest.mark_done("meta", {})
     base.unpersist()
     return meta
 
-
-def _wrap_encode(fn):
-    def inner(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return fn(pdf)
-
-    return inner

@@ -100,13 +100,36 @@ class FtsIndex:
         self._postings_path = os.path.join(index_dir, "postings")
         self._terms_path = os.path.join(index_dir, "terms")
         self._docs_path = os.path.join(index_dir, "docs")
+        self._postings_df: DataFrame | None = None
+        self._terms_df: DataFrame | None = None
+
+    def warm(self) -> "FtsIndex":
+        """Cache the postings/terms tables in executor memory — the
+        counterpart of the reference's in-memory residency (its index IS the
+        heap). Serving deployments call this once; cold queries work without
+        it via parquet row-group pruning."""
+        self._postings_df = self.spark.read.parquet(self._postings_path).persist()
+        self._postings_df.count()
+        self._terms_df = self.spark.read.parquet(self._terms_path).persist()
+        self._terms_df.count()
+        return self
+
+    def _read_postings(self) -> DataFrame:
+        if self._postings_df is not None:
+            return self._postings_df
+        return self.spark.read.parquet(self._postings_path)
+
+    def _read_terms(self) -> DataFrame:
+        if self._terms_df is not None:
+            return self._terms_df
+        return self.spark.read.parquet(self._terms_path)
 
     # ---- term dictionary gate (reference filter role, engine.go:108-116)
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         if not terms:
             return {}
         rows = (
-            self.spark.read.parquet(self._terms_path)
+            self._read_terms()
             .where(F.col("term").isin(list(set(terms))))
             .collect()
         )
@@ -128,7 +151,7 @@ class FtsIndex:
         return out
 
     def postings_for(self, terms: list[str]) -> DataFrame:
-        df = self.spark.read.parquet(self._postings_path)
+        df = self._read_postings()
         return df.where(F.col("term").isin(terms)).withColumn(
             "shard_id", F.col("shard_id").cast("long")
         )
@@ -213,7 +236,7 @@ class FtsIndex:
         runs per-shard block-max WAND and merges local top-k globally."""
         qts = self.query_terms(query, preset)
         if not qts:
-            return self.spark.createDataFrame([], WAND_SCHEMA)
+            return self._empty_bm25_result()
         if mode == "relational":
             return self._bm25_relational(qts, k, hydrate)
         return self._bm25_wand(qts, k, hydrate)
@@ -274,15 +297,19 @@ class FtsIndex:
             .orderBy(*order)
         )
 
-    def _empty_reference_result(self, hydrate: bool) -> DataFrame:
-        schema = StructType(
-            [
-                StructField("doc_id", LongType(), False),
-                StructField("unique_matches", LongType(), False),
-                StructField("total_matches", LongType(), False),
-            ]
+    def _empty_bm25_result(self) -> DataFrame:
+        # spark.range(0) is a LocalRelation — no tasks scheduled on collect
+        return self.spark.range(0).select(
+            F.col("id").alias("doc_id"),
+            F.col("id").cast("double").alias("score"),
         )
-        return self.spark.createDataFrame([], schema)
+
+    def _empty_reference_result(self, hydrate: bool) -> DataFrame:
+        return self.spark.range(0).select(
+            F.col("id").alias("doc_id"),
+            F.col("id").alias("unique_matches"),
+            F.col("id").alias("total_matches"),
+        )
 
 
 def make_wand_kernel(

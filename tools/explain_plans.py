@@ -54,12 +54,12 @@ def main() -> None:
     checks.append((
         "direct relational search",
         p,
-        ["WholeStageCodegen", "BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["partial_count", "BroadcastHashJoin", "TakeOrderedAndProject"],
     ))
 
     direct_tokens = search.postings_tf(docs)
     p = explain_str(direct_tokens)
-    checks.append(("postings_tf", p, ["HashAggregate", "WholeStageCodegen"]))
+    checks.append(("postings_tf", p, ["HashAggregate", "partial_count", "Batched: true"]))
 
     failed = 0
     for name, plan, needles in checks:
