@@ -19,7 +19,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from fts_engine_spark.operators import dedup, multimodal, search, similarity, textstats
+from fts_engine_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    search,
+    similarity,
+    textstats,
+)
 from fts_engine_spark.operators.sql_tokens import duckdb_tokens_sql, _STOPLIST
 
 # constant query used by the search oracles (already-normalized tokens)
@@ -38,6 +45,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -123,6 +134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: textstats.quality_score(_docs(s, d)),
         "text_token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.doc_fingerprint(_docs(s, d)),
+        # --- generic relational breadth (windows, joins, rollups)
+        "events_hourly": lambda s, d: relational.events_hourly(_tbl(s, d, "events")),
+        "events_sessionize": lambda s, d: relational.sessionize(_tbl(s, d, "events")),
+        "tpch_top_customers": lambda s, d: relational.top_customers_by_revenue(
+            _tbl(s, d, "lineitem"), _tbl(s, d, "orders"), _tbl(s, d, "customer")
+        ),
+        "tpch_pricing_summary": lambda s, d: relational.pricing_summary(
+            _tbl(s, d, "lineitem")
+        ),
         # --- multimodal plumbing (binary payload synthesized from text;
         #     deterministic fake decoder — real decode is stubbed)
         "multimodal_decode": lambda s, d: multimodal.decode_media(
@@ -313,6 +333,37 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         "multimodal_binary_stats": (
             "SELECT doc_id, strlen(text)::BIGINT AS size_bytes, md5(text) AS payload_md5 "
             "FROM documents"
+        ),
+        "events_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "event_type, count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH g AS (SELECT user_id, event_id, ts, "
+            "floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), "
+            "f AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS ns FROM g), "
+            "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM f) "
+            "SELECT user_id, session_id, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, "
+            "count(*)::BIGINT AS n_events FROM s GROUP BY 1, 2"
+        ),
+        "tpch_top_customers": (
+            "WITH rev AS (SELECT o.o_custkey, "
+            "round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1) "
+            "SELECT c.c_custkey, c.c_name, rev.revenue FROM rev "
+            "JOIN customer c ON rev.o_custkey = c.c_custkey "
+            "ORDER BY revenue DESC, c_custkey LIMIT 10"
+        ),
+        "tpch_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, "
+            "count(*)::BIGINT AS count_order FROM lineitem GROUP BY 1, 2"
         ),
         # rows-only (non-SQL-expressible): ann_lsh_topk, multimodal_decode
     }

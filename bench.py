@@ -28,6 +28,7 @@ sys.path.insert(0, REPO)
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -110,6 +111,21 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     p99 = lat_sorted[min(len(lat_sorted) - 1, int(0.99 * len(lat_sorted)))]
     timings["query_set"] = round(sum(lat_ms) / 1000, 3)
 
+    # ---- 2b. concurrent query throughput (QPS): scheduler-level
+    # parallelism is how a search tier uses extra cores — per-query latency
+    # has a fixed job floor, but concurrent jobs scale.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(qd):
+        fts.search_bm25(qd["query"], k=qd["k"], mode="wand").collect()
+
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(one, REFERENCE_QUERIES * 2))
+    qps_secs = time.monotonic() - t0
+    qps = (len(REFERENCE_QUERIES) * 2) / qps_secs
+    timings["query_concurrent"] = round(qps_secs, 3)
+
     # ---- 3. operator suite on the driver tables at sf_dir
     queries = entry_mod.queries()
     suite = [
@@ -141,6 +157,7 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
         "build_docs_per_sec": round(docs_per_sec, 1),
         "query_p50_ms": round(p50, 2),
         "query_p99_ms": round(p99, 2),
+        "query_qps": round(qps, 2),
         "query_ms": per_query,
         "cpus": int(cpus),
     }
@@ -154,10 +171,12 @@ def run_scaling(sf_dir: str) -> None:
     """Same workload at local[8] and local[32]; efficiency on build
     throughput = (rate_32 / rate_8) / 4."""
     results = {}
+    ensure_corpus(SCALING_DOCS)  # generate once; subprocesses reuse
     for cpus in ("8", "32"):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = cpus
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        env["SPARK_GRAFT_BENCH_DOCS"] = str(SCALING_DOCS)
         out = subprocess.run(
             [sys.executable, __file__, "--single"],
             capture_output=True,
@@ -169,7 +188,8 @@ def run_scaling(sf_dir: str) -> None:
         results[cpus] = json.loads(line)
     r8, r32 = results["8"], results["32"]
     eff_build = (r32["build_docs_per_sec"] / r8["build_docs_per_sec"]) / 4.0
-    skip = {"index_build", "warmup_build_2k", "query_set"}
+    eff_qps = (r32["query_qps"] / r8["query_qps"]) / 4.0
+    skip = {"index_build", "warmup_build_2k", "query_set", "query_concurrent"}
     t8 = sum(v for k, v in r8["queries"].items() if k not in skip)
     t32 = sum(v for k, v in r32["queries"].items() if k not in skip)
     eff_query = (t8 / t32) / 4.0
@@ -177,6 +197,7 @@ def run_scaling(sf_dir: str) -> None:
         "local8": r8,
         "local32": r32,
         "scaling_efficiency_build": round(eff_build, 3),
+        "scaling_efficiency_query_qps": round(eff_qps, 3),
         "scaling_efficiency_query_suite": round(eff_query, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -184,7 +205,7 @@ def run_scaling(sf_dir: str) -> None:
         "# BENCH/BASELINE.md — measured numbers (this repo's harness)",
         "",
         f"Generated by `python bench.py --scaling` at sf_dir={sf_dir},",
-        f"build corpus = {BENCH_DOCS} synthetic web pages (tools/gen_corpus.py).",
+        f"build corpus = {SCALING_DOCS} synthetic web pages (tools/gen_corpus.py).",
         "",
         "| metric | local[8] (N) | local[32] (4N) | scaling efficiency |",
         "|---|---|---|---|",
@@ -198,6 +219,10 @@ def run_scaling(sf_dir: str) -> None:
         ),
         (
             f"| query p99 ms | {r8['query_p99_ms']} | {r32['query_p99_ms']} | — |"
+        ),
+        (
+            f"| concurrent query QPS (8 clients) | {r8['query_qps']} | "
+            f"{r32['query_qps']} | {round(eff_qps, 3)} |"
         ),
         (
             f"| operator suite total (s) | {t8:.2f} | {t32:.2f} | "

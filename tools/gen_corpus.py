@@ -174,7 +174,8 @@ def write_corpus(path: str, n_docs: int, seed: int = SEED) -> None:
         {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs},
         schema=SCHEMA,
     )
-    pq.write_table(table, path)
+    # small row groups keep the single-file corpus splittable for scans
+    pq.write_table(table, path, row_group_size=8192)
 
 
 # Reference query set (FIXTURES.md §2): multi-term OR, single terms, a
