@@ -1,0 +1,174 @@
+"""Structured Streaming: incremental index ingest + watermarked ingest stats.
+
+The reference is strictly batch (SURVEY.md §2.9) — its only "incremental"
+feature is snapshot load-skip-rebuild. This module is the Spark-native
+extension a web-scale deployment needs: newly crawled pages arrive as files
+in a landing directory; each micro-batch becomes a fresh **delta shard
+range** appended to the same index layout the batch engine built, so the
+query side (`FtsIndex`) picks new documents up with zero changes — shards
+are the unit of both skew control and incremental growth.
+
+Docid discipline: a batch's documents get ids starting at the next
+shard_size-aligned boundary after the current high-water mark (gap < one
+shard, recorded in meta). Ids never collide with existing shards, deltas
+are delta/varbyte-encodable, and determinism holds within each batch.
+
+``ingest_stats`` is the canonical watermark + windowed aggregation over the
+page stream (late pages tolerated up to the watermark horizon).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..build import BuildConfig, build_index
+from ..checkpoint import Manifest, atomic_write_json
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def stream_pages(spark: SparkSession, input_dir: str, fmt: str = "parquet") -> DataFrame:
+    """readStream over a landing directory of page files."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .load(input_dir)
+    )
+
+
+def _append_batch(
+    spark: SparkSession, batch_df: DataFrame, index_dir: str, cfg: BuildConfig
+) -> None:
+    """foreachBatch body: build the micro-batch as delta shards appended to
+    ``index_dir``. Reuses the exact batch build pipeline against a staging
+    dir, then splices the staged shards in at the next free shard range."""
+    if batch_df.isEmpty():
+        return
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    shard_size = int(meta["shard_size"])
+    next_shard = int(meta["n_shards"])
+
+    staging = os.path.join(index_dir, "_staging_batch")
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    stage_cfg = BuildConfig(
+        preset=cfg.preset,
+        shard_size=shard_size,
+        skip_block=cfg.skip_block,
+        id_buckets=min(cfg.id_buckets, 16),
+        n_waves=1,
+    )
+    stage_meta = build_index(spark, batch_df, staging, stage_cfg, resume=False)
+
+    # splice staged shards in after the current high-water shard; docids
+    # shift by next_shard * shard_size, which keeps every delta blob valid
+    # because blobs store shard-relative deltas (base_doc = shard * size).
+    offset_docs = next_shard * shard_size
+    stage_postings = spark.read.parquet(os.path.join(staging, "postings"))
+    (
+        stage_postings.withColumn(
+            "shard_id", (F.col("shard_id").cast("long") + next_shard)
+        )
+        .withColumn(
+            "skip_last_doc",
+            F.expr(f"transform(skip_last_doc, d -> d + cast({offset_docs} as bigint))"),
+        )
+        .write.mode("append")
+        .partitionBy("shard_id")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    stage_docs = spark.read.parquet(os.path.join(staging, "docs"))
+    (
+        stage_docs.withColumn("doc_id", F.col("doc_id") + offset_docs)
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "docs"))
+    )
+
+    # refresh the global term dictionary (small: terms × shards rows)
+    postings_all = spark.read.parquet(os.path.join(index_dir, "postings"))
+    terms = postings_all.groupBy("term").agg(
+        F.sum("count").cast("long").alias("df"),
+        F.sum("tf_sum").cast("long").alias("cf"),
+    )
+    tmp_terms = os.path.join(index_dir, "_terms_new")
+    terms.repartition(1).write.mode("overwrite").parquet(tmp_terms)
+    old_terms = os.path.join(index_dir, "terms")
+    shutil.rmtree(old_terms, ignore_errors=True)
+    os.rename(tmp_terms, old_terms)
+
+    n_new = int(stage_meta["n_docs"])
+    total_docs = meta["n_docs"] + n_new
+    # running avgdl over old + new
+    meta["avgdl"] = (
+        meta["avgdl"] * meta["n_docs"] + stage_meta["avgdl"] * n_new
+    ) / max(1, total_docs)
+    meta["n_docs"] = total_docs
+    meta["n_shards"] = next_shard + int(stage_meta["n_shards"])
+    meta.setdefault("delta_batches", 0)
+    meta["delta_batches"] += 1
+    atomic_write_json(meta_path, meta)
+    Manifest(index_dir).mark_done(
+        f"delta_batch_{meta['delta_batches']}",
+        {"n_docs": n_new, "first_shard": next_shard},
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def incremental_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the incremental-ingest stream. The index must already exist
+    (bootstrap with ``build_index`` on an initial corpus, possibly empty).
+    """
+    cfg = cfg or BuildConfig()
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+    pages = stream_pages(spark, input_dir)
+
+    writer = (
+        pages.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, _bid: _append_batch(spark, bdf, index_dir, cfg)
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ingest_stats(
+    pages: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked windowed ingest metrics over the page stream:
+    (window_start, lang, n_pages, total_bytes). Late pages within the
+    watermark horizon update their window; older ones are dropped."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.octet_length("html")).alias("total_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang",
+            "n_pages",
+            "total_bytes",
+        )
+    )
