@@ -1,0 +1,68 @@
+"""Plan-regression tests: the physical properties that make these operators
+scale are asserted, not assumed (SURVEY.md §4: what Catalyst must deliver)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fts_engine_spark.operators import dedup, search, similarity
+from fts_engine_spark.plans.review import assert_plan, assert_plan_absent
+from fts_engine_spark.query import FtsIndex
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_postings_scan_pushdown(spark, small_index):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    posts = fts.postings_for(["turtle", "hotel"])
+    # the term-gate predicate must reach the parquet scan
+    assert_plan(posts, "PushedFilters: [In(term", "Scan parquet")
+
+
+def test_relational_search_shape(spark, small_index):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    df = fts.search_bm25("turtle hotel", k=10, mode="relational")
+    assert_plan(df, "BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate")
+    # no sort-merge join or cartesian product may sneak in
+    assert_plan_absent(df, "SortMergeJoin", "CartesianProduct")
+
+
+def test_wand_shape(spark, small_index):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    df = fts.search_bm25("turtle hotel", k=10, mode="wand")
+    assert_plan(df, "FlatMapGroupsInPandas", "TakeOrderedAndProject")
+
+
+def test_direct_search_partial_agg(spark, docs):
+    df = search.postings_tf(docs)
+    # map-side combine before the exchange; batched columnar scan
+    assert_plan(df, "partial_count", "Batched: true")
+
+
+def test_direct_bm25_broadcasts(spark, docs):
+    df = search.search_bm25_direct(docs, ["table", "value"], 10)
+    assert_plan(df, "BroadcastHashJoin", "TakeOrderedAndProject")
+    assert_plan_absent(df, "CartesianProduct")
+
+
+def test_column_pruning(spark, docs):
+    df = search.doc_tokens(docs)
+    # only doc_id + text may be read from a 5-column table
+    assert_plan(df, "ReadSchema: struct<doc_id:bigint,text:string>")
+
+
+def test_ann_bruteforce_broadcast(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.ann_bruteforce_topk(emb, [0, 1], 3)
+    assert_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_exact_dedup_partial_agg(spark, docs):
+    df = dedup.exact_dedup(docs)
+    assert_plan(df, "partial_min")
