@@ -27,8 +27,10 @@ sys.path.insert(0, REPO)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "240000"))
+# realistic web-page length: ~40 sentences (~400 tokens) per doc
+DOC_SENTS = (20, 60)
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -40,11 +42,12 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def ensure_corpus(n_docs: int) -> str:
-    path = f"/tmp/fts_bench_corpus_{n_docs}.parquet"
+    lo, hi = DOC_SENTS
+    path = f"/tmp/fts_bench_corpus_{n_docs}_s{lo}_{hi}.parquet"
     if not os.path.exists(path):
         from tools.gen_corpus import write_corpus
 
-        write_corpus(path, n_docs)
+        write_corpus(path, n_docs, min_sents=lo, max_sents=hi)
     return path
 
 
@@ -57,6 +60,7 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     from fts_engine_spark.session import get_spark
     from tools.gen_corpus import REFERENCE_QUERIES
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(16, 2 * int(cpus))}g")
     spark = get_spark(
         app_name=f"fts-bench-{cpus}",
         master=f"local[{cpus}]",

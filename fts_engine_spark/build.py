@@ -99,14 +99,23 @@ def assign_doc_ids(
     """Deterministic dense ``doc_id:LONG`` per distinct url.
 
     Two passes, no global sort: (1) count rows per hash bucket, prefix-sum on
-    the driver (``id_buckets`` values only); (2) per-partition rank within
-    bucket order (bucket, xxhash64(url), url) + broadcast offset. Docids are
-    stable for a fixed (input, id_buckets).
+    the driver (``id_buckets`` values only); (2) per-bucket JVM window
+    ``row_number() over (partition by bucket order by xxhash64(url), url)``
+    plus a literal offset map. Docids are stable for a fixed
+    (input, id_buckets).
+
+    Deliberately NO Python stage here: a mapInPandas rank chained into the
+    downstream tokenize pandas-UDF would run two Python workers per task in
+    one pipelined stage (2x process oversubscription — measured 2.5x
+    anti-scaling at local[32]); the window keeps this stage wholly in the
+    JVM so tokenize is the only Python hop.
 
     Mirrors ``generateID`` (``loader.go:96-100``) — the string identity stays
     as ``md5(url)`` in the docs table; the dense surrogate enables
     delta/varbyte compression (SURVEY.md §7 hard parts).
     """
+    from pyspark.sql.window import Window
+
     h = F.xxhash64(F.col(url_col))
     docs = docs.withColumn("_h", h).withColumn(
         "_bucket", F.pmod(F.col("_h"), F.lit(id_buckets)).cast("long")
@@ -121,32 +130,15 @@ def assign_doc_ids(
         offsets[b] = acc
         acc += counts.get(b, 0)
 
-    spark = docs.sparkSession
-    offs_b = spark.sparkContext.broadcast(offsets)
-
-    out_schema = StructType(
-        docs.schema.fields + [StructField("doc_id", LongType(), False)]
+    offset_map = F.create_map(
+        *[F.lit(x) for b in range(id_buckets) for x in (b, offsets[b])]
     )
-
-    def rank_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen: dict[int, int] = {}
-        offsets_local = offs_b.value
-        for pdf in batches:
-            ids = np.empty(len(pdf), dtype=np.int64)
-            buckets = pdf["_bucket"].to_numpy()
-            for i, b in enumerate(buckets):
-                b = int(b)
-                n = seen.get(b, 0)
-                ids[i] = offsets_local[b] + n
-                seen[b] = n + 1
-            pdf = pdf.copy()
-            pdf["doc_id"] = ids
-            yield pdf
-
-    ranked = (
-        docs.repartition(id_buckets, "_bucket")
-        .sortWithinPartitions("_bucket", "_h", url_col)
-        .mapInPandas(rank_partition, schema=out_schema)
+    w = Window.partitionBy("_bucket").orderBy("_h", url_col)
+    ranked = docs.withColumn(
+        "doc_id",
+        (
+            offset_map[F.col("_bucket")] + F.row_number().over(w) - F.lit(1)
+        ).cast("long"),
     )
     return ranked.drop("_h", "_bucket"), acc
 
@@ -272,7 +264,11 @@ def build_index(
         phases[name] = round(now - t0, 3)
         return now
 
-    # ---- pass 0: dense docids + doclens (cached across waves)
+    # ---- pass 0: dense docids + doclens (cached across waves).
+    # Only (url, text, lang) cross the Python stages — payload columns like
+    # html:binary would otherwise be Arrow-serialized through every
+    # mapInPandas pass (measured 1.8x tokenize cost on the bench corpus).
+    docs = docs.select("url", "text", "lang")
     with_ids, n_docs = assign_doc_ids(docs, cfg.id_buckets)
     tok = _tokenize_col(cfg)
     base = with_ids.withColumn("terms", tok(with_ids)).select(
@@ -378,7 +374,12 @@ def build_index(
         return meta
 
     t_phase = _lap("metrics", t_phase)
-    avgdl = base.agg(F.avg("doclen")).first()[0] or 0.0
+    # avgdl = total tokens / docs, free from the terms table (sum cf) —
+    # avoids one more pass over the cached base.
+    cf_row = (
+        spark.read.parquet(terms_path).agg(F.sum("cf").alias("t")).first()
+    )
+    avgdl = float(cf_row["t"] or 0) / max(1, n_docs)
     phases["total"] = round(time.monotonic() - t_start, 3)
     meta = {
         "version": META_VERSION,

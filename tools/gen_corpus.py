@@ -120,7 +120,7 @@ def _sentence(rng: random.Random, vocab: list[str], weights: list[float],
     return " ".join(out) + punct
 
 
-def gen_rows(n_docs: int, seed: int = SEED):
+def gen_rows(n_docs: int, seed: int = SEED, min_sents: int = 2, max_sents: int = 8):
     rng = random.Random(seed)
     en_vocab = _build_vocab(_EN_BASES, _EN_SUFFIXES, rng)
     ru_vocab = _build_vocab(_RU_BASES, _RU_SUFFIXES, rng)
@@ -135,7 +135,7 @@ def gen_rows(n_docs: int, seed: int = SEED):
         vocab, w, filler = (
             (ru_vocab, ru_w, _RU_FILLER) if lang == "ru" else (en_vocab, en_w, _EN_FILLER)
         )
-        n_sent = rng.randint(2, 8)
+        n_sent = rng.randint(min_sents, max_sents)
         sents = [_sentence(rng, vocab, w, filler, lang) for _ in range(n_sent)]
         if lang == "en" and rng.random() < 0.60:
             sents.insert(rng.randrange(len(sents) + 1),
@@ -168,14 +168,46 @@ SCHEMA = pa.schema(
 )
 
 
-def write_corpus(path: str, n_docs: int, seed: int = SEED) -> None:
-    urls, tss, htmls, texts, langs = gen_rows(n_docs, seed)
-    table = pa.table(
-        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs},
-        schema=SCHEMA,
-    )
-    # small row groups keep the single-file corpus splittable for scans
-    pq.write_table(table, path, row_group_size=8192)
+def write_corpus(
+    path: str,
+    n_docs: int,
+    seed: int = SEED,
+    min_sents: int = 2,
+    max_sents: int = 8,
+    chunk: int = 20_000,
+) -> None:
+    """Chunked write: bounded memory for large corpora; small row groups
+    keep the single-file corpus splittable for parallel scans."""
+    writer = pq.ParquetWriter(path, SCHEMA)
+    try:
+        done = 0
+        part = 0
+        while done < n_docs:
+            n = min(chunk, n_docs - done)
+            # per-chunk seed derived deterministically; urls offset by chunk
+            urls, tss, htmls, texts, langs = gen_rows(
+                n, seed + part * 7919, min_sents, max_sents
+            )
+            if part:
+                urls = [u.replace("/wiki/Page_", f"/wiki/P{part}_") for u in urls]
+                tss = [t + timedelta(seconds=done * 137) for t in tss]
+            writer.write_table(
+                pa.table(
+                    {
+                        "url": urls,
+                        "warc_ts": tss,
+                        "html": htmls,
+                        "text": texts,
+                        "lang": langs,
+                    },
+                    schema=SCHEMA,
+                ),
+                row_group_size=4096,
+            )
+            done += n
+            part += 1
+    finally:
+        writer.close()
 
 
 # Reference query set (FIXTURES.md §2): multi-term OR, single terms, a
@@ -216,8 +248,10 @@ def main() -> None:
     ap.add_argument("out", help="output parquet path")
     ap.add_argument("--docs", type=int, default=10_000)
     ap.add_argument("--seed", type=int, default=SEED)
+    ap.add_argument("--min-sents", type=int, default=2)
+    ap.add_argument("--max-sents", type=int, default=8)
     args = ap.parse_args()
-    write_corpus(args.out, args.docs, args.seed)
+    write_corpus(args.out, args.docs, args.seed, args.min_sents, args.max_sents)
     print(f"wrote {args.docs} docs -> {args.out}")
 
 
