@@ -82,6 +82,7 @@ class BuildConfig:
     skip_block: int = SKIP_BLOCK
     id_buckets: int = 64  # hash buckets for dense-id assignment
     n_waves: int = 1  # checkpoint granularity (shards split into waves)
+    enc_partitions: int | None = None  # encode parallelism (None = 2x cores)
     extra: dict = field(default_factory=dict)
 
 
@@ -143,45 +144,48 @@ def assign_doc_ids(
     return ranked.drop("_h", "_bucket"), acc
 
 
-def _make_stream_encoder(shard_size: int, skip: int):
-    """mapInPandas kernel: consume (shard_id, term, doc_id, tf, dl) rows
-    sorted by (shard_id, term, doc_id) within the partition and emit one
+def _make_arrow_encoder(shard_size: int, skip: int):
+    """mapInArrow kernel: consume (shard_id, term, doc_id, tf, dl) record
+    batches sorted by (shard_id, term, doc_id) within the partition; emit one
     encoded posting row per (shard_id, term) group.
 
-    Streaming with carry-over across Arrow batches: the final (possibly
-    incomplete) group of each batch is held back until the next batch proves
-    it complete. Group slicing is plain numpy — no per-group pandas objects,
-    which is what made the applyInPandas variant ~15s at 50k groups.
+    Arrow-native on purpose: the pandas variant materialized every term as a
+    Python string (~1µs × |tf rows|, the dominant encode cost). Here group
+    boundaries are computed by Arrow compute kernels on the string buffers
+    and only ONE term string per group is ever materialized. The partition
+    sort guarantees the trailing group is the only possibly-incomplete one,
+    so the carry-over between batches is a single group fragment.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ("shard_id", "term", "doc_id", "tf", "dl")
-        pend: dict[str, np.ndarray] | None = None
-        out: list[tuple] = []
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("shard_id", pa.int64()),
+            ("count", pa.int32()),
+            ("tf_sum", pa.int64()),
+            ("doc_blob", pa.binary()),
+            ("tf_blob", pa.binary()),
+            ("dl_blob", pa.binary()),
+            ("skip_last_doc", pa.list_(pa.int64())),
+            ("skip_max_tf", pa.list_(pa.int32())),
+            ("skip_doc_off", pa.list_(pa.int32())),
+            ("skip_tf_off", pa.list_(pa.int32())),
+        ]
+    )
 
-        def flush_rows():
-            nonlocal out
-            if not out:
-                return None
-            pdf = pd.DataFrame(
-                out,
-                columns=[
-                    "term", "shard_id", "count", "tf_sum", "doc_blob",
-                    "tf_blob", "dl_blob", "skip_last_doc", "skip_max_tf",
-                    "skip_doc_off", "skip_tf_off",
-                ],
-            )
-            out = []
-            return pdf
+    def encode_stream(batches):
+        # pending fragment of the (single) unfinished trailing group
+        pend_term: str | None = None
+        pend_shard = 0
+        pend_arrs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        rows: list[tuple] = []
 
-        def encode_group(terms, shards, doc_ids, tfs, dls, lo, hi):
-            term = terms[lo]
-            shard_id = int(shards[lo])
-            d = doc_ids[lo:hi]
-            t = tfs[lo:hi]
+        def emit(term: str, shard_id: int, d, t, dl):
             enc = encode_postings(d, t, base_doc=shard_id * shard_size, skip=skip)
-            dl_blob = varbyte_encode(dls[lo:hi].astype(np.uint64))
-            out.append(
+            dl_blob = varbyte_encode(dl.astype(np.uint64))
+            rows.append(
                 (
                     term, shard_id, enc.count, int(t.sum()), enc.doc_blob,
                     enc.tf_blob, dl_blob, enc.skip_last_doc.tolist(),
@@ -190,52 +194,86 @@ def _make_stream_encoder(shard_size: int, skip: int):
                 )
             )
 
-        def process(arrs, final: bool):
-            nonlocal pend
-            shards = arrs["shard_id"]
-            terms = arrs["term"]
-            n = len(shards)
-            if n == 0:
+        def emit_pending():
+            nonlocal pend_term, pend_arrs
+            if pend_term is None:
                 return
-            # group boundary where (shard, term) changes
-            change = np.empty(n, dtype=bool)
-            change[0] = True
-            if n > 1:
-                change[1:] = (shards[1:] != shards[:-1]) | (terms[1:] != terms[:-1])
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], n)
-            last = len(starts) - 1
-            stop = len(starts) if final else last  # hold back last group
-            doc_ids = arrs["doc_id"]
-            tfs = arrs["tf"]
-            dls = arrs["dl"]
-            for g in range(stop):
-                encode_group(terms, shards, doc_ids, tfs, dls, starts[g], ends[g])
-            if not final:
-                lo = starts[last]
-                pend = {k: arrs[k][lo:] for k in cols}
+            ds = np.concatenate([a[0] for a in pend_arrs])
+            ts = np.concatenate([a[1] for a in pend_arrs])
+            dls = np.concatenate([a[2] for a in pend_arrs])
+            emit(pend_term, pend_shard, ds, ts, dls)
+            pend_term = None
+            pend_arrs = []
 
-        for pdf in batches:
-            arrs = {
-                "shard_id": pdf["shard_id"].to_numpy(np.int64),
-                "term": pdf["term"].to_numpy(object),
-                "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                "tf": pdf["tf"].to_numpy(np.int64),
-                "dl": pdf["dl"].to_numpy(np.int64),
-            }
-            if pend is not None:
-                arrs = {k: np.concatenate((pend[k], arrs[k])) for k in cols}
-                pend = None
-            process(arrs, final=False)
-            flushed = flush_rows()
-            if flushed is not None:
-                yield flushed
-        if pend is not None:
-            process(pend, final=True)
-            pend = None
-        flushed = flush_rows()
-        if flushed is not None:
-            yield flushed
+        def flush():
+            nonlocal rows
+            if not rows:
+                return None
+            cols = list(zip(*rows))
+            rb = pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, out_schema)],
+                schema=out_schema,
+            )
+            rows = []
+            return rb
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            term_a = batch.column("term")
+            shard_np = batch.column("shard_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_np = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            tf_np = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            dl_np = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+
+            if n > 1:
+                change = pc.or_(
+                    pc.not_equal(term_a.slice(1), term_a.slice(0, n - 1)),
+                    pa.array(shard_np[1:] != shard_np[:-1]),
+                ).to_numpy(zero_copy_only=False)
+                starts = np.flatnonzero(np.concatenate(([True], change)))
+            else:
+                starts = np.array([0])
+            ends = np.append(starts[1:], n)
+
+            first_term = term_a[0].as_py()
+            first_shard = int(shard_np[0])
+            if pend_term is not None and (
+                pend_term != first_term or pend_shard != first_shard
+            ):
+                emit_pending()
+
+            for g in range(len(starts)):
+                lo, hi = int(starts[g]), int(ends[g])
+                if g == len(starts) - 1:
+                    # trailing group: hold back until the next batch
+                    t = term_a[lo].as_py() if g else first_term
+                    if pend_term is None:
+                        pend_term = t
+                        pend_shard = int(shard_np[lo])
+                        pend_arrs = []
+                    pend_arrs.append((doc_np[lo:hi], tf_np[lo:hi], dl_np[lo:hi]))
+                    continue
+                if g == 0 and pend_term is not None:
+                    # completes the pending fragment
+                    pend_arrs.append((doc_np[lo:hi], tf_np[lo:hi], dl_np[lo:hi]))
+                    emit_pending()
+                    continue
+                emit(
+                    term_a[lo].as_py(),
+                    int(shard_np[lo]),
+                    doc_np[lo:hi],
+                    tf_np[lo:hi],
+                    dl_np[lo:hi],
+                )
+            rb = flush()
+            if rb is not None:
+                yield rb
+        emit_pending()
+        rb = flush()
+        if rb is not None:
+            yield rb
 
     return encode_stream
 
@@ -304,7 +342,7 @@ def build_index(
             waves.append((lo, hi))
 
     postings_path = os.path.join(index_dir, "postings")
-    encode_stream = _make_stream_encoder(cfg.shard_size, cfg.skip_block)
+    encode_stream = _make_arrow_encoder(cfg.shard_size, cfg.skip_block)
 
     # doclen travels with every token so the index stores per-posting norms
     # (dl_blob) — BM25 scoring then needs no join against the docs table.
@@ -325,10 +363,22 @@ def build_index(
             F.count("*").cast("int").alias("tf"),
             F.first("doclen").alias("dl"),
         )
+        # Salted repartition (SURVEY.md §4 P6 / north rule): hash-partitioning
+        # by shard alone caps encode parallelism at n_shards (and a wave can
+        # hold few shards), so salt by term within the shard — groups stay
+        # whole, head terms of one shard still bound by shard_size, and the
+        # explicit partition count defeats key-cardinality collapse.
+        n_wave_shards = hi - lo
+        enc_p = cfg.enc_partitions or spark.sparkContext.defaultParallelism * 2
+        salt_mod = max(1, math.ceil(enc_p / max(1, n_wave_shards)))
         postings = (
-            tf_df.repartition("shard_id")
+            tf_df.withColumn(
+                "_salt", F.pmod(F.xxhash64("term"), F.lit(salt_mod))
+            )
+            .repartition(n_wave_shards * salt_mod, "shard_id", "_salt")
+            .drop("_salt")
             .sortWithinPartitions("shard_id", "term", "doc_id")
-            .mapInPandas(encode_stream, schema=POSTINGS_SCHEMA)
+            .mapInArrow(encode_stream, schema=POSTINGS_SCHEMA)
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
