@@ -135,12 +135,20 @@ class FtsIndex:
         )
         return {r["term"]: (r["df"], r["cf"]) for r in rows}
 
-    def query_terms(self, query: str, preset: str | None = None) -> list[QueryTermStats]:
+    def _query_mult(self, query: str, preset: str | None = None) -> dict[str, int]:
+        """Normalized query tokens with multiplicity (duplicates kept,
+        engine.go:91). Driver-side, no Spark job."""
         preset = preset or ("multilingual" if self.preset == "by_lang" else self.preset)
-        toks = normalize_query(query, preset)
         mult: dict[str, int] = {}
-        for t in toks:
+        for t in normalize_query(query, preset):
             mult[t] = mult.get(t, 0) + 1
+        return mult
+
+    def query_terms(self, query: str, preset: str | None = None) -> list[QueryTermStats]:
+        """Query terms with global stats (runs one lookup job); the search
+        paths do NOT use this — they join the stats in-plan so a query is a
+        single Spark job. Kept for introspection/contains_normalized."""
+        mult = self._query_mult(query, preset)
         stats = self.term_stats(list(mult))
         out = []
         for t, m in mult.items():
@@ -149,6 +157,24 @@ class FtsIndex:
             df, cf = stats[t]
             out.append(QueryTermStats(t, m, df, cf, bm25_idf(self.n_docs, df)))
         return out
+
+    def _mult_df(self, mult: dict[str, int]) -> DataFrame:
+        return self.spark.createDataFrame(
+            list(mult.items()), "term string, mult int"
+        )
+
+    def _stats_joined_postings(self, mult: dict[str, int]) -> DataFrame:
+        """Postings rows for the query terms with (mult, df) columns joined
+        in-plan: the terms-table lookup rides inside the same job as the
+        scan (broadcast of the filtered dictionary slice), so no separate
+        driver collect per query."""
+        terms = list(mult)
+        stats = self._read_terms().where(F.col("term").isin(terms)).select("term", "df")
+        return (
+            self.postings_for(terms)
+            .join(F.broadcast(self._mult_df(mult)), "term")
+            .join(F.broadcast(stats), "term")
+        )
 
     def postings_for(self, terms: list[str]) -> DataFrame:
         df = self._read_postings()
@@ -197,15 +223,12 @@ class FtsIndex:
         tokens double-count, ``engine.go:96-123``); order by unique desc,
         total desc, doc_id asc; ``k <= 0`` returns all.
         """
-        qts = self.query_terms(query, preset)
-        if not qts:
+        mult = self._query_mult(query, preset)
+        if not mult:
             return self._empty_reference_result(hydrate)
-        qdf = self.spark.createDataFrame(
-            [(q.term, q.multiplicity) for q in qts], "term string, mult int"
-        )
-        decoded = self.decoded_postings([q.term for q in qts])
+        decoded = self.decoded_postings(list(mult))
         scored = (
-            decoded.join(F.broadcast(qdf), "term")
+            decoded.join(F.broadcast(self._mult_df(mult)), "term")
             .groupBy("doc_id")
             .agg(
                 F.sum("mult").cast("long").alias("unique_matches"),
@@ -234,20 +257,25 @@ class FtsIndex:
         """Top-k BM25 (k1=1.2, b=0.75), deterministic (score desc, doc_id
         asc). ``mode='relational'`` is the declarative plan; ``mode='wand'``
         runs per-shard block-max WAND and merges local top-k globally."""
-        qts = self.query_terms(query, preset)
-        if not qts:
+        mult = self._query_mult(query, preset)
+        if not mult:
             return self._empty_bm25_result()
         if mode == "relational":
-            return self._bm25_relational(qts, k, hydrate)
-        return self._bm25_wand(qts, k, hydrate)
+            return self._bm25_relational(mult, k, hydrate)
+        return self._bm25_wand(mult, k, hydrate)
 
-    def _bm25_relational(self, qts: list[QueryTermStats], k: int, hydrate: bool) -> DataFrame:
-        qdf = self.spark.createDataFrame(
-            [(q.term, q.multiplicity, q.idf) for q in qts],
-            "term string, mult int, idf double",
+    def _idf_col(self) -> "F.Column":
+        n = float(self.n_docs)
+        dfc = F.col("df").cast("double")
+        return F.log(
+            F.lit(1.0) + (F.lit(n) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
         )
+
+    def _bm25_relational(self, mult: dict[str, int], k: int, hydrate: bool) -> DataFrame:
         avgdl = self.avgdl
-        decoded = self.decoded_postings([q.term for q in qts])
+        terms = list(mult)
+        stats = self._read_terms().where(F.col("term").isin(terms)).select("term", "df")
+        decoded = self.decoded_postings(terms)
         tf = F.col("tf").cast("double")
         norm = F.lit(K1) * (
             F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
@@ -256,7 +284,9 @@ class FtsIndex:
             F.col("mult") * F.col("idf") * tf * F.lit(K1 + 1.0) / (tf + norm)
         )
         scored = (
-            decoded.join(F.broadcast(qdf), "term")
+            decoded.join(F.broadcast(self._mult_df(mult)), "term")
+            .join(F.broadcast(stats), "term")
+            .withColumn("idf", self._idf_col())
             .withColumn("contrib", contrib)
             .groupBy("doc_id")
             .agg(F.sum("contrib").alias("score"))
@@ -266,15 +296,14 @@ class FtsIndex:
             scored = scored.limit(k)
         return self._maybe_hydrate(scored, hydrate)
 
-    def _bm25_wand(self, qts: list[QueryTermStats], k: int, hydrate: bool) -> DataFrame:
+    def _bm25_wand(self, mult: dict[str, int], k: int, hydrate: bool) -> DataFrame:
         """Document-partitioned block-max WAND: each shard's posting rows for
         the query terms are processed by one kernel that decodes only the
-        skip blocks whose upper-bound sum can beat the running threshold."""
-        posts = self.postings_for([q.term for q in qts])
-        term_info = {
-            q.term: (q.multiplicity, q.idf) for q in qts
-        }
-        kernel = make_wand_kernel(term_info, self.shard_size, self.avgdl, k)
+        skip blocks whose upper-bound sum can beat the running threshold.
+        Single Spark job: df stats ride in on a broadcast join, idf is
+        computed in-kernel from (df, n_docs)."""
+        posts = self._stats_joined_postings(mult)
+        kernel = make_wand_kernel(self.n_docs, self.shard_size, self.avgdl, k)
         local_topk = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_SCHEMA
         )
@@ -313,7 +342,7 @@ class FtsIndex:
 
 
 def make_wand_kernel(
-    term_info: dict[str, tuple[int, float]],
+    n_docs: int,
     shard_size: int,
     avgdl: float,
     k: int,
@@ -343,7 +372,8 @@ def make_wand_kernel(
         # per-term block tables
         terms = []
         for row in pdf.itertuples(index=False):
-            mult, idf = term_info[row.term]
+            mult = int(row.mult)
+            idf = bm25_idf(n_docs, int(row.df))
             last = np.asarray(row.skip_last_doc, dtype=np.int64)
             maxtf = np.asarray(row.skip_max_tf, dtype=np.int64)
             doc_off = np.asarray(row.skip_doc_off, dtype=np.int64)
