@@ -34,6 +34,9 @@ Q_TERMS = ["table", "value", "fast", "data"]
 Q_DUP = ["value", "value"]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.12
+# the driver's synthetic embeddings have max pairwise cos ~0.51; 0.42 keeps
+# a small non-empty near-dup set at every sf (production default is ~0.95)
+EMB_DUP_THRESHOLD = 0.42
 CJK = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -124,6 +127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dups(
+            _emb(s, d), EMB_DUP_THRESHOLD
+        ),
         # --- similarity search over embeddings
         "ann_cosine_topk": lambda s, d: similarity.ann_bruteforce_topk(
             _emb(s, d), ANN_QUERY_IDS, 5
@@ -276,6 +282,17 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
             "FROM tf, unnest(generate_series(0, 15)) AS b(bit) GROUP BY 1, 2) "
             "SELECT doc_id, sum(CASE WHEN ws >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT "
             "AS simhash FROM pb GROUP BY 1"
+        ),
+        "dedup_embedding_cosine": (
+            "WITH base AS (SELECT vec_id AS id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+            "p AS (SELECT a.id AS a_id, b.id AS b_id, "
+            "round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) "
+            "/ (sqrt(list_sum(list_transform(a.v, x -> x * x))) "
+            "* sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos "
+            "FROM base a JOIN base b ON a.id < b.id) "
+            f"SELECT a_id, b_id, cos FROM p WHERE cos >= {EMB_DUP_THRESHOLD} "
+            "ORDER BY a_id, b_id"
         ),
         "ann_cosine_topk": (
             "WITH base AS (SELECT vec_id AS id, "
