@@ -37,6 +37,11 @@ JACCARD_THRESHOLD = 0.12
 # the driver's synthetic embeddings have max pairwise cos ~0.51; 0.42 keeps
 # a small non-empty near-dup set at every sf (production default is ~0.95)
 EMB_DUP_THRESHOLD = 0.42
+# SRP-LSH band geometry. The low 0.42 threshold needs many bands for recall
+# (P(candidate) = 1-(1-p^bits)^bands, p = 1-angle/π ≈ 0.65 at cos 0.42);
+# at the production threshold ~0.95 (p ≈ 0.90), 8 bands × 8 bits suffice.
+EMB_N_BANDS, EMB_BAND_BITS = 16, 4
+ANN_N_BANDS, ANN_BAND_BITS = 8, 4
 CJK = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -122,19 +127,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_index_bm25_wand": lambda s, d: _index_search(s, d, "wand"),
         # --- dedup family
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
-        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+        # contract plan is the LSH-candidates→exact-verify pipeline (the
+        # 100×-scale plan); the oracle stays the ALL-PAIRS SQL — on the
+        # driver corpus the LSH candidate set contains every pair above
+        # threshold, so outputs are identical (recall measured in
+        # tests/test_dedup_lsh.py)
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs_lsh(
             _docs(s, d), 3, JACCARD_THRESHOLD
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
-        "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dups(
-            _emb(s, d), EMB_DUP_THRESHOLD
+        # contract plan is SRP-LSH bucketing + exact verify (no cross join);
+        # its oracle mirrors the full LSH computation in SQL, and recall vs
+        # the brute-force plan is measured in tests/test_dedup_lsh.py
+        "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dups_lsh(
+            _emb(s, d), EMB_DUP_THRESHOLD, n_bands=EMB_N_BANDS, band_bits=EMB_BAND_BITS
         ),
         # --- similarity search over embeddings
         "ann_cosine_topk": lambda s, d: similarity.ann_bruteforce_topk(
             _emb(s, d), ANN_QUERY_IDS, 5
         ),
-        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_bucketed(_emb(s, d), 5),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(
+            _emb(s, d), ANN_QUERY_IDS, 5, n_bands=ANN_N_BANDS, band_bits=ANN_BAND_BITS
+        ),
         # --- text analysis
         "text_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "text_quality": lambda s, d: textstats.quality_score(_docs(s, d)),
@@ -190,6 +205,32 @@ _SHINGLES = (
     "shs AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(ts)-2, 0)), "
     "i -> array_to_string(ts[i:i+2], ' ')) AS sl FROM base), "
     "sh AS (SELECT DISTINCT doc_id, u.s AS shingle FROM shs, unnest(sl) AS u(s))"
+)
+
+
+def _srp_sigs_cte(n_bands: int, band_bits: int) -> str:
+    """DuckDB CTEs computing the same multi-band SRP signatures as
+    ``similarity.srp_band_signatures`` — same md5-derived ±1 hyperplanes,
+    same left-to-right float fold (list_reduce), same bit packing."""
+    n_bits = n_bands * band_bits
+    return (
+        "base AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+        f"bits AS (SELECT id, b.bit FROM base, unnest(generate_series(0, {n_bits - 1})) AS b(bit)), "
+        "dots AS (SELECT id, bit, list_reduce(list_transform(generate_series(1, len(v)), i -> "
+        "CASE WHEN ('0x' || substr(md5(bit::VARCHAR || '_' || (i-1)::VARCHAR), 1, 2))::INT % 2 = 1 "
+        "THEN v[i] ELSE -v[i] END), (acc, e) -> acc + e) AS d "
+        "FROM bits JOIN base USING (id)), "
+        f"sigs AS (SELECT id, bit // {band_bits} AS band, "
+        f"sum(CASE WHEN d >= 0 THEN (1::BIGINT << (bit % {band_bits})) ELSE 0 END)::BIGINT AS sig "
+        "FROM dots GROUP BY 1, 2)"
+    )
+
+
+_COS_AB = (
+    "round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) "
+    "/ (sqrt(list_sum(list_transform(a.v, x -> x * x))) "
+    "* sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)"
 )
 
 
@@ -283,16 +324,36 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
             "SELECT doc_id, sum(CASE WHEN ws >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT "
             "AS simhash FROM pb GROUP BY 1"
         ),
+        # mirrors the LSH plan end-to-end: same SRP buckets, same candidate
+        # join, same exact-cosine verify — a deterministic full-pipeline
+        # check (the approximation vs brute force is quantified separately
+        # in tests/test_dedup_lsh.py)
         "dedup_embedding_cosine": (
-            "WITH base AS (SELECT vec_id AS id, "
-            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
-            "p AS (SELECT a.id AS a_id, b.id AS b_id, "
-            "round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) "
-            "/ (sqrt(list_sum(list_transform(a.v, x -> x * x))) "
-            "* sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos "
-            "FROM base a JOIN base b ON a.id < b.id) "
+            f"WITH {_srp_sigs_cte(EMB_N_BANDS, EMB_BAND_BITS)}, "
+            "cand AS (SELECT DISTINCT sa.id AS a_id, sb.id AS b_id "
+            "FROM sigs sa JOIN sigs sb USING (band, sig) WHERE sa.id < sb.id), "
+            "p AS (SELECT c.a_id, c.b_id, "
+            f"{_COS_AB} AS cos "
+            "FROM cand c JOIN base a ON a.id = c.a_id JOIN base b ON b.id = c.b_id) "
             f"SELECT a_id, b_id, cos FROM p WHERE cos >= {EMB_DUP_THRESHOLD} "
             "ORDER BY a_id, b_id"
+        ),
+        # mirrors the multi-band LSH top-k plan: bucket-join candidates,
+        # exact cosine re-rank, per-query top-k (recall vs brute force is
+        # measured in tests/test_similarity.py)
+        "ann_lsh_topk": (
+            f"WITH {_srp_sigs_cte(ANN_N_BANDS, ANN_BAND_BITS)}, "
+            f"q AS (SELECT id AS query_id, band, sig FROM sigs "
+            f"WHERE id IN ({', '.join(map(str, ANN_QUERY_IDS))})), "
+            "cand AS (SELECT DISTINCT q.query_id, s.id AS neighbor_id "
+            "FROM q JOIN sigs s USING (band, sig) WHERE s.id <> q.query_id), "
+            "scored AS (SELECT c.query_id, c.neighbor_id, "
+            f"{_COS_AB} AS cos "
+            "FROM cand c JOIN base a ON a.id = c.query_id JOIN base b ON b.id = c.neighbor_id), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id) AS rn FROM scored) "
+            "SELECT query_id, neighbor_id, cos FROM r WHERE rn <= 5 "
+            "ORDER BY query_id, cos DESC, neighbor_id"
         ),
         "ann_cosine_topk": (
             "WITH base AS (SELECT vec_id AS id, "
@@ -347,6 +408,22 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
         ),
+        # the fake decoder's outputs are deterministic functions of the
+        # payload bytes (multimodal.py:_fake_decode / _sniff): width/height
+        # come from the first two md5 digest bytes, format from a
+        # case-insensitive magic prefix — all expressible in SQL (the
+        # `feature` vector is the only rows-only part and is dropped here)
+        "multimodal_decode": (
+            "SELECT doc_id, strlen(text)::BIGINT AS size_bytes, "
+            "md5(text) AS payload_md5, "
+            "CASE WHEN lower(substr(text, 1, 4)) IN ('<htm', '<!do') THEN 'html' "
+            "WHEN lower(substr(text, 1, 4)) = 'gif8' THEN 'gif' "
+            "WHEN lower(substr(text, 1, 4)) = 'riff' THEN 'riff' "
+            "ELSE NULL END AS format, "
+            "(16 + ('0x' || substr(md5(text), 1, 2))::INT % 240)::INT AS width, "
+            "(16 + ('0x' || substr(md5(text), 3, 2))::INT % 240)::INT AS height "
+            "FROM documents"
+        ),
         "multimodal_binary_stats": (
             "SELECT doc_id, strlen(text)::BIGINT AS size_bytes, md5(text) AS payload_md5 "
             "FROM documents"
@@ -382,7 +459,7 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
             "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, "
             "count(*)::BIGINT AS count_order FROM lineitem GROUP BY 1, 2"
         ),
-        # rows-only (non-SQL-expressible): ann_lsh_topk, multimodal_decode
+        # every queries() entry above now has an oracle; nothing rows-only
     }
 
 

@@ -39,7 +39,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
-SCALE_LEVELS = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
+def _parse_scale_levels(raw: str) -> tuple[int, int]:
+    parts = [p.strip() for p in raw.split(",")]
+    try:
+        vals = [int(p) for p in parts]
+    except ValueError:
+        vals = []
+    if len(vals) != 2 or vals[0] <= 0 or vals[1] <= vals[0]:
+        raise SystemExit(
+            f"SPARK_GRAFT_SCALE_LEVELS must be 'lo,hi' with two positive "
+            f"ints and hi > lo; got {raw!r}"
+        )
+    return vals[0], vals[1]
+
+
+SCALE_LEVELS = _parse_scale_levels(
+    os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8")
+)
 # "all" | "build": build-only scaling runs skip the query/suite phases so the
 # N-vs-4N measurement spends its wall clock on the north-rule metric
 BENCH_PHASES = os.environ.get("SPARK_GRAFT_BENCH_PHASES", "all")
@@ -70,6 +86,10 @@ def ensure_corpus(n_docs: int) -> str:
         if m and int(m.group(1)) > n_docs:
             import duckdb
 
+            # ROW_GROUP_SIZE must stay equal to the generator's
+            # row_group_size (tools/gen_corpus.py writes 4096) so sliced and
+            # generated corpora have identical physical layout / scan
+            # parallelism — throughput numbers stay comparable across runs.
             duckdb.sql(
                 f"COPY (SELECT * FROM read_parquet('{cand}') LIMIT {n_docs}) "
                 f"TO '{path}' (FORMAT parquet, ROW_GROUP_SIZE 4096)"
@@ -228,8 +248,9 @@ def run_scaling(sf_dir: str) -> None:
     """Same workload at local[N] and local[4N] (default 2 and 8; see module
     docstring for why both stay under the single-socket DRAM-bandwidth wall);
     efficiency on build throughput = (rate_4N / rate_N) / 4."""
-    lo_cpus, hi_cpus = SCALE_LEVELS[0].strip(), SCALE_LEVELS[1].strip()
+    lo_cpus, hi_cpus = str(SCALE_LEVELS[0]), str(SCALE_LEVELS[1])
     ratio = int(hi_cpus) / int(lo_cpus)
+    build_only = BENCH_PHASES == "build"
     results = {}
     ensure_corpus(SCALING_DOCS)  # generate once; subprocesses reuse
     for cpus in (lo_cpus, hi_cpus):
@@ -262,17 +283,19 @@ def run_scaling(sf_dir: str) -> None:
         f"local{hi_cpus}": r_hi,
         "levels": [int(lo_cpus), int(hi_cpus)],
         "scaling_efficiency_build": round(eff_build, 3),
-        "scaling_efficiency_query_qps": round(eff_qps, 3),
-        "scaling_efficiency_query_suite": round(eff_query, 3),
+        "scaling_efficiency_query_qps": None if build_only else round(eff_qps, 3),
+        "scaling_efficiency_query_suite": None if build_only else round(eff_query, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_name = "BASELINE.md" if not build_only else "BASELINE_BUILD.md"
     md = [
-        "# BENCH/BASELINE.md — measured numbers (this repo's harness)",
+        f"# BENCH/{out_name} — measured numbers (this repo's harness)",
         "",
         f"Generated by `python bench.py --scaling` at sf_dir={sf_dir},",
         f"build corpus = {SCALING_DOCS} synthetic web pages (tools/gen_corpus.py),",
         f"parallelism levels local[{lo_cpus}] vs local[{hi_cpus}] "
-        f"(N vs {ratio:.0f}N stand-in).",
+        f"(N vs {ratio:.0f}N stand-in)"
+        + (" — build phase only (SPARK_GRAFT_BENCH_PHASES=build)." if build_only else "."),
         "",
         f"| metric | local[{lo_cpus}] (N) | local[{hi_cpus}] ({ratio:.0f}N) | scaling efficiency |",
         "|---|---|---|---|",
@@ -280,21 +303,26 @@ def run_scaling(sf_dir: str) -> None:
             f"| index build (docs/sec) | {r_lo['build_docs_per_sec']} | "
             f"{r_hi['build_docs_per_sec']} | {round(eff_build, 3)} |"
         ),
-        (
-            f"| query p50 ms (warm, k=10, WAND) | {r_lo['query_p50_ms']} | "
-            f"{r_hi['query_p50_ms']} | — |"
-        ),
-        (
-            f"| query p99 ms | {r_lo['query_p99_ms']} | {r_hi['query_p99_ms']} | — |"
-        ),
-        (
-            f"| concurrent query QPS (8 clients) | {r_lo['query_qps']} | "
-            f"{r_hi['query_qps']} | {round(eff_qps, 3)} |"
-        ),
-        (
-            f"| operator suite total (s) | {t_lo:.2f} | {t_hi:.2f} | "
-            f"{round(eff_query, 3)} |"
-        ),
+    ]
+    if not build_only:
+        md += [
+            (
+                f"| query p50 ms (warm, k=10, WAND) | {r_lo['query_p50_ms']} | "
+                f"{r_hi['query_p50_ms']} | — |"
+            ),
+            (
+                f"| query p99 ms | {r_lo['query_p99_ms']} | {r_hi['query_p99_ms']} | — |"
+            ),
+            (
+                f"| concurrent query QPS (8 clients) | {r_lo['query_qps']} | "
+                f"{r_hi['query_qps']} | {round(eff_qps, 3)} |"
+            ),
+            (
+                f"| operator suite total (s) | {t_lo:.2f} | {t_hi:.2f} | "
+                f"{round(eff_query, 3)} |"
+            ),
+        ]
+    md += [
         "",
         f"Efficiency = (throughput_{ratio:.0f}N / throughput_N) / {ratio:.0f} on identical",
         "input (sandbox stand-in for N vs 4N executors; north rule target ≥ 0.8",
@@ -311,7 +339,6 @@ def run_scaling(sf_dir: str) -> None:
         json.dumps(report, indent=1),
         "```",
     ]
-    out_name = "BASELINE.md" if BENCH_PHASES == "all" else "BASELINE_BUILD.md"
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write("\n".join(md) + "\n")
     print(json.dumps(report))

@@ -6,11 +6,16 @@ document, tokenize → for each token ``index.Insert(term, docID)`` which
 upserts the posting and increments tf (``pkg/index/radix/radix.go:127-163``
 etc.). Relationally that whole loop is::
 
-    docs → tokenize (Arrow pandas UDF) → explode
-         → groupBy(term, doc_id).count()                       [tf]
-         → groupBy(shard_id, term).agg(sorted postings)        [lists]
-         → varbyte/delta encode (Arrow pandas UDF)             [blobs]
+    docs → tokenize + doc-local tf (Arrow pandas UDF)          [(term,tf)*]
+         → explode → ONE repartition(shard, salt) shuffle
+         → sortWithinPartitions(shard, term, doc)
+         → varbyte/delta encode (Arrow kernel)                 [blobs]
          → write parquet, partitioned by shard_id
+
+    The ``groupBy(term, doc_id).count()`` tf aggregation of the naive plan
+    is folded into the tokenize UDF (``Counter`` per doc): the shuffle then
+    carries |distinct terms per doc| rows (~2-3x fewer than token
+    occurrences) and the build has exactly one wide exchange.
 
 Scale design (north rule):
 
@@ -54,7 +59,7 @@ from pyspark.sql.types import (
 
 from .codec import SKIP_BLOCK, encode_postings, varbyte_encode
 from .checkpoint import Manifest, atomic_write_json
-from .functions.udfs import make_tokenize_by_lang_udf, make_tokenize_udf
+from .functions.udfs import make_term_tf_by_lang_udf, make_term_tf_udf
 
 META_VERSION = 1
 
@@ -83,14 +88,18 @@ class BuildConfig:
     id_buckets: int = 64  # hash buckets for dense-id assignment
     n_waves: int = 1  # checkpoint granularity (shards split into waves)
     enc_partitions: int | None = None  # encode parallelism (None = 2x cores)
+    # expected distinct terms per row group, sizes the parquet bloom filter
+    # on `term` (~1.2 bytes/ndv at 1% fpp); production shards (1M docs)
+    # want ~1M, bench shards (2-4k docs) a few 10k
+    bloom_ndv: int = 1 << 16
     extra: dict = field(default_factory=dict)
 
 
-def _tokenize_col(cfg: BuildConfig):
+def _term_tf_col(cfg: BuildConfig):
     if cfg.preset == "by_lang":
-        udf = make_tokenize_by_lang_udf()
+        udf = make_term_tf_by_lang_udf()
         return lambda df: udf(F.col("text"), F.col("lang"))
-    udf = make_tokenize_udf(cfg.preset)
+    udf = make_term_tf_udf(cfg.preset)
     return lambda df: udf(F.col("text"))
 
 
@@ -308,13 +317,17 @@ def build_index(
     # mapInPandas pass (measured 1.8x tokenize cost on the bench corpus).
     docs = docs.select("url", "text", "lang")
     with_ids, n_docs = assign_doc_ids(docs, cfg.id_buckets)
-    tok = _tokenize_col(cfg)
-    base = with_ids.withColumn("terms", tok(with_ids)).select(
+    ttf = _term_tf_col(cfg)
+    # doclen = sum of doc-local tfs == token count; computed JVM-side from
+    # the pairs array (higher-order aggregate, no second Python pass).
+    base = with_ids.withColumn("pairs", ttf(with_ids)).select(
         "doc_id",
         "url",
         F.col("lang"),
-        "terms",
-        F.size("terms").alias("doclen"),
+        "pairs",
+        F.aggregate(
+            "pairs", F.lit(0), lambda acc, x: acc + x["tf"]
+        ).alias("doclen"),
     )
     base = base.persist()
 
@@ -344,24 +357,29 @@ def build_index(
     postings_path = os.path.join(index_dir, "postings")
     encode_stream = _make_arrow_encoder(cfg.shard_size, cfg.skip_block)
 
-    # doclen travels with every token so the index stores per-posting norms
+    # doclen travels with every pair so the index stores per-posting norms
     # (dl_blob) — BM25 scoring then needs no join against the docs table.
-    tokens = base.select(
-        "doc_id", "doclen", F.explode("terms").alias("term")
-    ).withColumn("shard_id", (F.col("doc_id") / cfg.shard_size).cast("long"))
+    # tf already carries the upsert-counter semantics (radix.go:127 etc.):
+    # the tokenize UDF aggregated it doc-locally, so there is NO
+    # groupBy(term, doc_id) exchange — the repartition below is the build's
+    # only wide shuffle.
+    tokens = (
+        base.select("doc_id", "doclen", F.explode("pairs").alias("p"))
+        .select(
+            "doc_id",
+            F.col("doclen").alias("dl"),
+            F.col("p.term").alias("term"),
+            F.col("p.tf").alias("tf"),
+        )
+        .withColumn("shard_id", (F.col("doc_id") / cfg.shard_size).cast("long"))
+    )
 
     for lo, hi in waves:
         wave_key = f"postings_wave_{lo}_{hi}"
         if resume and manifest.is_done(wave_key):
             continue
-        wave_tokens = tokens.where(
+        tf_df = tokens.where(
             (F.col("shard_id") >= lo) & (F.col("shard_id") < hi)
-        )
-        # tf: upsert-counter semantics (radix.go:127 etc.) as an aggregation;
-        # partial (map-side) aggregation halves the shuffle for free.
-        tf_df = wave_tokens.groupBy("shard_id", "term", "doc_id").agg(
-            F.count("*").cast("int").alias("tf"),
-            F.first("doclen").alias("dl"),
         )
         # Salted repartition (SURVEY.md §4 P6 / north rule): hash-partitioning
         # by shard alone caps encode parallelism at n_shards (and a wave can
@@ -384,6 +402,12 @@ def build_index(
         (
             postings.write.mode("overwrite")
             .partitionBy("shard_id")
+            # bloom filter on term: cold point lookups prune row groups a
+            # query term cannot be in (the reference's bloom/cuckoo/ribbon
+            # filter role, pkg/filter/bloom.go:26-143, on top of the
+            # row-group min/max stats) — asserted in tests/test_plans.py.
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .option("parquet.bloom.filter.expected.ndv#term", str(cfg.bloom_ndv))
             .parquet(postings_path)
         )
         manifest.mark_done(wave_key, {"shards": [lo, hi]})
@@ -400,9 +424,19 @@ def build_index(
             F.sum("count").cast("long").alias("df"),
             F.sum("tf_sum").cast("long").alias("cf"),
         )
-        terms.repartition(1).sortWithinPartitions("term").write.mode(
-            "overwrite"
-        ).parquet(terms_path)
+        # range-bucketed dictionary: each bucket is a term range sorted
+        # within, so a point lookup prunes to one file via min/max stats
+        # (plus the bloom filter below). No single-task repartition(1) —
+        # the dictionary write scales with the vocabulary.
+        dict_buckets = max(1, spark.sparkContext.defaultParallelism // 2)
+        (
+            terms.repartitionByRange(dict_buckets, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .option("parquet.bloom.filter.expected.ndv#term", str(cfg.bloom_ndv))
+            .parquet(terms_path)
+        )
         manifest.mark_done("terms", {})
     t_phase = _lap("terms", t_phase)
 

@@ -15,14 +15,40 @@ doc/query symmetry (``pkg/fts/filter_normalize.go:9-29``).
 
 from __future__ import annotations
 
+from collections import Counter
+
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..extract import clean_text, extract_text
 from ..textproc.pipeline import get_pipeline
 
 _LANG_PRESETS = {"en": "english", "ru": "russian"}
+
+# doc-local (term, tf) pairs — the map-side-combined token stream. Emitting
+# these instead of the raw token array lets the index build shuffle
+# |distinct terms per doc| rows instead of |token occurrences| AND delete
+# the groupBy(term, doc_id) exchange entirely (the tf aggregation happens
+# here, inside the tokenize pass that already touches every token).
+TERM_TF_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("term", StringType(), False),
+            StructField("tf", IntegerType(), False),
+        ]
+    )
+)
+
+
+def _pairs(counter: Counter) -> list[dict]:
+    return [{"term": t, "tf": int(c)} for t, c in counter.items()]
 
 
 def make_tokenize_udf(preset: str = "english"):
@@ -56,6 +82,46 @@ def make_tokenize_by_lang_udf(default_preset: str = "multilingual"):
         return pd.Series(out)
 
     return tokenize_text_lang
+
+
+def make_term_tf_udf(preset: str = "english"):
+    """``term_tf(text) -> array<struct<term,tf>>``: tokenize + doc-local tf
+    aggregation in one Python pass (exactly ``Counter(pipeline.process(t))``,
+    so tf values are identical to ``groupBy(term, doc_id).count()`` over the
+    exploded token array — pinned by tests/test_build_pairs.py)."""
+    pipe = get_pipeline(preset)
+
+    @pandas_udf(TERM_TF_TYPE)
+    def term_tf(text: pd.Series) -> pd.Series:
+        proc = pipe.process
+        return pd.Series(
+            [
+                _pairs(Counter(proc(t))) if t is not None else []
+                for t in text
+            ]
+        )
+
+    return term_tf
+
+
+def make_term_tf_by_lang_udf(default_preset: str = "multilingual"):
+    """``term_tf(text, lang) -> array<struct<term,tf>>`` with per-row
+    pipeline routing (en→english, ru→russian, else default)."""
+    fallback = get_pipeline(default_preset)
+
+    @pandas_udf(TERM_TF_TYPE)
+    def term_tf_lang(text: pd.Series, lang: pd.Series) -> pd.Series:
+        pipes = {k: get_pipeline(v).process for k, v in _LANG_PRESETS.items()}
+        fb = fallback.process
+        out = []
+        for t, lg in zip(text, lang):
+            if t is None:
+                out.append([])
+            else:
+                out.append(_pairs(Counter(pipes.get(lg, fb)(t))))
+        return pd.Series(out)
+
+    return term_tf_lang
 
 
 @pandas_udf(StringType())

@@ -91,14 +91,17 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- minhash
 
 
-def minhash_signatures(docs: DataFrame, n_sig: int = 16, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_sig: int = 16, n: int = 3, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig_id, minhash): ``min(md5(sig_id || '|' || shingle))``.
 
     The lexicographic min over salted md5 digests is a valid min-hash family
     (each salt permutes the shingle space independently). One shuffle
     (groupBy doc_id, sig_id); shingle×n_sig fan-out is map-side.
+    ``sh`` lets a caller reuse an already-computed shingle table.
     """
-    sh = shingles(docs, n)
+    sh = shingles(docs, n) if sh is None else sh
     sigs = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_sig - 1))).alias("sig_id"),
@@ -112,7 +115,11 @@ def minhash_signatures(docs: DataFrame, n_sig: int = 16, n: int = 3) -> DataFram
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n_sig: int = 16, band_size: int = 4, n: int = 3
+    docs: DataFrame,
+    n_sig: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(a_id, b_id) candidate near-dup pairs via banded minhash-LSH.
 
@@ -121,7 +128,7 @@ def minhash_lsh_pairs(
     band hash (uniform); candidate volume is tunable via band_size. This is
     the standard shingle→minhash→band→bucket-join pipeline.
     """
-    sig = minhash_signatures(docs, n_sig, n)
+    sig = minhash_signatures(docs, n_sig, n, sh=sh)
     bands = (
         sig.withColumn("band", (F.col("sig_id") / band_size).cast("int"))
         .groupBy("doc_id", "band")
@@ -136,6 +143,51 @@ def minhash_lsh_pairs(
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+def ngram_jaccard_pairs_lsh(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    n_sig: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """(a_id, b_id, jaccard): exact shingle-Jaccard verification over the
+    BOUNDED candidate set produced by :func:`minhash_lsh_pairs`.
+
+    This is the 100×-scale plan: the unbounded shingle self-join of
+    :func:`ngram_jaccard_pairs` (hot shingles explode quadratically) is
+    replaced by LSH candidate generation (uniform band-hash join, volume
+    tuned by band_size) followed by per-pair exact verification — two joins
+    keyed by doc_id / (doc_id, shingle), both uniform. Recall relative to
+    the all-pairs plan is the LSH collision probability 1−(1−J^band_size)^
+    (n_sig/band_size); measured in tests/test_dedup_lsh.py.
+    """
+    sh = shingles(docs, n).persist()
+    cand = minhash_lsh_pairs(docs, n_sig, band_size, n, sh=sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id")
+        .join(
+            sh.select(F.col("doc_id").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
         .orderBy("a_id", "b_id")
     )
 
@@ -193,9 +245,9 @@ def embedding_cosine_dups(
 ) -> DataFrame:
     """(a_id, b_id, cos) embedding near-dup pairs above threshold.
 
-    Brute-force O(n²) — correctness baseline; the scale path buckets by the
-    LSH signature first (see similarity.ann_lsh_bucketed) and verifies only
-    within buckets.
+    Brute-force O(n²) — the correctness baseline / test oracle; the scale
+    path is :func:`embedding_cosine_dups_lsh` (SRP bucket join + exact
+    verify within candidates), which is the driver-contract plan.
     """
     v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
@@ -209,6 +261,54 @@ def embedding_cosine_dups(
     return (
         a.crossJoin(b)
         .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(dot / (na * nb), 4).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def embedding_cosine_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    max_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(a_id, b_id, cos) embedding near-dup pairs via multi-band SRP LSH
+    bucketing + exact cosine verification within candidates.
+
+    The 100×-scale plan promised by :func:`embedding_cosine_dups`: the
+    corpus is signed once (one pass), candidate pairs come from a self
+    equi-join on (band, sig) — uniform keys, volume bounded by bucket sizes
+    and ``max_bucket`` — and only candidates get the exact cosine. NO
+    CartesianProduct anywhere (asserted in tests/test_plans.py). Recall vs
+    the brute-force plan is 1−(1−p^band_bits)^n_bands with p = 1−angle/π;
+    measured in tests/test_dedup_lsh.py.
+    """
+    from .similarity import _DOT, _NORM, _as_double, _cap_buckets, srp_band_signatures
+
+    base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    sig = _cap_buckets(
+        srp_band_signatures(emb, n_bands, band_bits, id_col, vec_col, dim),
+        max_bucket,
+    )
+    a = sig.select(F.col("id").alias("a_id"), "band", "sig")
+    b = sig.select(F.col("id").alias("b_id"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    dot = F.expr(_DOT.format(a="va", b="vb"))
+    na = F.expr(_NORM.format(a="va"))
+    nb = F.expr(_NORM.format(a="vb"))
+    return (
+        cand.join(base.select(F.col("id").alias("a_id"), F.col("v").alias("va")), "a_id")
+        .join(base.select(F.col("id").alias("b_id"), F.col("v").alias("vb")), "b_id")
         .select("a_id", "b_id", F.round(dot / (na * nb), 4).alias("cos"))
         .where(F.col("cos") >= threshold)
         .orderBy("a_id", "b_id")

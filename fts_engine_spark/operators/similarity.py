@@ -60,22 +60,29 @@ def ann_bruteforce_topk(
     )
 
 
-def srp_signature(
+def srp_band_signatures(
     emb: DataFrame,
-    n_bits: int = 8,
+    n_bands: int = 8,
+    band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """(id, sig) sign-random-projection signature.
+    """(id, band, sig) multi-band sign-random-projection signatures.
 
+    Global bit index j ∈ [0, n_bands*band_bits); band = j // band_bits.
     Hyperplane weight w(j, d) = +1 if the low bit of md5(j || '_' || d) is
-    set else −1 — deterministic, stateless, oracle-reproducible. sig bit j =
-    [dot(v, w_j) >= 0].
+    set else −1 — deterministic, stateless, oracle-reproducible. Band sig
+    bit (j % band_bits) = [dot(v, w_j) >= 0].
+
+    Multi-band is the standard LSH recall amplifier: a pair collides if ANY
+    band's sig matches — P(candidate) = 1 − (1 − p^band_bits)^n_bands where
+    p = 1 − angle/π. One pass over the corpus, one groupBy(id, band)
+    (uniform keys; partial agg applies).
     """
     v = _as_double(vec_col)
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
-    # per (vector, bit): dot with ±1 hyperplane
+    n_bits = n_bands * band_bits
     pb = base.select(
         "id",
         "v",
@@ -88,11 +95,13 @@ def srp_signature(
     ).format(dmax=dim - 1)
     dots = pb.withColumn("d", F.expr(w_expr))
     return (
-        dots.groupBy("id")
+        dots.groupBy(
+            "id", (F.col("bit") / band_bits).cast("int").alias("band")
+        )
         .agg(
             F.sum(
                 F.expr(
-                    "CASE WHEN d >= 0 THEN shiftleft(cast(1 as bigint), bit) "
+                    f"CASE WHEN d >= 0 THEN shiftleft(cast(1 as bigint), bit % {band_bits}) "
                     "ELSE cast(0 as bigint) END"
                 )
             ).cast("long").alias("sig")
@@ -100,35 +109,84 @@ def srp_signature(
     )
 
 
-def ann_lsh_bucketed(
+def srp_signature(
     emb: DataFrame,
-    k: int = 5,
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """(query_id, neighbor_id, cos) approximate top-k within LSH buckets.
+    """(id, sig) single-band SRP signature (= one band of ``n_bits``)."""
+    return srp_band_signatures(
+        emb, n_bands=1, band_bits=n_bits, id_col=id_col, vec_col=vec_col, dim=dim
+    ).select("id", "sig")
 
-    Scale path: signatures bucket the corpus; candidate generation is a
-    bucket equi-join (shuffle on sig, 2^n_bits keys) instead of a cross
-    join. Recall is tunable via n_bits; verify-with-exact-cosine inside the
-    bucket keeps precision exact.
+
+def _cap_buckets(sig: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Deterministically cap bucket size: keep the ``max_bucket`` members of
+    each (band, sig) bucket with the smallest md5(id) (order is arbitrary
+    but stable and oracle-reproducible). At web scale this bounds the
+    within-bucket candidate volume of a hot bucket to O(max_bucket)."""
+    if max_bucket is None:
+        return sig
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "sig").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    return (
+        sig.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    max_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) approximate top-k per query vector via
+    multi-band SRP LSH + exact cosine re-rank of the candidates.
+
+    Plan: corpus band-signatures (one pass) → candidate generation as a
+    broadcast join of the |Q|·n_bands query signature rows against the
+    corpus signature table (no shuffle on the corpus side) → distinct
+    candidate pairs → exact cosine on the candidates only → per-query
+    top-k window. Scale: candidate volume is bounded by bucket sizes
+    (``max_bucket`` caps hot buckets deterministically); recall is tuned by
+    (n_bands, band_bits) and measured against :func:`ann_bruteforce_topk`
+    in tests/test_similarity.py.
     """
     from pyspark.sql.window import Window
 
-    sig = srp_signature(emb, n_bits, id_col, vec_col, dim)
-    base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")).join(
-        sig, "id"
+    base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    sig = srp_band_signatures(emb, n_bands, band_bits, id_col, vec_col, dim)
+    corpus_sig = _cap_buckets(sig, max_bucket)
+    qsig = sig.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), "band", "sig"
     )
-    a = base.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "sig")
-    b = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("v"), "sig")
+    cand = (
+        corpus_sig.join(F.broadcast(qsig), ["band", "sig"])
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = base.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
     dot = F.expr(_DOT.format(a="qv", b="v"))
     nq = F.expr(_NORM.format(a="qv"))
     nv = F.expr(_NORM.format(a="v"))
     scored = (
-        a.join(b, "sig")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(base.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id", F.round(dot / (nq * nv), 4).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -66,3 +66,59 @@ def test_ann_bruteforce_broadcast(spark):
 def test_exact_dedup_partial_agg(spark, docs):
     df = dedup.exact_dedup(docs)
     assert_plan(df, "partial_min")
+
+
+def test_ann_lsh_no_cartesian(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.ann_lsh_topk(emb, [0, 1, 2], 3, n_bands=4, band_bits=4)
+    # candidate generation must be a (band, sig) hash join, never a cross
+    assert_plan_absent(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_embedding_dedup_lsh_no_cartesian(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = dedup.embedding_cosine_dups_lsh(emb, 0.42, n_bands=4, band_bits=4)
+    assert_plan_absent(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_jaccard_lsh_no_shingle_selfjoin(spark, docs):
+    df = dedup.ngram_jaccard_pairs_lsh(docs, 3, 0.12)
+    # the only self-join keys are (band, band_hash) / (doc_id, shingle):
+    # no join keyed by shingle alone (the unbounded hot-shingle explosion)
+    assert_plan_absent(df, "CartesianProduct")
+    from fts_engine_spark.plans.review import formatted_plan
+
+    plan = formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"hashjoin \[([^\]]*)\]", plan, re.I):
+        keys = m.group(1)
+        if "shingle" in keys:
+            assert "b_id" in keys or "doc_id" in keys, (
+                f"shingle-only join: {keys}"
+            )
+
+
+def test_postings_parquet_has_term_bloom_filter(spark, small_index):
+    """The postings (and terms) files carry a parquet bloom filter on
+    `term` — the reference's probabilistic-filter role (SURVEY.md §2.5,
+    pkg/filter/bloom.go) at the storage layer."""
+    import glob
+    import os
+
+    index_dir, _ = small_index
+    files = glob.glob(os.path.join(index_dir, "postings", "**", "*.parquet"),
+                      recursive=True)
+    assert files
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"file://{files[0]}")
+    footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(conf, path)
+    blocks = footer.getBlocks()
+    assert blocks.size() > 0
+    cols = blocks.get(0).getColumns()
+    offsets = {
+        str(cols.get(i).getPath()): cols.get(i).getBloomFilterOffset()
+        for i in range(cols.size())
+    }
+    assert offsets.get("[term]", -1) > 0, f"no bloom filter on term: {offsets}"
