@@ -135,6 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs_lsh(
             _docs(s, d), 3, JACCARD_THRESHOLD
         ),
+        # the exact all-pairs variant stays verified in its own right (it is
+        # the verifier primitive the LSH plan composes with)
+        "dedup_ngram_jaccard_exact": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), 3, JACCARD_THRESHOLD
+        ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         # contract plan is SRP-LSH bucketing + exact verify (no cross join);
@@ -142,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the brute-force plan is measured in tests/test_dedup_lsh.py
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dups_lsh(
             _emb(s, d), EMB_DUP_THRESHOLD, n_bands=EMB_N_BANDS, band_bits=EMB_BAND_BITS
+        ),
+        # brute-force baseline, kept verified as the semantic ground truth
+        "dedup_embedding_cosine_brute": lambda s, d: dedup.embedding_cosine_dups(
+            _emb(s, d), EMB_DUP_THRESHOLD
         ),
         # --- similarity search over embeddings
         "ann_cosine_topk": lambda s, d: similarity.ann_bruteforce_topk(
@@ -300,6 +309,25 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
             "SELECT a_id, b_id, round(i / (sa.sz + sb.sz - i), 4) AS jaccard "
             "FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id "
             f"WHERE round(i / (sa.sz + sb.sz - i), 4) >= {JACCARD_THRESHOLD} "
+            "ORDER BY a_id, b_id"
+        ),
+        "dedup_ngram_jaccard_exact": (
+            f"{_SHINGLES}, "
+            "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i "
+            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT a_id, b_id, round(i / (sa.sz + sb.sz - i), 4) AS jaccard "
+            "FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id "
+            f"WHERE round(i / (sa.sz + sb.sz - i), 4) >= {JACCARD_THRESHOLD} "
+            "ORDER BY a_id, b_id"
+        ),
+        "dedup_embedding_cosine_brute": (
+            "WITH base AS (SELECT vec_id AS id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), "
+            "p AS (SELECT a.id AS a_id, b.id AS b_id, "
+            f"{_COS_AB} AS cos "
+            "FROM base a JOIN base b ON a.id < b.id) "
+            f"SELECT a_id, b_id, cos FROM p WHERE cos >= {EMB_DUP_THRESHOLD} "
             "ORDER BY a_id, b_id"
         ),
         "dedup_minhash_lsh": (

@@ -56,6 +56,12 @@ def _parse_scale_levels(raw: str) -> tuple[int, int]:
 SCALE_LEVELS = _parse_scale_levels(
     os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8")
 )
+# Trials per level, keeping the best run. This box is a VM on a shared
+# host: transient hypervisor CPU steal adds 10-120s to random phases of a
+# run (measured; see BENCH/SCALING_NOTES.md). Steal only ever ADDS time,
+# so best-of-N per level estimates the unthrottled rate at both levels —
+# the quantity that actually transfers to a dedicated cluster.
+SCALE_TRIALS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2")))
 # "all" | "build": build-only scaling runs skip the query/suite phases so the
 # N-vs-4N measurement spends its wall clock on the north-rule metric
 BENCH_PHASES = os.environ.get("SPARK_GRAFT_BENCH_PHASES", "all")
@@ -253,20 +259,30 @@ def run_scaling(sf_dir: str) -> None:
     build_only = BENCH_PHASES == "build"
     results = {}
     ensure_corpus(SCALING_DOCS)  # generate once; subprocesses reuse
-    for cpus in (lo_cpus, hi_cpus):
-        env = dict(os.environ)
-        env["SPARK_GRAFT_CPUS"] = cpus
-        env["SPARK_GRAFT_SF_DIR"] = sf_dir
-        env["SPARK_GRAFT_BENCH_DOCS"] = str(SCALING_DOCS)
-        out = subprocess.run(
-            [sys.executable, __file__, "--single"],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=REPO,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+    # interleave levels across trials (lo,hi,lo,hi,...) so slow drift in
+    # host capacity hits both levels symmetrically
+    for trial in range(SCALE_TRIALS):
+        for cpus in (lo_cpus, hi_cpus):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = cpus
+            env["SPARK_GRAFT_SF_DIR"] = sf_dir
+            env["SPARK_GRAFT_BENCH_DOCS"] = str(SCALING_DOCS)
+            out = subprocess.run(
+                [sys.executable, __file__, "--single"],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=REPO,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            res = json.loads(line)
+            best = results.get(cpus)
+            if best is None or res["build_docs_per_sec"] > best["build_docs_per_sec"]:
+                results[cpus] = res
+            results.setdefault("_trials", {}).setdefault(cpus, []).append(
+                res["build_docs_per_sec"]
+            )
+    trials_log = results.pop("_trials", {})
     r_lo, r_hi = results[lo_cpus], results[hi_cpus]
     eff_build = (r_hi["build_docs_per_sec"] / r_lo["build_docs_per_sec"]) / ratio
     eff_qps = (
@@ -282,6 +298,7 @@ def run_scaling(sf_dir: str) -> None:
         f"local{lo_cpus}": r_lo,
         f"local{hi_cpus}": r_hi,
         "levels": [int(lo_cpus), int(hi_cpus)],
+        "trials_docs_per_sec": trials_log,
         "scaling_efficiency_build": round(eff_build, 3),
         "scaling_efficiency_query_qps": None if build_only else round(eff_qps, 3),
         "scaling_efficiency_query_suite": None if build_only else round(eff_query, 3),

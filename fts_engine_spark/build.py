@@ -85,7 +85,9 @@ class BuildConfig:
     preset: str = "by_lang"  # 'english' | 'russian' | 'multilingual' | 'simple' | 'by_lang'
     shard_size: int = 1 << 20  # docs per shard (1M at scale)
     skip_block: int = SKIP_BLOCK
-    id_buckets: int = 64  # hash buckets for dense-id assignment
+    # hash buckets for dense-id assignment; None -> max(64, 4x parallelism)
+    # so no single window task ranks more than ~N/(4*cores) rows at scale
+    id_buckets: int | None = 64
     n_waves: int = 1  # checkpoint granularity (shards split into waves)
     enc_partitions: int | None = None  # encode parallelism (None = 2x cores)
     # expected distinct terms per row group, sizes the parquet bloom filter
@@ -316,7 +318,10 @@ def build_index(
     # html:binary would otherwise be Arrow-serialized through every
     # mapInPandas pass (measured 1.8x tokenize cost on the bench corpus).
     docs = docs.select("url", "text", "lang")
-    with_ids, n_docs = assign_doc_ids(docs, cfg.id_buckets)
+    id_buckets = cfg.id_buckets or max(
+        64, spark.sparkContext.defaultParallelism * 4
+    )
+    with_ids, n_docs = assign_doc_ids(docs, id_buckets)
     ttf = _term_tf_col(cfg)
     # doclen = sum of doc-local tfs == token count; computed JVM-side from
     # the pairs array (higher-order aggregate, no second Python pass).
@@ -473,7 +478,7 @@ def build_index(
         "n_shards": n_shards,
         "skip_block": cfg.skip_block,
         "preset": cfg.preset,
-        "id_buckets": cfg.id_buckets,
+        "id_buckets": id_buckets,
         "build_seconds": time.monotonic() - t_start,
         "build_phases": phases,
     }

@@ -32,6 +32,8 @@ class EngineOptions:
     n_waves: int = 1
     scorer: str = "bm25"  # 'bm25' | 'reference'
     mode: str = "wand"  # 'wand' | 'relational'
+    pruning: str = "dict"  # 'dict' | 'storage' | 'none' (operators.pruning)
+    bloom_ndv: int = 1 << 16
 
 
 class FtsEngine:
@@ -52,6 +54,7 @@ class FtsEngine:
             skip_block=o.skip_block,
             id_buckets=o.id_buckets,
             n_waves=o.n_waves,
+            bloom_ndv=o.bloom_ndv,
         )
         meta = build_index(self.spark, docs, self.index_dir, cfg, resume=resume)
         self._index = None
@@ -65,8 +68,32 @@ class FtsEngine:
                 raise FileNotFoundError(
                     f"no index at {self.index_dir}; run index_documents first"
                 )
-            self._index = FtsIndex(self.spark, self.index_dir)
+            self._index = FtsIndex(
+                self.spark, self.index_dir, pruning=self.options.pruning
+            )
         return self._index
+
+    @classmethod
+    def from_config(
+        cls, spark: SparkSession, path: str | None = None
+    ) -> "FtsEngine":
+        """Construct from a YAML/JSON config file + env overrides — the
+        reference's ``MustLoad`` entry path (config/config.go:74-104)."""
+        from .config import load_config
+
+        cfg, _source = load_config(path)
+        opts = EngineOptions(
+            preset=cfg.preset or "by_lang",
+            shard_size=cfg.index.shard_size,
+            skip_block=cfg.index.skip_block,
+            id_buckets=cfg.index.id_buckets,
+            n_waves=cfg.index.n_waves,
+            scorer=cfg.query.scorer,
+            mode=cfg.query.mode,
+            pruning=cfg.query.pruning,
+            bloom_ndv=cfg.index.bloom_ndv,
+        )
+        return cls(spark, cfg.index.index_dir, opts)
 
     # ---- search (Entry point C)
     def search(
@@ -85,6 +112,25 @@ class FtsEngine:
                 query, k, mode=mode or self.options.mode, hydrate=hydrate
             )
         raise ValueError(f"unknown scorer {scorer!r}")
+
+    def search_full(
+        self,
+        query: str,
+        k: int = 10,
+        scorer: str | None = None,
+        mode: str | None = None,
+        hydrate: bool = False,
+    ):
+        """Reference ``SearchResult`` shape (``engine.go:146-157``): top-k
+        rows + pre-truncation ``TotalResultsCount`` + ``Timings`` map
+        (preprocess / search_tokens / total)."""
+        return self.index.search_full(
+            query,
+            k,
+            scorer=scorer or self.options.scorer,
+            mode=mode or self.options.mode,
+            hydrate=hydrate,
+        )
 
     # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats
     def analyze(self) -> DataFrame:

@@ -12,7 +12,9 @@ Spark realization:
   (guaranteed doc/query symmetry, ``filter_normalize.go:9-29``);
 - the term-dictionary gate (reference filters F1–F5) becomes a driver-side
   lookup into the terms table + an ``isin`` predicate pushed into the
-  parquet postings scan (row-group stats / bloom pruning);
+  parquet postings scan (row-group stats / bloom pruning) for cold queries,
+  or a codegen-stable broadcast semi-join in warm serving mode (see
+  ``FtsIndex.warm``);
 - scoring is either a declarative decode→join(broadcast)→agg plan
   (relational mode; Catalyst handles partial aggregation), or a per-shard
   block-max WAND kernel in ``applyInPandas`` with a global
@@ -85,12 +87,28 @@ class QueryTermStats:
     idf: float
 
 
+@dataclass
+class SearchResult:
+    """Reference ``SearchResult`` parity (``engine.go:146-157``): the top-k
+    rows, the PRE-truncation match count (``TotalResultsCount``,
+    ``engine.go:146``), and the per-phase timings map with the reference's
+    keys — preprocess / search_tokens / total (``engine.go:88-151``), in
+    seconds."""
+
+    results: DataFrame
+    total_results_count: int
+    timings: dict[str, float]
+
+
 class FtsIndex:
     """Handle to a built index directory (read side of ``build_index``)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, pruning: str = "dict"):
+        from .operators.pruning import make_pruner
+
         self.spark = spark
         self.index_dir = index_dir
+        self._pruner = make_pruner(pruning)
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.n_docs = int(self.meta["n_docs"])
@@ -102,16 +120,59 @@ class FtsIndex:
         self._docs_path = os.path.join(index_dir, "docs")
         self._postings_df: DataFrame | None = None
         self._terms_df: DataFrame | None = None
+        self._warm = False
+        self._term_dict: dict[str, tuple[int, int]] | None = None
 
-    def warm(self) -> "FtsIndex":
+    def warm(
+        self, driver_dict_max: int = 5_000_000, serving_conf: bool = True
+    ) -> "FtsIndex":
         """Cache the postings/terms tables in executor memory — the
         counterpart of the reference's in-memory residency (its index IS the
         heap). Serving deployments call this once; cold queries work without
-        it via parquet row-group pruning."""
-        self._postings_df = self.spark.read.parquet(self._postings_path).persist()
+        it via parquet row-group pruning.
+
+        Warm mode restructures the per-query plan for a serving tier:
+
+        1. postings are cached PRE-PARTITIONED by ``shard_id``, so the
+           per-shard WAND ``applyInPandas`` reuses the cache partitioning —
+           a query runs with NO exchange at all (asserted in
+           tests/test_plans.py);
+        2. the term dictionary (≤ ``driver_dict_max`` entries) is held on
+           the driver — the reference's dictionary-in-memory role — so
+           (mult, df) travel inside the WAND kernel closure: zero lookup
+           jobs and zero broadcast stages per query (measured ~250 ms of
+           the r1 floor); the relational paths build one tiny broadcast
+           relation driver-side instead of two;
+        3. with broadcasts and exchanges gone, the only per-query codegen
+           fragment is the small cache filter — JVM code-cache growth drops
+           ~5x vs the r1 plan (the r1 session-degradation mechanism:
+           literal-churned codegen across every fragment of a multi-stage
+           plan; BENCH/SCALING_NOTES.md has the storm measurements).
+
+        Cold mode keeps ``isin`` for parquet row-group / bloom pushdown.
+
+        ``serving_conf=True`` additionally turns AQE off for the session:
+        adaptive replanning adds a per-stage driver round trip that is pure
+        overhead for these tiny fixed-shape query jobs (measured ~150 ms of
+        a ~600 ms floor at local[8]); a build session wants it back on.
+        """
+        if serving_conf:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self._postings_df = (
+            self.spark.read.parquet(self._postings_path)
+            .withColumn("shard_id", F.col("shard_id").cast("long"))
+            .repartition(F.col("shard_id"))
+            .persist()
+        )
         self._postings_df.count()
         self._terms_df = self.spark.read.parquet(self._terms_path).persist()
-        self._terms_df.count()
+        n_terms = self._terms_df.count()
+        if n_terms <= driver_dict_max:
+            self._term_dict = {
+                r["term"]: (int(r["df"]), int(r["cf"]))
+                for r in self._terms_df.collect()
+            }
+        self._warm = True
         return self
 
     def _read_postings(self) -> DataFrame:
@@ -128,6 +189,8 @@ class FtsIndex:
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         if not terms:
             return {}
+        if self._term_dict is not None:  # warm: no job at all
+            return {t: self._term_dict[t] for t in set(terms) if t in self._term_dict}
         rows = (
             self._read_terms()
             .where(F.col("term").isin(list(set(terms))))
@@ -163,22 +226,67 @@ class FtsIndex:
             list(mult.items()), "term string, mult int"
         )
 
+    def _query_postings(self, mult: dict[str, int]) -> DataFrame:
+        """Postings rows restricted to the query terms. Cold: isin literals
+        pushed into the parquet scan (row-group stats + bloom). Warm: a
+        broadcast LEFT SEMI join against the query-term relation — the plan
+        source is then identical across queries, so whole-stage codegen
+        caches hit (see warm())."""
+        df = self._read_postings()
+        if self._warm:
+            rel = self._mult_df(mult).select("term")
+            df = df.join(F.broadcast(rel), "term", "left_semi")
+        else:
+            df = self._pruner(df, list(mult))
+        # cast only when needed (partition-dir column reads back as int);
+        # re-casting an already-long column would discard the cached
+        # shard_id partitioning that warm mode relies on
+        if dict(df.dtypes).get("shard_id") != "bigint":
+            df = df.withColumn("shard_id", F.col("shard_id").cast("long"))
+        return df
+
+    def _query_stats(self, mult: dict[str, int]) -> DataFrame:
+        """(term, df) dictionary slice for the query terms (broadcast-small).
+        Warm mode filters by semi-join with the term relation (stable
+        codegen); cold mode by isin (dictionary scan pruning)."""
+        stats = self._read_terms()
+        if self._warm:
+            rel = self._mult_df(mult).select("term")
+            return stats.join(F.broadcast(rel), "term", "left_semi").select(
+                "term", "df"
+            )
+        return stats.where(F.col("term").isin(list(mult))).select("term", "df")
+
     def _stats_joined_postings(self, mult: dict[str, int]) -> DataFrame:
         """Postings rows for the query terms with (mult, df) columns joined
-        in-plan: the terms-table lookup rides inside the same job as the
-        scan (broadcast of the filtered dictionary slice), so no separate
-        driver collect per query."""
-        terms = list(mult)
-        stats = self._read_terms().where(F.col("term").isin(terms)).select("term", "df")
+        in-plan. Warm + driver dictionary: the (term, mult, df) relation is
+        assembled on the driver (no lookup job) and a query ships exactly
+        ONE broadcast join over the shard-partitioned cache. Otherwise the
+        dictionary-slice lookup rides inside the same job as the scan
+        (broadcast of the filtered slice), so still no separate driver
+        collect per query."""
+        if self._term_dict is not None:
+            rows = [
+                (t, m, self._term_dict[t][0])
+                for t, m in mult.items()
+                if t in self._term_dict
+            ]
+            rel = self.spark.createDataFrame(
+                rows, "term string, mult int, df long"
+            )
+            df = self._read_postings().join(F.broadcast(rel), "term")
+            if dict(df.dtypes).get("shard_id") != "bigint":
+                df = df.withColumn("shard_id", F.col("shard_id").cast("long"))
+            return df
         return (
-            self.postings_for(terms)
+            self._query_postings(mult)
             .join(F.broadcast(self._mult_df(mult)), "term")
-            .join(F.broadcast(stats), "term")
+            .join(F.broadcast(self._query_stats(mult)), "term")
         )
 
     def postings_for(self, terms: list[str]) -> DataFrame:
         df = self._read_postings()
-        return df.where(F.col("term").isin(terms)).withColumn(
+        return self._pruner(df, terms).withColumn(
             "shard_id", F.col("shard_id").cast("long")
         )
 
@@ -186,7 +294,9 @@ class FtsIndex:
         return self.spark.read.parquet(self._docs_path)
 
     # ---- decode to relational rows
-    def decoded_postings(self, terms: list[str]) -> DataFrame:
+    def decoded_postings(
+        self, terms: list[str], mult: dict[str, int] | None = None
+    ) -> DataFrame:
         shard_size = self.shard_size
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -211,7 +321,12 @@ class FtsIndex:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        return self.postings_for(terms).mapInPandas(decode, schema=DECODED_SCHEMA)
+        src = (
+            self._query_postings(mult)
+            if mult is not None
+            else self.postings_for(terms)
+        )
+        return src.mapInPandas(decode, schema=DECODED_SCHEMA)
 
     # ---- searches ------------------------------------------------------
     def search_reference(
@@ -226,17 +341,8 @@ class FtsIndex:
         mult = self._query_mult(query, preset)
         if not mult:
             return self._empty_reference_result(hydrate)
-        decoded = self.decoded_postings(list(mult))
-        scored = (
-            decoded.join(F.broadcast(self._mult_df(mult)), "term")
-            .groupBy("doc_id")
-            .agg(
-                F.sum("mult").cast("long").alias("unique_matches"),
-                F.sum(F.col("mult") * F.col("tf")).cast("long").alias("total_matches"),
-            )
-            .orderBy(
-                F.desc("unique_matches"), F.desc("total_matches"), F.asc("doc_id")
-            )
+        scored = self._reference_scored(mult).orderBy(
+            F.desc("unique_matches"), F.desc("total_matches"), F.asc("doc_id")
         )
         if k > 0:
             scored = scored.limit(k)
@@ -245,6 +351,92 @@ class FtsIndex:
                 scored, [F.desc("unique_matches"), F.desc("total_matches"), F.asc("doc_id")]
             )
         return scored
+
+    def _reference_scored(self, mult: dict[str, int]) -> DataFrame:
+        """Pre-truncation coordinate-match aggregation (no sort/limit)."""
+        decoded = self.decoded_postings(list(mult), mult)
+        return (
+            decoded.join(F.broadcast(self._mult_df(mult)), "term")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("mult").cast("long").alias("unique_matches"),
+                F.sum(F.col("mult") * F.col("tf")).cast("long").alias("total_matches"),
+            )
+        )
+
+    def search_full(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        scorer: str = "reference",
+        mode: str = "wand",
+        hydrate: bool = False,
+    ) -> SearchResult:
+        """Full reference-shape result: top-k rows + pre-truncation
+        ``TotalResultsCount`` + per-phase ``Timings`` (``engine.go:82-158``).
+
+        Spark realization: the reference scores every matching doc anyway,
+        so its total is free; here the pre-truncation aggregate is persisted
+        for exactly two actions (count + top-k) so the decode/join/agg
+        lineage runs once. In wand mode the kernel legitimately skips
+        documents, so the total comes from a separate distinct-count over
+        the decoded postings (the same work the reference always pays).
+        The top-k is materialized into a local DataFrame (mirroring the
+        reference's in-memory result slice) so the persisted lineage can be
+        freed eagerly.
+        """
+        t0 = time.monotonic()
+        mult = self._query_mult(query, preset)
+        timings = {"preprocess": time.monotonic() - t0}
+        if not mult:
+            empty = (
+                self._empty_reference_result(hydrate)
+                if scorer == "reference"
+                else self._empty_bm25_result()
+            )
+            timings["search_tokens"] = 0.0
+            timings["total"] = time.monotonic() - t0
+            return SearchResult(empty, 0, timings)
+
+        t1 = time.monotonic()
+        if scorer == "reference":
+            order = [
+                F.desc("unique_matches"), F.desc("total_matches"), F.asc("doc_id")
+            ]
+            scored = self._reference_scored(mult).persist()
+            total = scored.count()
+            top = scored.orderBy(*order)
+            if k > 0:
+                top = top.limit(k)
+            rows = top.collect()
+            local = self.spark.createDataFrame(rows, top.schema)
+            scored.unpersist()
+        elif scorer == "bm25" and mode == "relational":
+            order = [F.desc("score"), F.asc("doc_id")]
+            scored = self._bm25_scored(mult).persist()
+            total = scored.count()
+            top = scored.orderBy(*order)
+            if k > 0:
+                top = top.limit(k)
+            rows = top.collect()
+            local = self.spark.createDataFrame(rows, top.schema)
+            scored.unpersist()
+        elif scorer == "bm25":
+            order = [F.desc("score"), F.asc("doc_id")]
+            rows = self._bm25_wand(mult, k, hydrate=False).collect()
+            local = self.spark.createDataFrame(rows, WAND_SCHEMA)
+            total = (
+                self.decoded_postings(list(mult), mult)
+                .select("doc_id").distinct().count()
+            )
+        else:
+            raise ValueError(f"unknown scorer {scorer!r}")
+        timings["search_tokens"] = time.monotonic() - t1
+
+        out = self._hydrate(local, order) if hydrate else local.orderBy(*order)
+        timings["total"] = time.monotonic() - t0
+        return SearchResult(out, int(total), timings)
 
     def search_bm25(
         self,
@@ -271,11 +463,11 @@ class FtsIndex:
             F.lit(1.0) + (F.lit(n) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
         )
 
-    def _bm25_relational(self, mult: dict[str, int], k: int, hydrate: bool) -> DataFrame:
+    def _bm25_scored(self, mult: dict[str, int]) -> DataFrame:
+        """Pre-truncation relational BM25 aggregation (no sort/limit)."""
         avgdl = self.avgdl
-        terms = list(mult)
-        stats = self._read_terms().where(F.col("term").isin(terms)).select("term", "df")
-        decoded = self.decoded_postings(terms)
+        stats = self._query_stats(mult)
+        decoded = self.decoded_postings(list(mult), mult)
         tf = F.col("tf").cast("double")
         norm = F.lit(K1) * (
             F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
@@ -283,15 +475,17 @@ class FtsIndex:
         contrib = (
             F.col("mult") * F.col("idf") * tf * F.lit(K1 + 1.0) / (tf + norm)
         )
-        scored = (
+        return (
             decoded.join(F.broadcast(self._mult_df(mult)), "term")
             .join(F.broadcast(stats), "term")
             .withColumn("idf", self._idf_col())
             .withColumn("contrib", contrib)
             .groupBy("doc_id")
             .agg(F.sum("contrib").alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
         )
+
+    def _bm25_relational(self, mult: dict[str, int], k: int, hydrate: bool) -> DataFrame:
+        scored = self._bm25_scored(mult).orderBy(F.desc("score"), F.asc("doc_id"))
         if k > 0:
             scored = scored.limit(k)
         return self._maybe_hydrate(scored, hydrate)
@@ -300,10 +494,32 @@ class FtsIndex:
         """Document-partitioned block-max WAND: each shard's posting rows for
         the query terms are processed by one kernel that decodes only the
         skip blocks whose upper-bound sum can beat the running threshold.
-        Single Spark job: df stats ride in on a broadcast join, idf is
-        computed in-kernel from (df, n_docs)."""
-        posts = self._stats_joined_postings(mult)
-        kernel = make_wand_kernel(self.n_docs, self.shard_size, self.avgdl, k)
+
+        Cold: single Spark job — df stats ride in on a broadcast join, idf
+        computed in-kernel from (df, n_docs). Warm + driver dictionary: the
+        (mult, df) map travels INSIDE the kernel closure, so the plan is
+        just cache-scan → filter → applyInPandas → TakeOrdered — zero
+        broadcast stages and zero exchanges per query (the cache is
+        pre-partitioned by shard_id)."""
+        if self._term_dict is not None:
+            present = {
+                t: (m, self._term_dict[t][0])
+                for t, m in mult.items()
+                if t in self._term_dict
+            }
+            if not present:
+                return self._maybe_hydrate(self._empty_bm25_result(), hydrate)
+            posts = self._pruner(self._read_postings(), list(present))
+            if dict(posts.dtypes).get("shard_id") != "bigint":
+                posts = posts.withColumn(
+                    "shard_id", F.col("shard_id").cast("long")
+                )
+            kernel = make_wand_kernel(
+                self.n_docs, self.shard_size, self.avgdl, k, term_stats=present
+            )
+        else:
+            posts = self._stats_joined_postings(mult)
+            kernel = make_wand_kernel(self.n_docs, self.shard_size, self.avgdl, k)
         local_topk = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_SCHEMA
         )
@@ -346,8 +562,13 @@ def make_wand_kernel(
     shard_size: int,
     avgdl: float,
     k: int,
+    term_stats: dict[str, tuple[int, int]] | None = None,
 ):
     """Build the per-shard block-max WAND applyInPandas kernel.
+
+    ``term_stats`` ({term: (mult, df)}) rides in the closure when the
+    driver holds the dictionary (warm serving mode) — the input rows then
+    need no mult/df columns and the per-query plan has no broadcast.
 
     Within a shard (all rows share shard_id; one row per query term):
     1. per-term skip arrays give (first_doc, last_doc, ub) per block where
@@ -372,8 +593,12 @@ def make_wand_kernel(
         # per-term block tables
         terms = []
         for row in pdf.itertuples(index=False):
-            mult = int(row.mult)
-            idf = bm25_idf(n_docs, int(row.df))
+            if term_stats is not None:
+                mult, df_ = term_stats[row.term]
+                mult, df_ = int(mult), int(df_)
+            else:
+                mult, df_ = int(row.mult), int(row.df)
+            idf = bm25_idf(n_docs, df_)
             last = np.asarray(row.skip_last_doc, dtype=np.int64)
             maxtf = np.asarray(row.skip_max_tf, dtype=np.int64)
             doc_off = np.asarray(row.skip_doc_off, dtype=np.int64)

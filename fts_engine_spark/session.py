@@ -23,6 +23,7 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[{}]".format(
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -41,10 +42,29 @@ def get_spark(
         # Parquet: write term bloom filters usable for point-lookup pruning.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")
+        # SPARK_GRAFT_PRETOUCH=1: -Xms=Xmx + AlwaysPreTouch faults the whole
+        # heap in ONCE at startup instead of per-allocation during the job —
+        # this box (VM with on-demand host paging) serves first-touch page
+        # faults ~20x slower than resident memory (BENCH/SCALING_NOTES.md
+        # control experiment). Off by default: it adds ~30s session startup,
+        # which tests don't want; long-lived executors would want it on.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dlog4j2.level=error"
+            + (
+                f" -Xms{driver_mem} -XX:+AlwaysPreTouch"
+                if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
+                else ""
+            ),
+        )
+        # keep glibc from returning freed pages to the OS in the Python
+        # workers (same page-fault-per-reuse issue; M_TRIM_THRESHOLD=-1 and
+        # a high mmap threshold make worker arenas stable across batches)
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -66,8 +66,9 @@ def _append_batch(
         preset=cfg.preset,
         shard_size=shard_size,
         skip_block=cfg.skip_block,
-        id_buckets=min(cfg.id_buckets, 16),
+        id_buckets=min(cfg.id_buckets or 64, 16),
         n_waves=1,
+        bloom_ndv=cfg.bloom_ndv,
     )
     stage_meta = build_index(spark, batch_df, staging, stage_cfg, resume=False)
 
@@ -95,17 +96,44 @@ def _append_batch(
         .parquet(os.path.join(index_dir, "docs"))
     )
 
-    # refresh the global term dictionary (small: terms × shards rows)
-    postings_all = spark.read.parquet(os.path.join(index_dir, "postings"))
-    terms = postings_all.groupBy("term").agg(
-        F.sum("count").cast("long").alias("df"),
-        F.sum("tf_sum").cast("long").alias("cf"),
-    )
-    tmp_terms = os.path.join(index_dir, "_terms_new")
-    terms.repartition(1).write.mode("overwrite").parquet(tmp_terms)
+    # delta-merge the global term dictionary: union the STAGED batch's
+    # (already aggregated) term stats with the existing dictionary and
+    # re-aggregate — O(|batch vocab| + |dictionary|) per batch instead of
+    # re-scanning every posting in the index; written range-bucketed like
+    # the batch build (no single-task repartition(1)).
     old_terms = os.path.join(index_dir, "terms")
+    staged_terms = spark.read.parquet(os.path.join(staging, "terms"))
+    merged = (
+        spark.read.parquet(old_terms)
+        .unionByName(staged_terms)
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+        )
+    )
+    dict_buckets = max(1, spark.sparkContext.defaultParallelism // 2)
+    tmp_terms = os.path.join(index_dir, "_terms_new")
+    (
+        merged.repartitionByRange(dict_buckets, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .option("parquet.bloom.filter.expected.ndv#term", str(cfg.bloom_ndv))
+        .parquet(tmp_terms)
+    )
     shutil.rmtree(old_terms, ignore_errors=True)
     os.rename(tmp_terms, old_terms)
+
+    # lineage: append the staged per-shard metrics at their spliced ids
+    staged_metrics = spark.read.parquet(os.path.join(staging, "metrics"))
+    (
+        staged_metrics.withColumn(
+            "shard_id", F.col("shard_id").cast("long") + next_shard
+        )
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "metrics"))
+    )
 
     n_new = int(stage_meta["n_docs"])
     total_docs = meta["n_docs"] + n_new

@@ -28,12 +28,18 @@ def main() -> None:
     ap.add_argument("--index", required=True, help="index output directory")
     ap.add_argument("--query", action="append", default=[], help="query (repeatable)")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--scorer", default="bm25", choices=["bm25", "reference"])
-    ap.add_argument("--mode", default="wand", choices=["wand", "relational"])
-    ap.add_argument("--preset", default="by_lang")
-    ap.add_argument("--shard-size", type=int, default=1 << 20)
-    ap.add_argument("--waves", type=int, default=1)
+    # None = "not passed": falls back to --config file values, then to
+    # EngineOptions defaults (flag > file > default, the reference's
+    # flag/env/default priority, config.go:106-115)
+    ap.add_argument("--scorer", default=None, choices=["bm25", "reference"])
+    ap.add_argument("--mode", default=None, choices=["wand", "relational"])
+    ap.add_argument("--preset", default=None)
+    ap.add_argument("--shard-size", type=int, default=None)
+    ap.add_argument("--waves", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--config", default=None,
+                    help="YAML/JSON engine config (reference MustLoad role; "
+                         "flags below override file values)")
     ap.add_argument("--extract-html", action="store_true",
                     help="materialize text from the html column first")
     args = ap.parse_args()
@@ -49,17 +55,27 @@ def main() -> None:
     if args.extract_html:
         docs = docs.withColumn("text", extract_text_udf(docs["html"]))
 
-    engine = FtsEngine(
-        spark,
-        args.index,
-        EngineOptions(
+    from dataclasses import replace
+
+    if args.config:
+        # file + FTS_SPARK__* env overrides, validated (config.py)
+        engine = FtsEngine.from_config(spark, args.config)
+        engine.index_dir = args.index
+    else:
+        engine = FtsEngine(spark, args.index, EngineOptions())
+    overrides = {
+        k: v
+        for k, v in dict(
             preset=args.preset,
             shard_size=args.shard_size,
             n_waves=args.waves,
             scorer=args.scorer,
             mode=args.mode,
-        ),
-    )
+        ).items()
+        if v is not None
+    }
+    if overrides:
+        engine.options = replace(engine.options, **overrides)
     t0 = time.monotonic()
     meta = engine.index_documents(docs, resume=not args.no_resume)
     build_secs = time.monotonic() - t0

@@ -135,3 +135,74 @@ def test_resume_skips_completed(spark, small_corpus, small_index, tmp_path):
     manifest_after = json.load(open(os.path.join(index_dir, "_manifest.json")))
     for step, entry in manifest_before.items():
         assert manifest_after[step]["completed_at"] == entry["completed_at"], step
+
+
+def test_search_full_total_and_timings(spark, small_index, oracle):
+    """Pre-truncation TotalResultsCount + Timings keys, both scorers, vs the
+    pure-Python oracle (engine.go:146-157 always reports the full count)."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    for qd in REFERENCE_QUERIES[:6]:
+        q, k = qd["query"], qd["k"]
+        want, want_total = oracle.search_reference(q, k=k, lang=None)
+        got = fts.search_full(q, k=k, preset="multilingual", scorer="reference")
+        assert got.total_results_count == want_total, q
+        rows = [
+            (r["doc_id"], r["unique_matches"], r["total_matches"])
+            for r in got.results.collect()
+        ]
+        assert rows == [(d, u, t) for d, u, t in want], q
+        assert set(got.timings) == {"preprocess", "search_tokens", "total"}
+        assert got.timings["total"] >= got.timings["search_tokens"] >= 0
+
+        for mode in ("relational", "wand"):
+            full = fts.search_full(
+                q, k=k, preset="multilingual", scorer="bm25", mode=mode
+            )
+            assert full.total_results_count == want_total, (q, mode)
+            want_bm = oracle.search_bm25(q, k=k, lang=None)
+            got_bm = [
+                (r["doc_id"], round(r["score"], 8))
+                for r in full.results.collect()
+            ]
+            assert [g[0] for g in got_bm] == [w[0] for w in want_bm], (q, mode)
+
+
+def test_search_full_empty_query(spark, small_index):
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    res = fts.search_full("the was", k=10, preset="english")
+    assert res.total_results_count == 0
+    assert res.results.count() == 0
+    assert set(res.timings) == {"preprocess", "search_tokens", "total"}
+
+
+def test_warm_serving_rank_parity(spark, small_index):
+    """Warm serving mode (driver dictionary + closure stats + partitioned
+    cache) returns exactly what the cold path returns, for every reference
+    query."""
+    index_dir, _ = small_index
+    cold = FtsIndex(spark, index_dir)
+    warm = FtsIndex(spark, index_dir).warm(serving_conf=False)
+    try:
+        for qd in REFERENCE_QUERIES[:10]:
+            q, k = qd["query"], qd["k"]
+            a = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in warm.search_bm25(q, k=k, preset="multilingual").collect()
+            ]
+            b = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in cold.search_bm25(q, k=k, preset="multilingual").collect()
+            ]
+            assert a == b, q
+        # reference scorer + totals too
+        fa = warm.search_full("turtle hotel", k=5, preset="multilingual")
+        fb = cold.search_full("turtle hotel", k=5, preset="multilingual")
+        assert fa.total_results_count == fb.total_results_count
+        assert sorted(map(tuple, fa.results.collect())) == sorted(
+            map(tuple, fb.results.collect())
+        )
+    finally:
+        warm._postings_df.unpersist()
+        warm._terms_df.unpersist()

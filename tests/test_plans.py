@@ -122,3 +122,28 @@ def test_postings_parquet_has_term_bloom_filter(spark, small_index):
         for i in range(cols.size())
     }
     assert offsets.get("[term]", -1) > 0, f"no bloom filter on term: {offsets}"
+
+
+def test_warm_serving_plan_has_no_query_literals(spark, small_index):
+    """Warm serving mode (FtsIndex.warm) filters by broadcast semi-join, so
+    the physical plan contains NO query-term literals — the codegen source
+    is query-independent and the JIT cache stops growing per query."""
+    from fts_engine_spark.plans.review import formatted_plan
+
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir).warm()
+    try:
+        df = fts._stats_joined_postings({"turtle": 1, "hotel": 1})
+        plan = formatted_plan(df)
+        assert "turtle" not in plan and "hotel" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "InMemoryTableScan" in plan  # served from the warmed cache
+        # cold mode still pushes isin literals into the parquet scan
+        cold = FtsIndex(spark, index_dir)
+        cold_plan = formatted_plan(
+            cold._stats_joined_postings({"turtle": 1, "hotel": 1})
+        )
+        assert "turtle" in cold_plan
+    finally:
+        fts._postings_df.unpersist()
+        fts._terms_df.unpersist()
