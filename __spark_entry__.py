@@ -42,6 +42,10 @@ EMB_DUP_THRESHOLD = 0.42
 # at the production threshold ~0.95 (p ≈ 0.90), 8 bands × 8 bits suffice.
 EMB_N_BANDS, EMB_BAND_BITS = 16, 4
 ANN_N_BANDS, ANN_BAND_BITS = 8, 4
+# IVF geometry: deterministic k-means (md5-seeded init, fixed iterations,
+# centroids quantized to 6dp each step so Spark and the SQL oracle cannot
+# drift); nprobe clusters probed per query
+IVF_CLUSTERS, IVF_ITERS, IVF_NPROBE = 16, 2, 4
 CJK = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -159,6 +163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(
             _emb(s, d), ANN_QUERY_IDS, 5, n_bands=ANN_N_BANDS, band_bits=ANN_BAND_BITS
         ),
+        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(
+            _emb(s, d), ANN_QUERY_IDS, 5,
+            n_clusters=IVF_CLUSTERS, n_iters=IVF_ITERS, nprobe=IVF_NPROBE,
+        ),
         # --- text analysis
         "text_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "text_quality": lambda s, d: textstats.quality_score(_docs(s, d)),
@@ -233,6 +241,76 @@ def _srp_sigs_cte(n_bands: int, band_bits: int) -> str:
         f"sigs AS (SELECT id, bit // {band_bits} AS band, "
         f"sum(CASE WHEN d >= 0 THEN (1::BIGINT << (bit % {band_bits})) ELSE 0 END)::BIGINT AS sig "
         "FROM dots GROUP BY 1, 2)"
+    )
+
+
+def _ivf_oracle_sql(n_clusters: int, n_iters: int, nprobe: int, k: int) -> str:
+    """DuckDB mirror of similarity.ann_ivf_topk: md5-seeded init, unrolled
+    Lloyd iterations with 6dp-quantized centroids, nprobe probing, exact
+    cosine re-rank."""
+    sqd = (
+        "list_sum(list_transform(generate_series(1, len({a})), i -> "
+        "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    ctes = [
+        "base AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"cents0 AS (SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 "
+        f"AS cluster, v AS centroid FROM base "
+        f"ORDER BY md5(id::VARCHAR), id LIMIT {n_clusters})",
+    ]
+    for it in range(n_iters):
+        d = sqd.format(a="b.v", b=f"c.centroid")
+        ctes.append(
+            f"a{it} AS (SELECT id, v, cluster FROM ("
+            f"SELECT b.id, b.v, c.cluster, row_number() OVER (PARTITION BY b.id "
+            f"ORDER BY {d}, c.cluster) AS rn FROM base b CROSS JOIN cents{it} c) "
+            "WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cents{it + 1} AS (SELECT cluster, list(c ORDER BY dim) AS centroid "
+            f"FROM (SELECT cluster, u.dim, round(avg(v[u.dim]), 6) AS c "
+            f"FROM a{it}, unnest(generate_series(1, len(v))) AS u(dim) "
+            "GROUP BY cluster, u.dim) GROUP BY cluster)"
+        )
+    final_c = f"cents{n_iters}"
+    d_inv = sqd.format(a="b.v", b="c.centroid")
+    d_q = sqd.format(a="q.qv", b="c.centroid")
+    ctes.append(
+        "inverted AS (SELECT id, cluster FROM ("
+        "SELECT b.id, c.cluster, row_number() OVER (PARTITION BY b.id "
+        f"ORDER BY {d_inv}, c.cluster) AS rn FROM base b CROSS JOIN {final_c} c) "
+        "WHERE rn = 1)"
+    )
+    ctes.append(
+        "q AS (SELECT id AS query_id, v AS qv FROM base "
+        f"WHERE id IN ({', '.join(map(str, ANN_QUERY_IDS))}))"
+    )
+    ctes.append(
+        "probes AS (SELECT query_id, cluster FROM ("
+        "SELECT q.query_id, c.cluster, row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {d_q}, c.cluster) AS rn FROM q CROSS JOIN {final_c} c) "
+        f"WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "cand AS (SELECT DISTINCT p.query_id, i.id AS neighbor_id "
+        "FROM probes p JOIN inverted i USING (cluster) "
+        "WHERE i.id <> p.query_id)"
+    )
+    ctes.append(
+        "scored AS (SELECT c.query_id, c.neighbor_id, "
+        f"{_COS_AB} AS cos "
+        "FROM cand c JOIN base a ON a.id = c.query_id "
+        "JOIN base b ON b.id = c.neighbor_id)"
+    )
+    ctes.append(
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id) AS rn FROM scored)"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT query_id, neighbor_id, cos FROM r WHERE rn <= {k} "
+        "ORDER BY query_id, cos DESC, neighbor_id"
     )
 
 
@@ -397,6 +475,10 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
             "SELECT query_id, neighbor_id, cos FROM r WHERE rn <= 5 "
             "ORDER BY query_id, cos DESC, neighbor_id"
         ),
+        # mirrors the deterministic-IVF plan (seeded k-means with quantized
+        # centroids is exactly reproducible in SQL; recall vs brute force
+        # measured in tests/test_similarity.py)
+        "ann_ivf_topk": _ivf_oracle_sql(IVF_CLUSTERS, IVF_ITERS, IVF_NPROBE, 5),
         "text_lang_id": (
             "WITH t AS (SELECT doc_id, text, "
             "regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS ts FROM documents), "

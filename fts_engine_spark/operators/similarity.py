@@ -196,3 +196,144 @@ def ann_lsh_topk(
         .drop("rn")
         .orderBy("query_id", F.desc("cos"), F.asc("neighbor_id"))
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 as double), (acc, e) -> acc + e)"
+)
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, centroid) deterministic k-means centroids.
+
+    Init: the ``n_clusters`` vectors with the smallest md5(id) (a seeded,
+    data-independent draw — oracle-reproducible). Then ``n_iters`` Lloyd
+    steps; after every step each centroid component is ROUNDED to 6
+    decimals, which pins the floating-point state so Spark's
+    partition-order-dependent avg and the DuckDB oracle's avg cannot
+    drift apart across iterations.
+
+    Scale: each step is one broadcast of K centroids (K is small), a
+    map-side argmin over the corpus, and one groupBy(cluster, dim) mean —
+    uniform keys, partial aggregation; no iteration ever shuffles vectors.
+    """
+    base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    seeds = (
+        base.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(n_clusters)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("_h", "id")
+    cents = (
+        seeds.withColumn("cluster", F.row_number().over(w) - 1)
+        .select("cluster", F.col("v").alias("centroid"))
+    )
+    for _ in range(n_iters):
+        assigned = _ivf_assign(base, cents)
+        # per-dimension mean, order pinned by dim index; 6-dp quantization
+        cents = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "c"))
+                ).alias("_dc")
+            )
+            .select(
+                "cluster",
+                F.expr("transform(_dc, s -> s.c)").alias("centroid"),
+            )
+        )
+    return cents
+
+
+def _ivf_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, v, cluster): nearest centroid by squared L2 (ties -> lowest
+    cluster id). Broadcast join — map-side, no shuffle of vectors."""
+    d = F.expr(_SQDIST.format(a="v", b="centroid"))
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cluster", d.alias("d")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.asc("d"), F.asc("cluster"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", "v", "cluster")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) approximate top-k via IVF: deterministic
+    k-means partitions the corpus; each query probes its ``nprobe`` nearest
+    clusters and exact-cosine re-ranks only their members.
+
+    Scale: the inverted file (id -> cluster) is built once per corpus
+    (map-side assigns against broadcast centroids); a query touches
+    ~nprobe/n_clusters of the corpus. Candidate generation is an equi-join
+    on cluster (uniform by construction of k-means); recall vs brute force
+    is measured in tests/test_similarity.py. At production scale
+    n_clusters ~ sqrt(N) and the centroid fit runs on a sample.
+    """
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    cents = ivf_centroids(emb, n_clusters, n_iters, id_col, vec_col)
+    inverted = _ivf_assign(base, cents).select("id", "cluster")
+
+    qv = base.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dq = F.expr(_SQDIST.format(a="qv", b="centroid"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dq"), F.asc("cluster"))
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cluster", dq.alias("dq"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    cand = (
+        inverted.join(F.broadcast(probes), "cluster")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    dot = F.expr(_DOT.format(a="qv", b="v"))
+    nq = F.expr(_NORM.format(a="qv"))
+    nv = F.expr(_NORM.format(a="v"))
+    scored = (
+        cand.join(base.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", F.round(dot / (nq * nv), 4).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cos"), F.asc("neighbor_id"))
+    )

@@ -79,3 +79,55 @@ def test_bucket_cap_bounds_bucket_size(spark, emb):
     capped = similarity._cap_buckets(sig, 5)
     sizes = capped.groupBy("band", "sig").count().collect()
     assert all(r["count"] <= 5 for r in sizes)
+
+
+def test_ann_ivf_recall_at_5(spark, emb):
+    exact = _topk(similarity.ann_bruteforce_topk(emb, QUERY_IDS, 5))
+    approx = _topk(
+        similarity.ann_ivf_topk(
+            emb, QUERY_IDS, 5, n_clusters=16, n_iters=2, nprobe=4
+        )
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    print(f"ivf recall@5 = {recall}")
+    assert recall >= 0.5, f"recall@5 = {recall}"
+
+
+def test_ann_ivf_more_probes_higher_recall(spark, emb):
+    exact = _topk(similarity.ann_bruteforce_topk(emb, QUERY_IDS, 5))
+
+    def recall(nprobe):
+        approx = _topk(
+            similarity.ann_ivf_topk(
+                emb, QUERY_IDS, 5, n_clusters=16, n_iters=2, nprobe=nprobe
+            )
+        )
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r16 = recall(16)  # probing every cluster == brute force
+    assert r16 == 1.0
+    assert recall(8) >= recall(2)
+
+
+def test_ivf_centroids_deterministic_and_complete(spark, emb):
+    c1 = {
+        r["cluster"]: tuple(r["centroid"])
+        for r in similarity.ivf_centroids(emb, 8, 2).collect()
+    }
+    c2 = {
+        r["cluster"]: tuple(r["centroid"])
+        for r in similarity.ivf_centroids(emb, 8, 2).collect()
+    }
+    assert c1 == c2  # bit-stable under re-execution (6dp quantization)
+    assert set(c1) <= set(range(8))
+    # every corpus vector lands in exactly one cluster
+    from pyspark.sql import functions as F
+
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    cents = similarity.ivf_centroids(emb, 8, 2)
+    assigned = similarity._ivf_assign(base, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("id").distinct().count() == emb.count()
