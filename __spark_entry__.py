@@ -7,9 +7,11 @@ value-hash → CORRECTNESS_r{N}.json).
 
 Every query here maps to an operator from SURVEY.md §2 or to the
 training-data-pipeline extensions (dedup / similarity / text-analysis /
-multimodal). Queries without an oracle entry are non-SQL-expressible
-(stemmed pipeline, LSH plumbing, media decode) and get the rows-only check;
-their semantics are pinned by the pytest golden suite instead.
+multimodal). All 30 queries have oracles: the approximate operators
+(minhash/SRP-LSH, IVF) are built from md5-derived deterministic state, so
+their oracles mirror the FULL computation in SQL; their accuracy relative
+to the exact plans is measured separately with asserted recall floors
+(tests/test_dedup_lsh.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations
