@@ -307,11 +307,29 @@ def build_index(
     manifest = Manifest(index_dir)
     t_start = time.monotonic()
     phases: dict[str, float] = {}
+    # structured build log (reference setupLogger role, main.go:592-613:
+    # slog JSON to file; here one JSON line per completed phase) — appended,
+    # so a resumed build's log shows the whole history across attempts
+    log_path = os.path.join(index_dir, "build_log.jsonl")
+
+    def _log_event(event: str, **fields) -> None:
+        rec = {"ts": time.time(), "event": event, "app": "fts-build", **fields}
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def _lap(name: str, t0: float) -> float:
         now = time.monotonic()
         phases[name] = round(now - t0, 3)
+        _log_event("phase_done", phase=name, seconds=phases[name])
         return now
+
+    _log_event(
+        "build_start",
+        preset=cfg.preset,
+        shard_size=cfg.shard_size,
+        n_waves=cfg.n_waves,
+        resume=resume,
+    )
 
     # ---- pass 0: dense docids + doclens (cached across waves).
     # Only (url, text, lang) cross the Python stages — payload columns like
@@ -416,6 +434,7 @@ def build_index(
             .parquet(postings_path)
         )
         manifest.mark_done(wave_key, {"shards": [lo, hi]})
+        _log_event("wave_done", wave=wave_key, shard_lo=lo, shard_hi=hi)
     t_phase = _lap("postings", t_phase)
 
     # ---- global term stats (df/cf) merged across shards
@@ -484,6 +503,12 @@ def build_index(
     }
     atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
     manifest.mark_done("meta", {})
+    _log_event(
+        "build_done",
+        n_docs=n_docs,
+        n_shards=n_shards,
+        seconds=phases["total"],
+    )
     base.unpersist()
     return meta
 

@@ -56,3 +56,23 @@ def test_load_key_file(spark, tmp_path):
     p.write_text("alpha\n  beta  \n\n\ngamma\n")
     rows = load_key_file(spark, str(p)).collect()
     assert sorted(r["key"] for r in rows) == ["alpha", "beta", "gamma"]
+
+
+def test_build_log_structured_records(spark, small_index):
+    """S14: structured JSON build log (reference slog role) — one record per
+    phase/wave, machine-parseable, surviving resume attempts."""
+    import json
+    import os
+
+    index_dir, meta = small_index
+    path = os.path.join(index_dir, "build_log.jsonl")
+    assert os.path.exists(path)
+    recs = [json.loads(l) for l in open(path)]
+    events = [r["event"] for r in recs]
+    assert "build_start" in events
+    assert "build_done" in events
+    assert events.count("wave_done") >= 2  # small_index builds 2 waves
+    for r in recs:
+        assert {"ts", "event", "app"} <= set(r)
+    done = [r for r in recs if r["event"] == "build_done"][-1]
+    assert done["n_docs"] == meta["n_docs"]
