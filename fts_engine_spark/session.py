@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # FAIR job scheduling: concurrent search jobs share task slots
+        # instead of queueing whole jobs (measured +10% QPS at 8 clients);
+        # identical to FIFO when one job runs at a time (builds). Must be
+        # set at context startup — not settable per-query.
+        .config("spark.scheduler.mode", "FAIR")
         # SPARK_GRAFT_PRETOUCH=1: -Xms=Xmx + AlwaysPreTouch faults the whole
         # heap in ONCE at startup instead of per-allocation during the job —
         # this box (VM with on-demand host paging) serves first-touch page
