@@ -187,6 +187,11 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
         "text_quality",
         "text_token_counts",
     ]
+    # one unmeasured warm-up execution: the suite's first queries otherwise
+    # absorb one-time JIT/codegen/scan setup (r2 reported fts_postings_tf at
+    # 35.8s whose steady state is ~1.3s — VERDICT r2 "what's wrong" #1), so
+    # the recorded numbers are steady-state and comparable across rounds
+    queries[suite[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in suite:
         t0 = time.monotonic()
         df = queries[name](spark, sf_dir)
@@ -211,10 +216,17 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
 
     # ---- 3b. concurrent query throughput (QPS): scheduler-level
     # parallelism is how a search tier uses extra cores — per-query latency
-    # has a fixed job floor, but concurrent jobs scale.
+    # has a fixed job floor, but concurrent jobs scale. Each client thread
+    # gets its OWN FAIR pool: with session FAIR mode alone all jobs land in
+    # the default pool, which schedules FIFO internally (ADVICE r2) — the
+    # per-pool split is what actually interleaves the 8 clients' tasks.
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     def one(qd):
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"client-{threading.get_ident()}"
+        )
         fts.search_bm25(qd["query"], k=qd["k"], mode="wand").collect()
 
     t0 = time.monotonic()
@@ -224,12 +236,54 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     qps = (len(REFERENCE_QUERIES) * 2) / qps_secs
     timings["query_concurrent"] = round(qps_secs, 3)
 
+    # ---- 4. sf0.1 index-oracle gate: the sf0.1 session is already paid for,
+    # so record the 10x-scale correctness check in the bench of record
+    # (VERDICT r2 next #9); compares both BM25 modes to the DuckDB oracle.
+    sf01_pass = None
+    if _sf_of(sf_dir) >= 0.1:
+        t0 = time.monotonic()
+        sf01_pass = _sf01_oracle_check(spark, sf_dir)
+        timings["sf01_oracle_check"] = round(time.monotonic() - t0, 3)
+
     return _result(timings, time.monotonic() - t_all, sf_dir, docs_per_sec,
-                   p50, p99, qps, per_query, cpus, spark, out_json)
+                   p50, p99, qps, per_query, cpus, spark, out_json,
+                   sf01_pass=sf01_pass)
+
+
+def _sf01_oracle_check(spark, sf_dir: str) -> bool:
+    """Hash-match both index BM25 modes against DuckDB at sf_dir scale."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle_rows = None
+    ok = True
+    for name in ("fts_index_bm25_wand", "fts_index_bm25_relational"):
+        sdf = entry_mod.queries()[name](spark, sf_dir)
+        got = sorted(
+            (int(r["doc_id"]), round(float(r["score"]), 9)) for r in sdf.collect()
+        )
+        if oracle_rows is None:
+            res = con.execute(entry_mod.oracle_sql()[name])
+            oracle_rows = sorted(
+                (int(r[0]), round(float(r[1]), 9)) for r in res.fetchall()
+            )
+        ok = ok and len(got) == len(oracle_rows) == 10
+        ok = ok and all(
+            gd == wd and math.isclose(gs, ws, abs_tol=1e-4)
+            for (gd, gs), (wd, ws) in zip(got, oracle_rows)
+        )
+    return ok
 
 
 def _result(timings, total, sf_dir, docs_per_sec, p50, p99, qps, per_query,
-            cpus, spark, out_json):
+            cpus, spark, out_json, sf01_pass=None):
     result = {
         "metric": "index-build docs/sec + query p50/p99 + operator suite",
         "value": round(total, 3),
@@ -243,6 +297,7 @@ def _result(timings, total, sf_dir, docs_per_sec, p50, p99, qps, per_query,
         "query_qps": round(qps, 2),
         "query_ms": per_query,
         "cpus": int(cpus),
+        "sf01_oracle_pass": sf01_pass,
     }
     spark.stop()
     if out_json:

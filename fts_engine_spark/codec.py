@@ -20,18 +20,42 @@ import numpy as np
 SKIP_BLOCK = 128  # postings per skip block
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """LEB128-style encode of a non-negative int array (vectorized)."""
-    if len(values) == 0:
-        return b""
-    arr = values.astype(np.uint64, copy=False)
+def _as_uint64(values: np.ndarray) -> np.ndarray:
+    """Reinterpret/convert to uint64 without copying when possible.
+
+    int64 inputs are VIEWED as uint64 (zero-copy; callers guarantee
+    non-negative values, for which the bit patterns are identical)."""
+    if values.dtype == np.uint64:
+        return values
+    if values.dtype == np.int64:
+        return values.view(np.uint64)
+    return values.astype(np.uint64)
+
+
+def varbyte_encode_all(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized whole-array varbyte encode into ONE packed buffer.
+
+    Returns ``(packed uint8 array, csum int64 array of len+1)`` where the
+    bytes of value ``i`` are ``packed[csum[i]:csum[i+1]]`` — callers slice
+    per-group byte ranges out of the single buffer instead of encoding each
+    group separately (the build encoder's zero-copy fast path).
+    """
+    n = len(values)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    arr = _as_uint64(values)
     # bytes needed per value: 1 + number of 7-bit groups beyond the first
-    nb = np.ones(len(arr), dtype=np.int64)
+    nb = np.ones(n, dtype=np.int64)
     for k in range(1, 10):
-        nb += (arr >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    total = int(nb.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    offsets = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        mask = arr >= np.uint64(1) << np.uint64(7 * k)
+        if not mask.any():
+            break
+        nb += mask
+    csum = np.empty(n + 1, dtype=np.int64)
+    csum[0] = 0
+    np.cumsum(nb, out=csum[1:])
+    out = np.zeros(int(csum[-1]), dtype=np.uint8)
+    offsets = csum[:-1]
     for j in range(10):
         sel = nb > j
         if not sel.any():
@@ -39,7 +63,14 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         b = ((arr[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nb[sel] - 1 > j).astype(np.uint8) << 7
         out[offsets[sel] + j] = b | cont
-    return out.tobytes()
+    return out, csum
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-style encode of a non-negative int array (vectorized)."""
+    if len(values) == 0:
+        return b""
+    return varbyte_encode_all(values)[0].tobytes()
 
 
 def varbyte_decode(blob: bytes) -> np.ndarray:

@@ -53,7 +53,7 @@ class IndexConfig:
     index_dir: str = "./data/index"
     shard_size: int = 1 << 20
     skip_block: int = 128
-    id_buckets: int = 64
+    id_buckets: int = 0  # 0 = auto-scale with cluster parallelism
     n_waves: int = 1
     bloom_ndv: int = 1 << 16
     load_on_start: bool = True  # snapshot.load_on_start (config.go:35)
@@ -139,8 +139,8 @@ def validate(cfg: EngineFileConfig) -> EngineFileConfig:
         raise ConfigError("index.shard_size must be > 0")
     if cfg.index.skip_block <= 0:
         raise ConfigError("index.skip_block must be > 0")
-    if cfg.index.id_buckets <= 0:
-        raise ConfigError("index.id_buckets must be > 0")
+    if cfg.index.id_buckets < 0:
+        raise ConfigError("index.id_buckets must be >= 0 (0 = auto)")
     if cfg.index.n_waves <= 0:
         raise ConfigError("index.n_waves must be > 0")
     if cfg.index.bloom_ndv <= 0:
@@ -202,9 +202,19 @@ def pipeline_from_flags(flags: PipelineFlags) -> tp.Pipeline:
     return tp.Pipeline("custom", tuple(filters))
 
 
-def resolve_pipeline(cfg: EngineFileConfig) -> tp.Pipeline | str:
+def resolve_pipeline(cfg: EngineFileConfig) -> str:
     """Preset name when set ('by_lang' is handled by the build routing);
-    otherwise a custom pipeline assembled from the flags."""
+    otherwise the canonical ``custom:`` spec string assembled from the flags
+    — a string so it travels through UDF closures and engine options
+    (``get_pipeline`` accepts both forms)."""
     if cfg.preset:
         return cfg.preset
-    return pipeline_from_flags(cfg.pipeline)
+    f = cfg.pipeline
+    return tp.custom_spec(
+        lowercase=f.lowercase,
+        min_length=f.min_length,
+        stopwords_en=f.stopwords_en,
+        stopwords_ru=f.stopwords_ru,
+        stem_en=f.stem_en,
+        stem_ru=f.stem_ru,
+    )

@@ -23,17 +23,22 @@ from .textproc.pipeline import get_pipeline
 
 @dataclass(frozen=True)
 class EngineOptions:
-    """Options pattern (WithPipeline/WithFilter → keyword args)."""
+    """Options pattern (WithPipeline/WithFilter → keyword args).
+
+    ``preset`` accepts a preset name OR a ``custom:`` flags spec
+    (``textproc.pipeline.custom_spec``); ``k`` is the default top-k for
+    searches that don't pass one (reference config ``query.k``)."""
 
     preset: str = "by_lang"
     shard_size: int = 1 << 20
     skip_block: int = 128
-    id_buckets: int = 64
+    id_buckets: int | None = None  # None -> auto-scale with parallelism
     n_waves: int = 1
     scorer: str = "bm25"  # 'bm25' | 'reference'
     mode: str = "wand"  # 'wand' | 'relational'
     pruning: str = "dict"  # 'dict' | 'storage' | 'none' (operators.pruning)
     bloom_ndv: int = 1 << 16
+    k: int = 10
 
 
 class FtsEngine:
@@ -78,32 +83,57 @@ class FtsEngine:
         cls, spark: SparkSession, path: str | None = None
     ) -> "FtsEngine":
         """Construct from a YAML/JSON config file + env overrides — the
-        reference's ``MustLoad`` entry path (config/config.go:74-104)."""
-        from .config import load_config
+        reference's ``MustLoad`` entry path (config/config.go:74-104).
+
+        Every config field is wired or rejected (nothing silently no-ops):
+        ``preset: ""`` resolves the pipeline FLAGS into a ``custom:`` spec
+        (``buildPipeline`` role, main.go:562-590); ``query.k`` becomes the
+        default search k; ``dump_path`` names the index dir when
+        ``index.index_dir`` is left at its default (the reference's
+        DUMP_PATH snapshot-location role); ``load_on_start`` eagerly opens
+        an existing index; ``save_on_build: false`` is rejected — this
+        engine's build IS a persist (tables are the state, SURVEY.md §1.3),
+        an in-memory-only build does not exist."""
+        from .config import ConfigError, IndexConfig, load_config, resolve_pipeline
 
         cfg, _source = load_config(path)
+        if not cfg.index.save_on_build:
+            raise ConfigError(
+                "index.save_on_build=false is unsupported: builds persist by "
+                "construction (the parquet index IS the engine state)"
+            )
+        index_dir = cfg.index.index_dir
+        if cfg.dump_path and index_dir == IndexConfig().index_dir:
+            index_dir = cfg.dump_path
         opts = EngineOptions(
-            preset=cfg.preset or "by_lang",
+            preset=resolve_pipeline(cfg),
             shard_size=cfg.index.shard_size,
             skip_block=cfg.index.skip_block,
-            id_buckets=cfg.index.id_buckets,
+            id_buckets=cfg.index.id_buckets or None,
             n_waves=cfg.index.n_waves,
             scorer=cfg.query.scorer,
             mode=cfg.query.mode,
             pruning=cfg.query.pruning,
             bloom_ndv=cfg.index.bloom_ndv,
+            k=cfg.query.k,
         )
-        return cls(spark, cfg.index.index_dir, opts)
+        eng = cls(spark, index_dir, opts)
+        if cfg.index.load_on_start and os.path.exists(
+            os.path.join(index_dir, "meta.json")
+        ):
+            _ = eng.index  # snapshot restore at startup (config.go:35 role)
+        return eng
 
     # ---- search (Entry point C)
     def search(
         self,
         query: str,
-        k: int = 10,
+        k: int | None = None,
         scorer: str | None = None,
         mode: str | None = None,
         hydrate: bool = False,
     ) -> DataFrame:
+        k = self.options.k if k is None else k
         scorer = scorer or self.options.scorer
         if scorer == "reference":
             return self.index.search_reference(query, k, hydrate=hydrate)
@@ -116,7 +146,7 @@ class FtsEngine:
     def search_full(
         self,
         query: str,
-        k: int = 10,
+        k: int | None = None,
         scorer: str | None = None,
         mode: str | None = None,
         hydrate: bool = False,
@@ -126,7 +156,7 @@ class FtsEngine:
         (preprocess / search_tokens / total)."""
         return self.index.search_full(
             query,
-            k,
+            self.options.k if k is None else k,
             scorer=scorer or self.options.scorer,
             mode=mode or self.options.mode,
             hydrate=hydrate,

@@ -67,6 +67,53 @@ def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, np.ndarray]:
     return w, h, feat
 
 
+class DecoderUnavailableError(RuntimeError):
+    """A registered decoder's backing library is not installed here."""
+
+
+def _make_pil_decoder(feat_dim: int):
+    """Real image decode via Pillow when present (it is not in this
+    sandbox — the import failure is the documented environment limitation;
+    the Spark plumbing around it is identical to the fake path)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise DecoderUnavailableError(
+            "decoder 'pil' needs Pillow, which is not installed in this "
+            f"environment; available decoders: {available_decoders()}"
+        ) from e
+    import io
+
+    def decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+        im = Image.open(io.BytesIO(payload)).convert("L")
+        w, h = im.size
+        # feature = row-mean profile resampled to feat_dim
+        arr = np.asarray(im, dtype=np.float32)
+        prof = arr.mean(axis=1)
+        idx = np.linspace(0, len(prof) - 1, feat_dim)
+        return w, h, np.interp(idx, np.arange(len(prof)), prof).astype(np.float32)
+
+    return decode
+
+
+def _make_fake_decoder(feat_dim: int):
+    return lambda payload: _fake_decode(payload, feat_dim)
+
+
+# decoder registry — the reference's codec-registry pattern (SURVEY.md §2.1
+# S11): name -> factory(feat_dim) -> (payload bytes -> (w, h, feature)).
+# 'fake' is the sandbox default; real decoders register here and fail with
+# a NAMED error listing alternatives when their library is absent.
+DECODERS = {
+    "fake": _make_fake_decoder,
+    "pil": _make_pil_decoder,
+}
+
+
+def available_decoders() -> list[str]:
+    return sorted(DECODERS)
+
+
 def decode_media(
     df: DataFrame,
     binary_col: str = "payload",
@@ -76,18 +123,18 @@ def decode_media(
 ) -> DataFrame:
     """mapInPandas decode: (id, binary) → typed media metadata + feature.
 
-    ``decoder='real'`` raises NotImplementedError (no media libs in this
-    environment — clearly-marked stub); ``decoder='fake'`` is the
-    deterministic stand-in exercising the full Spark plumbing: Arrow batch
-    in, Arrow batch out, schema enforced, partition-parallel.
+    ``decoder`` selects from the registry (``DECODERS``): ``'fake'`` is the
+    deterministic md5-seeded stand-in exercising the full Spark plumbing
+    (Arrow batch in, Arrow batch out, schema enforced, partition-parallel);
+    ``'pil'`` does real image decode when Pillow is installed and raises
+    :class:`DecoderUnavailableError` naming the available decoders when not.
+    Unknown names raise ``ValueError`` listing the registry.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "media decoding requires image/audio libraries not present in "
-            "this environment; use decoder='fake' for the plumbing path"
+    if decoder not in DECODERS:
+        raise ValueError(
+            f"unknown decoder {decoder!r}; available: {available_decoders()}"
         )
-    if decoder != "fake":
-        raise ValueError(f"unknown decoder {decoder!r}")
+    decode = DECODERS[decoder](feat_dim)  # fail fast on the driver
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,7 +145,7 @@ def decode_media(
                 sizes.append(len(b))
                 md5s.append(hashlib.md5(b).hexdigest())
                 fmts.append(_sniff(b))
-                w, h, feat = _fake_decode(b, feat_dim)
+                w, h, feat = decode(b)
                 ws.append(w)
                 hs.append(h)
                 feats.append(feat)

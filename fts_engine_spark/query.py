@@ -100,10 +100,16 @@ class SearchResult:
     timings: dict[str, float]
 
 
+class IndexVersionError(RuntimeError):
+    """Snapshot envelope mismatch — the reference refuses to load snapshots
+    whose version differs (``snapshot.go:135-163``); so do we."""
+
+
 class FtsIndex:
     """Handle to a built index directory (read side of ``build_index``)."""
 
     def __init__(self, spark: SparkSession, index_dir: str, pruning: str = "dict"):
+        from .build import META_VERSION
         from .operators.pruning import make_pruner
 
         self.spark = spark
@@ -111,6 +117,12 @@ class FtsIndex:
         self._pruner = make_pruner(pruning)
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        got_version = int(self.meta.get("version", -1))
+        if got_version != META_VERSION:
+            raise IndexVersionError(
+                f"index at {index_dir} has meta version {got_version}, "
+                f"this build reads version {META_VERSION}"
+            )
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
         self.shard_size = int(self.meta["shard_size"])
@@ -154,14 +166,25 @@ class FtsIndex:
         ``serving_conf=True`` additionally turns AQE off for the session:
         adaptive replanning adds a per-stage driver round trip that is pure
         overhead for these tiny fixed-shape query jobs (measured ~150 ms of
-        a ~600 ms floor at local[8]); a build session wants it back on.
+        a ~600 ms floor at local[8]); the prior value is saved and restored
+        by :meth:`close`, so a later build in the same session gets it back.
         """
         if serving_conf:
+            self._saved_aqe = self.spark.conf.get(
+                "spark.sql.adaptive.enabled", "true"
+            )
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # cache partition count = n_shards, NOT spark.sql.shuffle.partitions:
+        # the per-query applyInPandas reuses the cache partitioning, so its
+        # task count is the cache's partition count — at 128 shuffle
+        # partitions over ~15 shards a query schedules 113 empty tasks
+        # (the r2 local[32] p50 regression); bounding by n_shards makes the
+        # per-query job exactly one task per shard.
+        n_parts = max(1, int(self.meta.get("n_shards", 1)))
         self._postings_df = (
             self.spark.read.parquet(self._postings_path)
             .withColumn("shard_id", F.col("shard_id").cast("long"))
-            .repartition(F.col("shard_id"))
+            .repartition(n_parts, F.col("shard_id"))
             .persist()
         )
         self._postings_df.count()
@@ -174,6 +197,22 @@ class FtsIndex:
             }
         self._warm = True
         return self
+
+    def close(self) -> None:
+        """Release the warm caches and restore session conf changed by
+        :meth:`warm` (AQE back to its prior value)."""
+        if self._postings_df is not None:
+            self._postings_df.unpersist()
+            self._postings_df = None
+        if self._terms_df is not None:
+            self._terms_df.unpersist()
+            self._terms_df = None
+        saved = getattr(self, "_saved_aqe", None)
+        if saved is not None:
+            self.spark.conf.set("spark.sql.adaptive.enabled", saved)
+            self._saved_aqe = None
+        self._term_dict = None
+        self._warm = False
 
     def _read_postings(self) -> DataFrame:
         if self._postings_df is not None:
@@ -594,8 +633,12 @@ def make_wand_kernel(
         terms = []
         for row in pdf.itertuples(index=False):
             if term_stats is not None:
-                mult, df_ = term_stats[row.term]
-                mult, df_ = int(mult), int(df_)
+                stats = term_stats.get(row.term)
+                if stats is None:
+                    # pruning='none' (a valid strategy) passes every shard
+                    # term through; non-query terms score nothing
+                    continue
+                mult, df_ = int(stats[0]), int(stats[1])
             else:
                 mult, df_ = int(row.mult), int(row.df)
             idf = bm25_idf(n_docs, df_)

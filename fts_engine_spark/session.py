@@ -8,10 +8,42 @@ partitioning that AQE coalesces at runtime).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+_FAIR_XML = """<?xml version="1.0"?>
+<allocations>
+  <pool name="default">
+    <schedulingMode>FAIR</schedulingMode>
+    <weight>1</weight>
+    <minShare>0</minShare>
+  </pool>
+</allocations>
+"""
+
+
+def _fair_allocation_file() -> str:
+    """FAIR scheduling needs an allocation file to make the DEFAULT pool
+    fair internally — without one, spark.scheduler.mode=FAIR still runs the
+    default pool FIFO, so same-pool concurrent queries queue whole jobs
+    (ADVICE r2). Serving tiers additionally give each client its own pool
+    (:func:`set_fair_pool`)."""
+    path = os.path.join(tempfile.gettempdir(), "fts_fairscheduler.xml")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(_FAIR_XML)
+        os.replace(tmp, path)
+    return path
+
+
+def set_fair_pool(spark: SparkSession, pool: str) -> None:
+    """Assign THIS thread's jobs to a named FAIR pool (local properties are
+    per-thread) — one pool per concurrent client interleaves their tasks."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
 
 
 def get_spark(
@@ -48,8 +80,11 @@ def get_spark(
         # FAIR job scheduling: concurrent search jobs share task slots
         # instead of queueing whole jobs (measured +10% QPS at 8 clients);
         # identical to FIFO when one job runs at a time (builds). Must be
-        # set at context startup — not settable per-query.
+        # set at context startup — not settable per-query. The allocation
+        # file makes the default pool fair INTERNALLY (without it, FAIR
+        # mode still schedules the default pool FIFO).
         .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", _fair_allocation_file())
         # SPARK_GRAFT_PRETOUCH=1: -Xms=Xmx + AlwaysPreTouch faults the whole
         # heap in ONCE at startup instead of per-allocation during the job —
         # this box (VM with on-demand host paging) serves first-touch page

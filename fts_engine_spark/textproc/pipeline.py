@@ -176,11 +176,63 @@ PRESETS: dict[str, Pipeline] = {
     p.name: p for p in (ENGLISH, RUSSIAN, MULTILINGUAL, DEFAULT, SIMPLE)
 }
 
+_CUSTOM_PREFIX = "custom:"
+
+
+def custom_spec(
+    lowercase: bool = True,
+    min_length: int = 3,
+    stopwords_en: bool = True,
+    stopwords_ru: bool = False,
+    stem_en: bool = True,
+    stem_ru: bool = False,
+) -> str:
+    """Canonical string form of a flags-assembled pipeline — a plain string
+    travels through UDF closures and index metadata where a Pipeline object
+    would not. Accepted anywhere a preset name is (``get_pipeline``)."""
+    return (
+        f"{_CUSTOM_PREFIX}lc={int(lowercase)},min={min_length},"
+        f"sw_en={int(stopwords_en)},sw_ru={int(stopwords_ru)},"
+        f"st_en={int(stem_en)},st_ru={int(stem_ru)}"
+    )
+
+
+def _parse_custom(spec: str) -> Pipeline:
+    """Assemble from a ``custom:`` spec in the reference's filter order
+    (``buildPipeline``, cmd/fts/main.go:562-590): lowercase → min_length →
+    stopwords(en) → stopwords(ru) → stem(en) → stem(ru)."""
+    from functools import partial
+
+    kv = {}
+    for part in spec[len(_CUSTOM_PREFIX) :].split(","):
+        k, _, v = part.partition("=")
+        kv[k.strip()] = int(v)
+    unknown = set(kv) - {"lc", "min", "sw_en", "sw_ru", "st_en", "st_ru"}
+    if unknown:
+        raise ValueError(f"unknown custom-pipeline flags {sorted(unknown)}")
+    filters: list[TokenFilter] = []
+    if kv.get("lc", 1):
+        filters.append(lowercase_filter)
+    if kv.get("min", 3) > 0:
+        filters.append(partial(min_length_filter, min_length=kv.get("min", 3)))
+    if kv.get("sw_en", 0):
+        filters.append(english_stopword_filter)
+    if kv.get("sw_ru", 0):
+        filters.append(russian_stopword_filter)
+    if kv.get("st_en", 0):
+        filters.append(english_stem_filter)
+    if kv.get("st_ru", 0):
+        filters.append(russian_stem_filter)
+    return Pipeline("custom", tuple(filters))
+
 
 def get_pipeline(name: str) -> Pipeline:
+    if name.startswith(_CUSTOM_PREFIX):
+        return _parse_custom(name)
     try:
         return PRESETS[name]
     except KeyError:
         raise ValueError(
-            f"unknown pipeline preset {name!r}; have {sorted(PRESETS)}"
+            f"unknown pipeline preset {name!r}; have {sorted(PRESETS)} "
+            f"or a '{_CUSTOM_PREFIX}' spec"
         ) from None

@@ -122,10 +122,20 @@ def test_pipeline_from_flags_matches_preset():
 
 
 def test_resolve_pipeline_prefers_preset():
+    from fts_engine_spark.textproc.pipeline import get_pipeline
+
     cfg = EngineFileConfig()
     assert resolve_pipeline(cfg) == "by_lang"
     cfg.preset = ""
-    assert resolve_pipeline(cfg).name == "custom"
+    spec = resolve_pipeline(cfg)
+    # a custom: spec STRING — serializable through UDF closures, and
+    # get_pipeline assembles the same chain as pipeline_from_flags
+    assert spec.startswith("custom:")
+    custom = get_pipeline(spec)
+    assert custom.name == "custom"
+    flagged = pipeline_from_flags(cfg.pipeline)
+    for text in ("The Running foxes jumped 123 ab", ""):
+        assert custom.process(text) == flagged.process(text)
 
 
 def test_pruning_factory_validates():

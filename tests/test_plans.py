@@ -75,6 +75,45 @@ def test_ann_lsh_no_cartesian(spark):
     assert_plan_absent(df, "CartesianProduct", "BroadcastNestedLoopJoin")
 
 
+def test_srp_signatures_zero_shuffle(spark):
+    """Signature computation is a narrow per-row projection (driver-side
+    hyperplane literals + posexplode): NO exchange anywhere — the r2 plan
+    shuffled n_bits x N rows through a groupBy(id, band)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sig = similarity.srp_band_signatures(emb, n_bands=8, band_bits=4)
+    assert_plan_absent(sig, "Exchange", "HashAggregate")
+
+
+def test_bucket_cap_windows_are_salted(spark):
+    """The exact-cap window partitions by (band, sig, _salt), never by bare
+    (band, sig) — a hot bucket is pre-thinned by the hash-threshold filter
+    and then sorted only in salt-sized slices (VERDICT r2 wrong #4)."""
+    import re
+
+    from fts_engine_spark.plans.review import formatted_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sig = similarity.srp_band_signatures(emb, n_bands=2, band_bits=2)
+    plan = formatted_plan(similarity._cap_buckets(sig, 8))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"no window in cap plan:\n{plan[:2000]}"
+    for spec in specs:
+        assert "_salt" in spec, f"unsalted window over: {spec}"
+
+
+def test_ivf_fit_sample_bounds_seeding(spark):
+    """With fit_frac < 1 the seeding top-K and Lloyd passes read the
+    md5-threshold sample, not the full corpus: the hash filter sits in the
+    plan and the seed is a TakeOrdered (no global Sort of all vectors)."""
+    from fts_engine_spark.plans.review import formatted_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, 8, 1, fit_frac=0.5)
+    plan = formatted_plan(cents)
+    assert "conv(substring(md5(" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_embedding_dedup_lsh_no_cartesian(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     df = dedup.embedding_cosine_dups_lsh(emb, 0.42, n_bands=4, band_bits=4)
