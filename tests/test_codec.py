@@ -88,3 +88,112 @@ def test_decode_single_block():
 def test_empty_postings():
     enc = encode_postings(np.array([], dtype=np.int64), np.array([], dtype=np.int64))
     assert enc.count == 0 and enc.doc_blob == b""
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+def test_varbyte_encode_all_offsets_slice_per_value(vals):
+    """The whole-array encoder's csum slices each value's bytes exactly as
+    the scalar encoder would emit them."""
+    from fts_engine_spark.codec import varbyte_encode_all
+
+    arr = np.array(vals, dtype=np.uint64)
+    packed, csum = varbyte_encode_all(arr)
+    assert len(csum) == len(arr) + 1
+    blob = packed.tobytes()
+    for i, v in enumerate(vals):
+        one = varbyte_encode(np.array([v], dtype=np.uint64))
+        assert blob[csum[i] : csum[i + 1]] == one
+
+
+# ---- batch-vectorized encoder (build._make_arrow_encoder): byte-identity
+# with the per-group reference path across arbitrary batch splits
+
+
+@st.composite
+def _posting_stream(draw):
+    """Sorted (shard, term, doc) stream with tf/dl, plus random batch cuts."""
+    n_groups = draw(st.integers(min_value=1, max_value=12))
+    rows = []
+    shard, term_i = 0, 0
+    for _ in range(n_groups):
+        if draw(st.booleans()):
+            shard += draw(st.integers(min_value=0, max_value=1))
+        term_i += draw(st.integers(min_value=1, max_value=3))
+        size = draw(st.integers(min_value=1, max_value=40))
+        docs = sorted(
+            draw(
+                st.sets(
+                    st.integers(min_value=shard * 64, max_value=shard * 64 + 63),
+                    min_size=1,
+                    max_size=min(size, 64),
+                )
+            )
+        )
+        for d in docs:
+            rows.append((f"t{term_i:04d}", shard, d,
+                         draw(st.integers(1, 9)), draw(st.integers(1, 500))))
+    rows.sort(key=lambda r: (r[1], r[0], r[2]))
+    n = len(rows)
+    n_cuts = draw(st.integers(min_value=0, max_value=min(5, n - 1)))
+    cuts = sorted(draw(st.sets(st.integers(1, n - 1), min_size=n_cuts,
+                               max_size=n_cuts))) if n > 1 else []
+    return rows, cuts
+
+
+@settings(max_examples=60, deadline=None)
+@given(_posting_stream())
+def test_arrow_encoder_matches_per_group_reference(stream):
+    import pyarrow as pa
+
+    from fts_engine_spark.build import _make_arrow_encoder
+    from fts_engine_spark.codec import varbyte_encode
+
+    rows, cuts = stream
+    shard_size, skip = 64, 8
+
+    def make_batch(chunk):
+        t, s, d, tf, dl = zip(*chunk)
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(t, type=pa.string()),
+                pa.array(s, type=pa.int64()),
+                pa.array(d, type=pa.int64()),
+                pa.array(tf, type=pa.int32()),
+                pa.array(dl, type=pa.int32()),
+            ],
+            names=["term", "shard_id", "doc_id", "tf", "dl"],
+        )
+
+    bounds = [0, *cuts, len(rows)]
+    batches = [
+        make_batch(rows[a:b]) for a, b in zip(bounds, bounds[1:]) if b > a
+    ]
+    enc = _make_arrow_encoder(shard_size, skip)
+    got = {}
+    for rb in enc(iter(batches)):
+        for r in rb.to_pylist():
+            got[(r["term"], r["shard_id"])] = r
+
+    # reference: encode_postings per (shard, term) group
+    from itertools import groupby
+
+    expected_keys = set()
+    for (s, t), grp in groupby(rows, key=lambda r: (r[1], r[0])):
+        g = list(grp)
+        expected_keys.add((t, s))
+        d = np.array([r[2] for r in g], dtype=np.int64)
+        tf = np.array([r[3] for r in g], dtype=np.int64)
+        dl = np.array([r[4] for r in g], dtype=np.int64)
+        ref = encode_postings(d, tf, base_doc=s * shard_size, skip=skip)
+        r = got[(t, s)]
+        assert r["count"] == ref.count
+        assert r["tf_sum"] == int(tf.sum())
+        assert bytes(r["doc_blob"]) == ref.doc_blob
+        assert bytes(r["tf_blob"]) == ref.tf_blob
+        assert bytes(r["dl_blob"]) == varbyte_encode(dl)
+        assert r["skip_last_doc"] == ref.skip_last_doc.tolist()
+        assert r["skip_max_tf"] == ref.skip_max_tf.tolist()
+        assert r["skip_doc_off"] == ref.skip_doc_off.tolist()
+        assert r["skip_tf_off"] == ref.skip_tf_off.tolist()
+    assert set(got) == expected_keys
