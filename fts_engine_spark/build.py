@@ -65,6 +65,11 @@ from .functions.udfs import make_term_tf_by_lang_udf, make_term_tf_udf
 
 META_VERSION = 1
 
+# assign_doc_ids ships per-bucket offsets as a literal map up to this many
+# buckets; beyond it (auto-scaled counts grow with cluster parallelism) a
+# broadcast-join relation keeps the plan O(1)-sized
+_OFFSET_MAP_MAX_BUCKETS = 1024
+
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
@@ -146,16 +151,39 @@ def assign_doc_ids(
         offsets[b] = acc
         acc += counts.get(b, 0)
 
-    offset_map = F.create_map(
-        *[F.lit(x) for b in range(id_buckets) for x in (b, offsets[b])]
-    )
     w = Window.partitionBy("_bucket").orderBy("_h", url_col)
-    ranked = docs.withColumn(
-        "doc_id",
-        (
-            offset_map[F.col("_bucket")] + F.row_number().over(w) - F.lit(1)
-        ).cast("long"),
-    )
+    if id_buckets <= _OFFSET_MAP_MAX_BUCKETS:
+        # small bucket counts: ship offsets as a literal map (no extra plan
+        # nodes, constant-folded)
+        offset_map = F.create_map(
+            *[F.lit(x) for b in range(id_buckets) for x in (b, offsets[b])]
+        )
+        ranked = docs.withColumn(
+            "doc_id",
+            (
+                offset_map[F.col("_bucket")] + F.row_number().over(w) - F.lit(1)
+            ).cast("long"),
+        )
+    else:
+        # auto-scaled bucket counts grow with cluster parallelism (4x cores
+        # — ~128k buckets on a 1000-executor cluster): a create_map literal
+        # would be a 2x-that-size expression tree that Catalyst must
+        # analyze/serialize per stage. Ship the offsets as a broadcast-join
+        # relation instead — same determinism, O(1) plan size.
+        offsets_df = docs.sparkSession.createDataFrame(
+            [(b, offsets[b]) for b in range(id_buckets)],
+            "_bucket long, _bucket_offset long",
+        )
+        ranked = (
+            docs.join(F.broadcast(offsets_df), "_bucket", "left")
+            .withColumn(
+                "doc_id",
+                (
+                    F.col("_bucket_offset") + F.row_number().over(w) - F.lit(1)
+                ).cast("long"),
+            )
+            .drop("_bucket_offset")
+        )
     return ranked.drop("_h", "_bucket"), acc
 
 
@@ -480,6 +508,67 @@ def _make_doc_encoder(shard_size: int, skip: int, group_chunk: int = 1 << 16):
     return encode_stream
 
 
+def postings_wave_plan(
+    spark: SparkSession,
+    tokens: DataFrame,
+    cfg: BuildConfig,
+    lo: int,
+    hi: int,
+    encode_stream=None,
+) -> DataFrame:
+    """The one-wave postings plan over packed document rows
+    ``(shard_id, doc_id, dl, pairs)``.
+
+    Salted repartition (SURVEY.md §4 P6 / north rule): hash-partitioning by
+    shard alone caps encode parallelism at n_shards (and bounds task memory
+    only by shard_size), so salt by term WITHIN the document row: each doc
+    emits salt_mod rows, row k keeping only the pairs whose term hashes to
+    salt k (JVM higher-order ``F.filter`` — no Python, no explode of
+    postings). Groups stay whole (a term's salt is deterministic), head
+    terms of one shard still bound by shard_size, the explicit partition
+    count defeats key-cardinality collapse, and encode-task memory is
+    bounded by shard_size/salt_mod docs' pairs.
+
+    The resulting physical plan is exactly: Scan → [salt project/filter] →
+    Exchange(shard, salt) → MapInArrow — NO JVM Sort (the (shard, term,
+    doc) sort lives inside the kernel; asserted in tests/test_plans.py).
+    """
+    encode_stream = encode_stream or _make_doc_encoder(
+        cfg.shard_size, cfg.skip_block
+    )
+    tf_df = tokens.where(
+        (F.col("shard_id") >= lo) & (F.col("shard_id") < hi)
+    )
+    n_wave_shards = hi - lo
+    enc_p = cfg.enc_partitions or spark.sparkContext.defaultParallelism * 2
+    salt_mod = max(1, math.ceil(enc_p / max(1, n_wave_shards)))
+    if salt_mod > 1:
+        salted = (
+            tf_df.withColumn(
+                "_salt",
+                F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1))),
+            )
+            .withColumn(
+                "pairs",
+                F.filter(
+                    "pairs",
+                    lambda t: F.pmod(
+                        F.xxhash64(t["term"]), F.lit(salt_mod)
+                    ).cast("int")
+                    == F.col("_salt"),
+                ),
+            )
+            .where(F.size("pairs") > 0)
+        )
+    else:
+        salted = tf_df.withColumn("_salt", F.lit(0))
+    return (
+        salted.repartition(n_wave_shards * salt_mod, "shard_id", "_salt")
+        .drop("_salt")
+        .mapInArrow(encode_stream, schema=POSTINGS_SCHEMA)
+    )
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -590,45 +679,8 @@ def build_index(
         wave_key = f"postings_wave_{lo}_{hi}"
         if resume and manifest.is_done(wave_key):
             continue
-        tf_df = tokens.where(
-            (F.col("shard_id") >= lo) & (F.col("shard_id") < hi)
-        )
-        # Salted repartition (SURVEY.md §4 P6 / north rule): hash-partitioning
-        # by shard alone caps encode parallelism at n_shards (and bounds task
-        # memory only by shard_size), so salt by term WITHIN the document
-        # row: each doc emits salt_mod rows, row k keeping only the pairs
-        # whose term hashes to salt k (JVM higher-order F.filter — no
-        # Python, no explode). Groups stay whole (a term's salt is
-        # deterministic), head terms of one shard still bound by shard_size,
-        # the explicit partition count defeats key-cardinality collapse, and
-        # encode-task memory is bounded by shard_size/salt_mod docs' pairs.
-        n_wave_shards = hi - lo
-        enc_p = cfg.enc_partitions or spark.sparkContext.defaultParallelism * 2
-        salt_mod = max(1, math.ceil(enc_p / max(1, n_wave_shards)))
-        if salt_mod > 1:
-            salted = (
-                tf_df.withColumn(
-                    "_salt",
-                    F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1))),
-                )
-                .withColumn(
-                    "pairs",
-                    F.filter(
-                        "pairs",
-                        lambda t: F.pmod(
-                            F.xxhash64(t["term"]), F.lit(salt_mod)
-                        ).cast("int")
-                        == F.col("_salt"),
-                    ),
-                )
-                .where(F.size("pairs") > 0)
-            )
-        else:
-            salted = tf_df.withColumn("_salt", F.lit(0))
-        postings = (
-            salted.repartition(n_wave_shards * salt_mod, "shard_id", "_salt")
-            .drop("_salt")
-            .mapInArrow(encode_stream, schema=POSTINGS_SCHEMA)
+        postings = postings_wave_plan(
+            spark, tokens, cfg, lo, hi, encode_stream
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (

@@ -186,3 +186,77 @@ def test_warm_serving_plan_has_no_query_literals(spark, small_index):
     finally:
         fts._postings_df.unpersist()
         fts._terms_df.unpersist()
+
+
+def test_build_postings_wave_plan_has_no_jvm_sort(spark, docs):
+    """The r3 postings plan ships packed doc rows through ONE exchange into
+    the encode kernel — the (shard, term, doc) sort lives inside the kernel
+    (numpy lexsort), so the physical plan must contain NO JVM Sort node and
+    exactly one shuffle."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fts_engine_spark.build import (
+        BuildConfig,
+        _term_tf_col,
+        postings_wave_plan,
+    )
+    from fts_engine_spark.plans.review import formatted_plan
+
+    cfg = BuildConfig(preset="english", shard_size=64, enc_partitions=16)
+    web = docs.select(
+        "text",
+        F.concat(F.lit("u://"), F.col("doc_id").cast("string")).alias("url"),
+        "lang",
+    )
+    ttf = _term_tf_col(cfg)
+    tokens = (
+        web.withColumn("pairs", ttf(web))
+        .withColumn("doc_id", F.monotonically_increasing_id())
+        .select(
+            (F.col("doc_id") / cfg.shard_size).cast("long").alias("shard_id"),
+            "doc_id",
+            F.aggregate("pairs", F.lit(0), lambda a, x: a + x["tf"])
+            .cast("long")
+            .alias("dl"),
+            "pairs",
+        )
+    )
+    plan = formatted_plan(postings_wave_plan(spark, tokens, cfg, 0, 8))
+    assert not re.search(r"\(\d+\) Sort\b", plan), f"JVM Sort in plan:\n{plan}"
+    # formatted explain lists each node once in the tree and once in the
+    # details section — count detail headers only
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    # the exchange carries packed doc rows, not exploded postings: the
+    # generator (salt sequence) must come BEFORE the exchange and no
+    # Generate(explode(pairs)) may exist anywhere
+    assert not re.search(r"Generate explode\(pairs", plan), plan
+
+
+def test_assign_doc_ids_join_path_matches_literal_map(spark, docs, monkeypatch):
+    """Dense-id assignment must be identical whether offsets ship as a
+    literal map (small bucket counts) or a broadcast-join relation (the
+    auto-scaled path for large clusters, where a create_map literal would
+    be a 100k+-node expression tree)."""
+    from pyspark.sql import functions as F
+
+    import fts_engine_spark.build as B
+
+    web = docs.select(
+        F.concat(F.lit("u://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        "lang",
+    ).limit(300)
+    lit_df, n1 = B.assign_doc_ids(web, 48)
+    lit_ids = {r["url"]: r["doc_id"] for r in lit_df.select("url", "doc_id").collect()}
+
+    monkeypatch.setattr(B, "_OFFSET_MAP_MAX_BUCKETS", 0)
+    join_df, n2 = B.assign_doc_ids(web, 48)
+    join_ids = {r["url"]: r["doc_id"] for r in join_df.select("url", "doc_id").collect()}
+
+    assert n1 == n2 == 300
+    assert lit_ids == join_ids
+    assert sorted(lit_ids.values()) == list(range(300))
