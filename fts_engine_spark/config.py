@@ -30,8 +30,9 @@ VALID_SCORERS = ("bm25", "reference")
 VALID_MODES = ("wand", "relational")
 VALID_PRESETS = ("english", "russian", "multilingual", "default", "simple", "by_lang")
 # filter factory enum (reference: none|bloom|cuckoo|ribbon, config.go:206);
-# here the strategies are the storage-layer pruning paths (SURVEY.md §2.5 F7)
-VALID_PRUNING = ("dict", "storage", "none")
+# the storage-layer paths (dict/storage/none) plus the compact driver-side
+# cuckoo/ribbon term gates (operators/filters.py; SURVEY.md §2.5 F2-F4, F7)
+VALID_PRUNING = ("dict", "storage", "none", "cuckoo", "ribbon")
 
 
 @dataclass

@@ -1,0 +1,362 @@
+"""Probabilistic membership filters: cuckoo and ribbon term gates.
+
+Reference parity (SURVEY.md §2.5 F2/F3/F4): the reference offers
+``none|bloom|cuckoo|ribbon`` filters that gate index lookups for absent
+terms (``/root/reference/pkg/filter/cuckoo.go:28-182``,
+``ribbon.go:123-320``; selected by the config filter switch,
+``cmd/fts/main.go`` + ``config.go:206``). In this engine the bloom role is
+played by parquet bloom filters written at build time (build.py) and the
+exact-dictionary gate by the warm driver dictionary; these two structures
+re-express the remaining roles as COMPACT driver-side term gates:
+
+- ``CuckooFilter`` — 2 bytes/key fingerprint table, supports incremental
+  ``add`` (the reference's mutable-filter role).
+- ``RibbonFilter`` — static XOR-equation filter built once from the full
+  vocabulary (GF(2) Gaussian elimination + back substitution), ~2.2
+  bytes/key at 25% overcapacity (the reference's static-filter role; its
+  comments measure uint16 fingerprints as the memory/FP sweet spot —
+  FP ~1/65536).
+
+Why they earn their place on Spark: the warm serving tier holds the term
+dictionary on the driver (query.py). At web scale that hashmap is tens of
+GB; either filter provides the SAME query-term gate (no false negatives —
+a gated-out term is definitely absent; false positives merely cost one
+wasted exact lookup) in ~20-50x less driver memory. At 10^9+-term scale
+the build parallelizes naturally over the range-bucketed dictionary (one
+filter per bucket, gate = OR over bucket filters); the single-filter form
+here is the per-bucket unit.
+
+Both are pure numpy/python with DETERMINISTIC builds (the reference's
+cuckoo evicts a ``rand.Intn`` victim; we derive the victim slot from the
+kick counter so identical inputs give identical filters — documented
+divergence, same expected behavior). Hashing follows the reference: FNV-1a
+(32-bit for cuckoo, 64-bit seeded for ribbon) and the splitmix64-style
+``mix64`` finalizer with the reference's three salts.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import numpy as np
+
+_FNV32_OFFSET = 2166136261
+_FNV32_PRIME = 16777619
+_FNV64_OFFSET = 14695981039346656037
+_FNV64_PRIME = 1099511628211
+_U32 = 0xFFFFFFFF
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+# reference ribbon.go:57-61 — distinct salts decorrelate the three derived
+# quantities (start, mask, fingerprint)
+_START_SALT = 0x9E3779B97F4A7C15
+_MASK_SALT = 0xC2B2AE3D27D4EB4F
+_FP_SALT = 0x165667B19E3779F9
+_MAX_RIBBON_WINDOW = 32
+
+
+def _fnv1a32(data: bytes) -> int:
+    h = _FNV32_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV32_PRIME) & _U32
+    return h
+
+
+def _fnv1a64(data: bytes, seed: int) -> int:
+    h = _FNV64_OFFSET
+    for b in seed.to_bytes(8, "little"):
+        h = ((h ^ b) * _FNV64_PRIME) & _U64
+    for b in data:
+        h = ((h ^ b) * _FNV64_PRIME) & _U64
+    return h
+
+
+def _mix64(x: int) -> int:
+    x &= _U64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _U64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _U64
+    x ^= x >> 31
+    return x
+
+
+class CuckooFilter:
+    """Cuckoo filter over uint16 fingerprints (cuckoo.go:28-182).
+
+    ``buckets`` is an (bucket_count, bucket_size) uint16 array; 0 marks an
+    empty slot (the reference reserves fingerprint 0 the same way,
+    cuckoo.go:87-91).
+    """
+
+    def __init__(self, bucket_count: int, bucket_size: int = 4, max_kicks: int = 200):
+        if bucket_count <= 0:
+            raise ValueError("bucket_count must be > 0")
+        # bucket_count is rounded UP to a power of two: the partner-bucket
+        # map i2 = (i1 ^ h(fp)) mod count is only an involution (so an
+        # evicted fingerprint re-homes to one of ITS OWN two buckets) when
+        # the mod is a power-of-two mask. The reference applies the XOR
+        # with an arbitrary modulus (cuckoo.go:104-106), which can strand
+        # evicted fingerprints in foreign buckets — a latent
+        # false-negative its power-of-two-sized tests never hit; this
+        # implementation makes the involution structural.
+        self.bucket_count = 1 << (int(bucket_count) - 1).bit_length()
+        self.bucket_size = int(bucket_size)
+        self.max_kicks = int(max_kicks)
+        self.buckets = np.zeros((self.bucket_count, self.bucket_size), dtype=np.uint16)
+
+    @classmethod
+    def for_capacity(cls, n: int, bucket_size: int = 4, load: float = 0.84) -> "CuckooFilter":
+        """Size for ``n`` keys at the classic ~0.84 load factor."""
+        count = max(1, int(np.ceil(n / (bucket_size * load))))
+        return cls(count, bucket_size, max_kicks=500)
+
+    def _fingerprint(self, h32: int) -> int:
+        fp = (h32 >> 16) & 0xFFFF
+        return fp if fp != 0 else 1  # 0 reserved for empty (cuckoo.go:88)
+
+    def _indexes(self, key: bytes) -> tuple[int, int, int]:
+        h = _fnv1a32(key)
+        fp = self._fingerprint(h)
+        mask = self.bucket_count - 1
+        i1 = h & mask
+        i2 = (i1 ^ ((fp * 0x5BD1E995) & _U32)) & mask
+        return fp, i1, i2
+
+    def _alt(self, i: int, fp: int) -> int:
+        return (i ^ ((fp * 0x5BD1E995) & _U32)) & (self.bucket_count - 1)
+
+    def _bucket_has(self, i: int, fp: int) -> bool:
+        return bool((self.buckets[i] == fp).any())
+
+    def _bucket_insert(self, i: int, fp: int) -> bool:
+        empties = np.flatnonzero(self.buckets[i] == 0)
+        if len(empties) == 0:
+            return False
+        self.buckets[i, empties[0]] = fp
+        return True
+
+    def add(self, key: bytes | str) -> bool:
+        if isinstance(key, str):
+            key = key.encode("utf-8")
+        fp, i1, i2 = self._indexes(key)
+        if self._bucket_has(i1, fp) or self._bucket_has(i2, fp):
+            return True  # duplicate no-op (cuckoo.go:131)
+        if self._bucket_insert(i1, fp) or self._bucket_insert(i2, fp):
+            return True
+        # eviction chain; victim slot derived from the kick counter (the
+        # reference uses rand.Intn — deterministic here so identical
+        # vocabularies build identical filters)
+        i = i1
+        for n in range(self.max_kicks):
+            slot = n % self.bucket_size
+            fp, self.buckets[i, slot] = int(self.buckets[i, slot]), fp
+            i = self._alt(i, fp)
+            if self._bucket_insert(i, fp):
+                return True
+        return False
+
+    def __contains__(self, key: bytes | str) -> bool:
+        if isinstance(key, str):
+            key = key.encode("utf-8")
+        fp, i1, i2 = self._indexes(key)
+        return self._bucket_has(i1, fp) or self._bucket_has(i2, fp)
+
+    def fit(self, keys: Iterable[bytes | str]) -> "CuckooFilter":
+        """Insert all keys, doubling the table and rebuilding on a failed
+        eviction chain (small power-of-two tables can cycle well below
+        their nominal load factor — the standard cuckoo resize response)."""
+        keys = list(keys)
+        for attempt in range(8):
+            ok = True
+            for k in keys:
+                if not self.add(k):
+                    ok = False
+                    break
+            if ok:
+                return self
+            self.bucket_count *= 2
+            self.buckets = np.zeros(
+                (self.bucket_count, self.bucket_size), dtype=np.uint16
+            )
+        raise ValueError("cuckoo filter: failed to fit keys after 8 doublings")
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.buckets.nbytes)
+
+    # ---- snapshot (reference Serialize/Load, cuckoo.go:47-79; npz+rename
+    # instead of gob, same atomic-sink pattern as checkpoint.py)
+    def save(self, path: str) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        np.savez_compressed(
+            tmp,
+            buckets=self.buckets,
+            meta=np.array([self.bucket_size, self.max_kicks], dtype=np.int64),
+        )
+        os.replace(tmp + ".npz", path)
+
+    @classmethod
+    def load(cls, path: str) -> "CuckooFilter":
+        with np.load(path) as z:
+            buckets = z["buckets"]
+            bucket_size, max_kicks = (int(x) for x in z["meta"])
+        cf = cls(buckets.shape[0], bucket_size, max_kicks)
+        cf.buckets = buckets.astype(np.uint16)
+        return cf
+
+
+class RibbonFilter:
+    """Static XOR-equation filter (ribbon.go:123-320).
+
+    Build collects, per key, a window equation
+    ``XOR(cells[start+bit] for set bits of mask) == fingerprint`` and
+    solves the system over GF(2) by on-line Gaussian elimination +
+    back substitution. ``contains`` replays the equation against the
+    solved cells. No false negatives; FP rate ~2^-16 (uint16 cells).
+    """
+
+    def __init__(self, expected_items: int, extra_cells: int, w: int, seed: int):
+        if expected_items <= 0:
+            raise ValueError("expected_items must be > 0")
+        if w <= 0 or w > _MAX_RIBBON_WINDOW:
+            raise ValueError("w must be in range [1..32]")
+        self.m = int(expected_items + extra_cells + w)
+        self.w = int(w)
+        self.seed = int(seed)
+        self.span = self.m - self.w + 1
+        self.cells = np.zeros(self.m, dtype=np.uint16)
+        self.built = False
+
+    @classmethod
+    def for_capacity(cls, n: int, w: int = 24, seed: int = 7) -> "RibbonFilter":
+        return cls(max(1, n), max(8, n // 4), w, seed)
+
+    def _derive(self, key: bytes) -> tuple[int, int, int]:
+        h = _fnv1a64(key, self.seed)
+        start = _mix64(h ^ _START_SALT) % self.span
+        mask = _mix64(h ^ _MASK_SALT) & ((1 << self.w) - 1)
+        if mask == 0:
+            mask = 1
+        fp = _mix64(h ^ _FP_SALT) & 0xFFFF
+        return start, mask, fp
+
+    def build(self, keys: Iterable[bytes | str], max_attempts: int = 10) -> "RibbonFilter":
+        """BuildWithRetriesFromKeyStream (ribbon.go:146-163): bump the seed
+        until the XOR system is consistent."""
+        keys = [k.encode("utf-8") if isinstance(k, str) else k for k in keys]
+        if not keys:
+            raise ValueError("items must not be empty")
+        base_seed = self.seed
+        for attempt in range(max_attempts):
+            self.seed = base_seed + attempt
+            if self._build_once(keys):
+                return self
+        self.seed = base_seed
+        raise ValueError("failed to build ribbon filter after retries")
+
+    def _build_once(self, keys: list[bytes]) -> bool:
+        self.built = False
+        self.cells[:] = 0
+        # pivots[col] = (start, mask, fp) with leading column == col
+        pivots: dict[int, tuple[int, int, int]] = {}
+        for key in keys:
+            start, mask, fp = self._derive(key)
+            while mask != 0:
+                lead = start + _trailing_zeros(mask)
+                piv = pivots.get(lead)
+                if piv is None:
+                    pivots[lead] = (start, mask, fp)
+                    break
+                start, mask, fp = _xor_rows(start, mask, fp, *piv)
+            if mask == 0 and fp != 0:
+                return False  # inconsistent system (ribbon.go:238-241)
+        # back substitution, right to left (ribbon.go:252-287)
+        for col in range(self.m - 1, -1, -1):
+            piv = pivots.get(col)
+            if piv is None:
+                self.cells[col] = 0
+                continue
+            start, mask, fp = piv
+            val = fp
+            local = mask
+            while local != 0:
+                bit = _trailing_zeros(local)
+                g = start + bit
+                if g != col:
+                    val ^= int(self.cells[g])
+                local &= local - 1
+            self.cells[col] = val
+        self.built = True
+        return True
+
+    def __contains__(self, key: bytes | str) -> bool:
+        if not self.built:
+            return False
+        if isinstance(key, str):
+            key = key.encode("utf-8")
+        start, mask, fp = self._derive(key)
+        acc = 0
+        while mask != 0:
+            bit = _trailing_zeros(mask)
+            acc ^= int(self.cells[start + bit])
+            mask &= mask - 1
+        return acc == fp
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.cells.nbytes)
+
+    def save(self, path: str) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        np.savez_compressed(
+            tmp,
+            cells=self.cells,
+            meta=np.array([self.m, self.w, self.seed, self.span,
+                           1 if self.built else 0], dtype=np.int64),
+        )
+        os.replace(tmp + ".npz", path)
+
+    @classmethod
+    def load(cls, path: str) -> "RibbonFilter":
+        """Validated load (ribbon.go LoadRibbonFilter: refuse malformed
+        snapshots)."""
+        with np.load(path) as z:
+            cells = z["cells"]
+            m, w, seed, span, built = (int(x) for x in z["meta"])
+        if m <= 0 or w <= 0 or w > _MAX_RIBBON_WINDOW or m < w:
+            raise ValueError("ribbon: load: invalid m/w")
+        if len(cells) != m or span != m - w + 1:
+            raise ValueError("ribbon: load: invalid cells/span")
+        rf = cls.__new__(cls)
+        rf.m, rf.w, rf.seed, rf.span = m, w, seed, span
+        rf.cells = cells.astype(np.uint16)
+        rf.built = bool(built)
+        return rf
+
+
+def _trailing_zeros(x: int) -> int:
+    return (x & -x).bit_length() - 1
+
+
+def _xor_rows(c_start: int, c_mask: int, c_fp: int,
+              p_start: int, p_mask: int, p_fp: int) -> tuple[int, int, int]:
+    """(cur XOR pivot) over GF(2), window-aligned (ribbon.go:331-389)."""
+    if c_mask == 0:
+        return p_start, p_mask, p_fp
+    if p_mask == 0:
+        return c_start, c_mask, c_fp
+    shift = p_start - c_start
+    if shift >= 64 or shift <= -64:
+        aligned = 0
+    elif shift >= 0:
+        aligned = (p_mask << shift) & _U64
+    else:
+        aligned = p_mask >> (-shift)
+    mask = c_mask ^ aligned
+    fp = c_fp ^ p_fp
+    if mask == 0:
+        return 0, 0, fp
+    tz = _trailing_zeros(mask)
+    return c_start + tz, mask >> tz, fp

@@ -249,11 +249,21 @@ class FtsIndex:
 
     def _query_mult(self, query: str, preset: str | None = None) -> dict[str, int]:
         """Normalized query tokens with multiplicity (duplicates kept,
-        engine.go:91). Driver-side, no Spark job."""
+        engine.go:91), gated through the probabilistic term filter when one
+        is selected (the reference's filter-before-index role,
+        engine.go:108-116). Driver-side, no Spark job (the cuckoo/ribbon
+        gate is built once, lazily, from the terms table)."""
         preset = preset or ("multilingual" if self.preset == "by_lang" else self.preset)
         mult: dict[str, int] = {}
         for t in normalize_query(query, preset):
             mult[t] = mult.get(t, 0) + 1
+        if self._pruner.needs_vocab and mult:
+            if not self._pruner.fitted():
+                self._pruner.fit(
+                    r["term"] for r in self._read_terms().select("term").collect()
+                )
+            kept = set(self._pruner.gate_terms(list(mult)))
+            mult = {t: m for t, m in mult.items() if t in kept}
         return mult
 
     def query_terms(self, query: str, preset: str | None = None) -> list[QueryTermStats]:

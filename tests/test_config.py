@@ -84,7 +84,7 @@ def test_unknown_key_fails(tmp_path):
     [
         ("query:\n  scorer: tfidf\n", "scorer"),
         ("query:\n  mode: scan\n", "mode"),
-        ("query:\n  pruning: cuckoo\n", "pruning"),
+        ("query:\n  pruning: xor8\n", "pruning"),
         ("preset: klingon\n", "preset"),
         ("index:\n  shard_size: 0\n", "shard_size"),
         ("index:\n  n_waves: -1\n", "n_waves"),
@@ -141,7 +141,11 @@ def test_resolve_pipeline_prefers_preset():
 def test_pruning_factory_validates():
     from fts_engine_spark.operators.pruning import make_pruner
 
-    with pytest.raises(ValueError, match="ribbon"):
-        make_pruner("ribbon")
+    with pytest.raises(ValueError, match="xor8"):
+        make_pruner("xor8")
     assert make_pruner("dict").gates_with_dictionary
     assert not make_pruner("storage").gates_with_dictionary
+    # cuckoo/ribbon (r3: SURVEY §2.5 F2-F4 as real strategies) need a vocab
+    assert make_pruner("cuckoo").needs_vocab
+    assert make_pruner("ribbon").needs_vocab
+    assert not make_pruner("dict").needs_vocab

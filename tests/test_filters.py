@@ -1,0 +1,164 @@
+"""Cuckoo + ribbon term-gate filters (SURVEY.md §2.5 F2/F3/F4).
+
+Mirrors the reference's test coverage
+(/root/reference/pkg/filter/{cuckoo,ribbon}_test.go) plus no-false-negative
+property tests and the e2e guarantee that gated search results equal the
+exact-dictionary path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fts_engine_spark.operators.filters import CuckooFilter, RibbonFilter
+
+
+# ---- cuckoo (cuckoo_test.go)
+
+
+def test_cuckoo_insert_and_contains():
+    cf = CuckooFilter(256, 4, 200)
+    assert "alpha" not in cf
+    assert cf.add("alpha")
+    assert "alpha" in cf
+
+
+def test_cuckoo_duplicate_insert_does_not_fail():
+    cf = CuckooFilter(16, 4, 50)
+    for _ in range(1000):
+        assert cf.add("may")
+
+
+def test_cuckoo_fingerprint_never_zero():
+    cf = CuckooFilter(8)
+    for i in range(500):
+        cf.add(f"k{i}")
+    # slot value 0 means empty; occupied slots are never 0-fingerprinted
+    assert (cf.buckets[cf.buckets != 0] != 0).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sets(st.text(min_size=1, max_size=12), min_size=1, max_size=200))
+def test_cuckoo_no_false_negatives(keys):
+    cf = CuckooFilter.for_capacity(len(keys))
+    cf.fit(keys)
+    for k in keys:
+        assert k in cf
+
+
+def test_cuckoo_false_positive_rate_sane():
+    keys = [f"term{i}" for i in range(5000)]
+    cf = CuckooFilter.for_capacity(len(keys)).fit(keys)
+    probes = [f"absent{i}" for i in range(5000)]
+    fp = sum(1 for p in probes if p in cf)
+    # uint16 fingerprints, 2x4 candidate slots: expect ~8/65536 ≈ 0.012%
+    assert fp / len(probes) < 0.01
+
+
+def test_cuckoo_deterministic_and_roundtrip(tmp_path):
+    keys = [f"w{i}" for i in range(1000)]
+    a = CuckooFilter.for_capacity(len(keys)).fit(keys)
+    b = CuckooFilter.for_capacity(len(keys)).fit(keys)
+    assert (a.buckets == b.buckets).all()
+    p = str(tmp_path / "cf.npz")
+    a.save(p)
+    c = CuckooFilter.load(p)
+    assert (a.buckets == c.buckets).all()
+    assert all(k in c for k in keys[:50])
+
+
+# ---- ribbon (ribbon_test.go)
+
+
+def test_ribbon_build_and_contains():
+    rf = RibbonFilter(32, 32, 24, 7)
+    rf.build([b"alpha", b"beta", b"gamma"])
+    for k in (b"alpha", b"beta", b"gamma"):
+        assert k in rf
+
+
+def test_ribbon_window_validation():
+    with pytest.raises(ValueError):
+        RibbonFilter(10, 10, 33, 1)
+
+
+def test_ribbon_unbuilt_contains_false():
+    rf = RibbonFilter(8, 8, 16, 1)
+    assert b"x" not in rf
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(st.text(min_size=1, max_size=12), min_size=1, max_size=150))
+def test_ribbon_no_false_negatives(keys):
+    rf = RibbonFilter.for_capacity(len(keys))
+    rf.build(sorted(keys))
+    for k in keys:
+        assert k in rf
+
+
+def test_ribbon_false_positive_rate_sane():
+    keys = [f"term{i}" for i in range(5000)]
+    rf = RibbonFilter.for_capacity(len(keys)).build(keys)
+    probes = [f"absent{i}" for i in range(5000)]
+    fp = sum(1 for p in probes if p in rf)
+    # uint16 equation check: expect ~2^-16
+    assert fp / len(probes) < 0.005
+
+
+def test_ribbon_serialize_load_roundtrip(tmp_path):
+    keys = [f"w{i}" for i in range(500)]
+    rf = RibbonFilter.for_capacity(len(keys)).build(keys)
+    p = str(tmp_path / "rf.npz")
+    rf.save(p)
+    loaded = RibbonFilter.load(p)
+    assert loaded.built and loaded.seed == rf.seed
+    assert all(k in loaded for k in keys)
+
+
+def test_ribbon_load_rejects_malformed(tmp_path):
+    """LoadRibbonFilter refuses inconsistent snapshots (ribbon.go:423-445)."""
+    import numpy as np
+
+    p = str(tmp_path / "bad.npz")
+    np.savez_compressed(
+        p[:-4] + ".tmp", cells=np.zeros(10, dtype=np.uint16),
+        meta=np.array([10, 33, 1, -22, 1], dtype=np.int64),
+    )
+    import os
+    os.replace(p[:-4] + ".tmp.npz", p)
+    with pytest.raises(ValueError):
+        RibbonFilter.load(p)
+
+
+# ---- pruner integration + e2e parity
+
+
+def test_pruner_gate_drops_absent_keeps_present():
+    from fts_engine_spark.operators.pruning import make_pruner
+
+    pr = make_pruner("cuckoo")
+    assert pr.needs_vocab and not pr.fitted()
+    pr.fit(["alpha", "beta"])
+    assert pr.fitted() and pr.gate_nbytes() > 0
+    kept = pr.gate_terms(["alpha", "definitely-absent-term", "beta"])
+    assert "alpha" in kept and "beta" in kept
+    assert "definitely-absent-term" not in kept
+
+
+@pytest.mark.parametrize("strategy", ["cuckoo", "ribbon"])
+def test_gated_search_matches_dict_path(spark, small_index, strategy):
+    """No false negatives ⇒ cuckoo/ribbon-gated BM25 results are identical
+    to the exact-dictionary path (absent terms only ever cost a lookup)."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir, _ = small_index
+    exact = FtsIndex(spark, index_dir, pruning="dict")
+    gated = FtsIndex(spark, index_dir, pruning=strategy)
+    for q in ("turtle hotel", "coordinate", "absentwordxyz turtle"):
+        e = [(r["doc_id"], round(r["score"], 9))
+             for r in exact.search_bm25(q, k=10, mode="wand").collect()]
+        g = [(r["doc_id"], round(r["score"], 9))
+             for r in gated.search_bm25(q, k=10, mode="wand").collect()]
+        assert e == g, (strategy, q)
