@@ -150,6 +150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), 3, JACCARD_THRESHOLD
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        # connected components over the minhash-LSH pairs: each duplicate
+        # group collapses to one canonical doc (min doc_id); pointer-doubling
+        # min-label propagation, O(log diameter) rounds
+        "dedup_clusters": lambda s, d: dedup.dup_clusters(
+            _docs(s, d), dedup.minhash_lsh_pairs(_docs(s, d))
+        ),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         # contract plan is SRP-LSH bucketing + exact verify (no cross join);
         # its oracle mirrors the full LSH computation in SQL, and recall vs
@@ -450,6 +456,31 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
             "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
             "FROM bands a JOIN bands b USING (band, band_hash) "
             "WHERE a.doc_id < b.doc_id ORDER BY 1, 2"
+        ),
+        # transitive closure of the SAME minhash-LSH pairs via recursive CTE
+        # (walk accumulates every reachable node; min(reach) per node is the
+        # component's canonical id) — exact ground truth for the iterative
+        # pointer-doubling plan
+        "dedup_clusters": (
+            _SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1) + ", "
+            "sig AS (SELECT doc_id, s.sig_id, "
+            "min(md5(s.sig_id::VARCHAR || '|' || shingle)) AS mh "
+            "FROM sh, unnest(generate_series(0, 15)) AS s(sig_id) GROUP BY 1, 2), "
+            "bands AS (SELECT doc_id, sig_id // 4 AS band, "
+            "md5(array_to_string(list_sort(list(sig_id::VARCHAR || ':' || mh)), '|')) AS band_hash "
+            "FROM sig GROUP BY doc_id, sig_id // 4), "
+            "prs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+            "FROM bands a JOIN bands b USING (band, band_hash) "
+            "WHERE a.doc_id < b.doc_id), "
+            "edges AS (SELECT a_id AS src, b_id AS dst FROM prs "
+            "UNION SELECT b_id, a_id FROM prs), "
+            "walk(node, reach) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach) "
+            "SELECT node AS doc_id, min(reach) AS cluster_id, "
+            "(node = min(reach)) AS is_canonical "
+            "FROM walk GROUP BY node ORDER BY doc_id"
         ),
         "dedup_simhash": (
             f"WITH toks AS ({_TOKS_NOSTOP}), "

@@ -321,3 +321,83 @@ def embedding_cosine_dups_lsh(
         .where(F.col("cos") >= threshold)
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------- clusters
+
+
+def dup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical): connected components over dup
+    pairs — the step a dedup pipeline runs AFTER pair generation, so each
+    duplicate group keeps exactly one canonical document
+    (cluster_id = min doc_id of the component; singletons are their own
+    cluster).
+
+    Algorithm: min-label propagation with POINTER DOUBLING — each round
+    every node takes the min of its own label, its neighbors' labels, and
+    its label's label (path shortcut). The shortcut makes convergence
+    O(log diameter) rounds instead of O(diameter), which is what makes a
+    driver-side iteration loop acceptable at 10^12 docs (a path-shaped
+    component of length 1M converges in ~20 rounds, not 1M). Each round is
+    two shuffles (neighbor min, shortcut join) on uniform doc_id keys; the
+    loop materializes each generation and unpersists the previous one so
+    executor memory stays O(|V|); long-lineage growth is bounded by the
+    iteration cap. Deterministic: min() everywhere.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    )
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        stepped = (
+            labels.join(neigh, labels["doc_id"] == neigh["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_nmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer doubling: cluster_id := label(cluster_id)
+        parent = labels.select(
+            F.col("doc_id").alias("_p"), F.col("cluster_id").alias("_plabel")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["cluster_id"] == parent["_p"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_plabel"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

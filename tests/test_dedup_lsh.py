@@ -89,3 +89,24 @@ def test_embedding_lsh_bucket_cap_is_deterministic_subset(spark, emb):
     )
     assert capped1 == capped2  # deterministic under re-execution
     assert capped1 <= uncapped
+
+
+def test_dup_clusters_components(spark):
+    """Connected components over dup pairs: a 40-node path (worst case for
+    plain label propagation) must converge within the pointer-doubling
+    iteration cap, singletons stay their own cluster."""
+    from fts_engine_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    n = 40
+    docs = spark.range(0, n + 3).select(F.col("id").alias("doc_id"))
+    # path 0-1-2-...-39, plus a 2-cycle {40,41}; 42 is a singleton
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(40, 41)],
+        "a_id long, b_id long",
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup.dup_clusters(docs, pairs, max_iter=10).collect()}
+    assert all(out[i] == (0, i == 0) for i in range(n))
+    assert out[40] == (40, True) and out[41] == (40, False)
+    assert out[42] == (42, True)
