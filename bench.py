@@ -482,6 +482,10 @@ def run_scaling(sf_dir: str) -> None:
         "cores and only evidences query-path SCALING; the serving-tier",
         "headline (warm p50/p99/QPS at the deployment parallelism, local[32])",
         "is the per-round `python bench.py` record (BENCH_r{N}.json).",
+        "The operator-suite row is second-scale jobs at sf0.1 whose wall",
+        "time is dominated by per-job fixed costs at EITHER level — it is",
+        "not a scaling signal at this input size (the same operators'",
+        "scale behavior is asserted structurally in tests/test_plans.py).",
         "",
         "```json",
         json.dumps(report, indent=1),
