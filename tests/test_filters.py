@@ -162,3 +162,24 @@ def test_gated_search_matches_dict_path(spark, small_index, strategy):
         g = [(r["doc_id"], round(r["score"], 9))
              for r in gated.search_bm25(q, k=10, mode="wand").collect()]
         assert e == g, (strategy, q)
+
+
+def test_gated_search_matches_dict_in_warm_mode(spark, small_index):
+    """The probabilistic gate composes with warm serving: gating happens at
+    query normalization, the warm driver dictionary still provides exact
+    (mult, df) for the survivors."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir, _ = small_index
+    exact = FtsIndex(spark, index_dir, pruning="dict").warm(serving_conf=False)
+    gated = FtsIndex(spark, index_dir, pruning="ribbon").warm(serving_conf=False)
+    try:
+        for q in ("turtle hotel", "absentwordxyz coordinate"):
+            e = [(r["doc_id"], round(r["score"], 9))
+                 for r in exact.search_bm25(q, k=10, mode="wand").collect()]
+            g = [(r["doc_id"], round(r["score"], 9))
+                 for r in gated.search_bm25(q, k=10, mode="wand").collect()]
+            assert e == g, q
+    finally:
+        exact.close()
+        gated.close()
