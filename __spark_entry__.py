@@ -80,7 +80,11 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from fts_engine_spark.build import META_VERSION
+
+    # version in the key: a format bump must not resume a stale on-disk
+    # cache from a previous build (meta version check would refuse it)
+    key = hashlib.md5(f"{sf_dir}:v{META_VERSION}".encode()).hexdigest()[:10]
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     from fts_engine_spark.build import BuildConfig, build_index

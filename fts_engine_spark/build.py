@@ -59,11 +59,18 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .codec import SKIP_BLOCK, encode_postings, varbyte_encode
+from .codec import (
+    SKIP_BLOCK,
+    _block_byte_offsets,
+    encode_postings,
+    varbyte_encode,
+)
 from .checkpoint import Manifest, atomic_write_json
 from .functions.udfs import make_term_tf_by_lang_udf, make_term_tf_udf
 
-META_VERSION = 1
+# v2: postings gained skip_dl_off (per-block byte offsets into dl_blob) so
+# the WAND kernel can decode doc/tf/dl per skip block instead of whole blobs
+META_VERSION = 2
 
 # assign_doc_ids ships per-bucket offsets as a literal map up to this many
 # buckets; beyond it (auto-scaled counts grow with cluster parallelism) a
@@ -83,6 +90,7 @@ POSTINGS_SCHEMA = StructType(
         StructField("skip_max_tf", ArrayType(IntegerType()), False),
         StructField("skip_doc_off", ArrayType(IntegerType()), False),
         StructField("skip_tf_off", ArrayType(IntegerType()), False),
+        StructField("skip_dl_off", ArrayType(IntegerType()), False),
     ]
 )
 
@@ -224,6 +232,7 @@ def _group_encoder(shard_size: int, skip: int):
             ("skip_max_tf", pa.list_(pa.int32())),
             ("skip_doc_off", pa.list_(pa.int32())),
             ("skip_tf_off", pa.list_(pa.int32())),
+            ("skip_dl_off", pa.list_(pa.int32())),
         ]
     )
 
@@ -246,6 +255,17 @@ def _group_encoder(shard_size: int, skip: int):
         doc_packed, doc_csum = varbyte_encode_all(diff)  # int64 viewed as u64
         tf_packed, tf_csum = varbyte_encode_all(t)
         dl_packed, dl_csum = varbyte_encode_all(dl)
+        # the per-group byte offsets below are int32 slices of these packed
+        # buffers; numpy astype would WRAP silently past 2 GiB, corrupting
+        # every emitted blob — callers bound chunks by rows (see
+        # _make_doc_encoder), this is the hard backstop
+        if max(int(doc_csum[-1]), int(tf_csum[-1]), int(dl_csum[-1])) >= 2**31:
+            raise ValueError(
+                "encoder chunk packs >=2GiB of varbyte bytes (doc/tf/dl = "
+                f"{int(doc_csum[-1])}/{int(tf_csum[-1])}/{int(dl_csum[-1])}); "
+                "int32 blob offsets would wrap — lower the encoder chunk "
+                "row bound"
+            )
 
         def _binary(packed: np.ndarray, csum: np.ndarray) -> pa.Array:
             offs = csum[np.append(ls, m)].astype(np.int32)
@@ -275,6 +295,7 @@ def _group_encoder(shard_size: int, skip: int):
         g_ls = ls[grp_of_block]
         skip_doc_off = (doc_csum[blk_start] - doc_csum[g_ls]).astype(np.int32)
         skip_tf_off = (tf_csum[blk_start] - tf_csum[g_ls]).astype(np.int32)
+        skip_dl_off = (dl_csum[blk_start] - dl_csum[g_ls]).astype(np.int32)
 
         loffs = blk_csum.astype(np.int32)
         arrays = [
@@ -289,6 +310,7 @@ def _group_encoder(shard_size: int, skip: int):
             pa.ListArray.from_arrays(loffs, pa.array(skip_max_tf, type=pa.int32())),
             pa.ListArray.from_arrays(loffs, pa.array(skip_doc_off, type=pa.int32())),
             pa.ListArray.from_arrays(loffs, pa.array(skip_tf_off, type=pa.int32())),
+            pa.ListArray.from_arrays(loffs, pa.array(skip_dl_off, type=pa.int32())),
         ]
         return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
@@ -338,6 +360,7 @@ def _make_arrow_encoder(shard_size: int, skip: int):
                     enc.tf_blob, dl_blob, enc.skip_last_doc.tolist(),
                     enc.skip_max_tf.tolist(), enc.skip_doc_off.tolist(),
                     enc.skip_tf_off.tolist(),
+                    _block_byte_offsets(dl.astype(np.uint64), skip).tolist(),
                 )
             )
 
@@ -424,7 +447,12 @@ def _make_arrow_encoder(shard_size: int, skip: int):
     return encode_stream
 
 
-def _make_doc_encoder(shard_size: int, skip: int, group_chunk: int = 1 << 16):
+def _make_doc_encoder(
+    shard_size: int,
+    skip: int,
+    group_chunk: int = 1 << 16,
+    max_chunk_rows: int = 1 << 24,
+):
     """mapInArrow kernel over DOCUMENT rows: consume (shard_id, doc_id, dl,
     pairs:[{term,tf}]) batches — one row per document, in any order — and
     emit one encoded posting row per (shard_id, term) group.
@@ -447,8 +475,18 @@ def _make_doc_encoder(shard_size: int, skip: int, group_chunk: int = 1 << 16):
     deterministic hash of the term). Output groups are sorted by term
     STRING (not dictionary code) so parquet row-group min/max stats on
     ``term`` stay as tight as the old sorted-by-term plan.
+
+    Output chunking is bounded by ``group_chunk`` groups AND
+    ``max_chunk_rows`` postings: the group-count bound alone leaves chunk
+    bytes unbounded (65536 head-term groups can pack >2 GiB, wrapping the
+    int32 blob offsets — ``_group_encoder`` additionally hard-fails before
+    the cast). 16M postings encode to <=160 MiB per blob (<=10 B/value),
+    comfortably inside int32.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc  # NOT imported by pyarrow's __init__ —
+    # relying on `pa.compute` resolving via pyspark's own internal import
+    # is fragile across versions (AttributeError in a bare interpreter)
 
     out_schema, encode_groups = _group_encoder(shard_size, skip)
 
@@ -461,7 +499,7 @@ def _make_doc_encoder(shard_size: int, skip: int, group_chunk: int = 1 << 16):
         doc_doc = tbl.column("doc_id").chunk(0).to_numpy().astype(np.int64)
         dl_doc = tbl.column("dl").chunk(0).to_numpy().astype(np.int64)
         pairs = tbl.column("pairs").chunk(0)
-        sizes = pa.compute.list_value_length(pairs).to_numpy().astype(np.int64)
+        sizes = pc.list_value_length(pairs).to_numpy().astype(np.int64)
         flat = pairs.flatten()  # StructArray over the exact logical range
         term_flat = flat.field("term")
         tf_flat = flat.field("tf").to_numpy().astype(np.int64)
@@ -498,12 +536,19 @@ def _make_doc_encoder(shard_size: int, skip: int, group_chunk: int = 1 << 16):
         gstarts = np.flatnonzero(change)
         gends = np.append(gstarts[1:], m)
 
-        # emit in bounded chunks of complete groups
-        for i in range(0, len(gstarts), group_chunk):
-            gs = gstarts[i : i + group_chunk]
-            ge = gends[i : i + group_chunk]
+        # emit in chunks of complete groups, bounded by BOTH group count
+        # and posting-row count (byte safety; see docstring)
+        G = len(gstarts)
+        i = 0
+        while i < G:
+            row_limit = int(gstarts[i]) + max_chunk_rows
+            j_rows = int(np.searchsorted(gends, row_limit, side="right"))
+            j = max(i + 1, min(i + group_chunk, G, j_rows))
+            gs = gstarts[i:j]
+            ge = gends[i:j]
             term_at = dictionary.take(pa.array(codes[gs], type=pa.int64()))
             yield encode_groups(term_at, shard, doc, tf, dl, gs, ge)
+            i = j
 
     return encode_stream
 

@@ -396,6 +396,16 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with labels still moving: the returned
+        # cluster assignment would be silently wrong (nodes not yet joined
+        # to their component minimum). Pointer doubling converges in
+        # O(log diameter) rounds, so hitting this means a pathological
+        # graph or a too-small cap — fail loudly rather than mislabel.
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (labels still changing); raise max_iter"
+        )
     return labels.select(
         "doc_id",
         "cluster_id",

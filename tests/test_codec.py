@@ -7,6 +7,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from fts_engine_spark.codec import (
+    _block_byte_offsets,
     decode_block,
     decode_postings,
     encode_postings,
@@ -196,6 +197,10 @@ def test_arrow_encoder_matches_per_group_reference(stream):
         assert r["skip_max_tf"] == ref.skip_max_tf.tolist()
         assert r["skip_doc_off"] == ref.skip_doc_off.tolist()
         assert r["skip_tf_off"] == ref.skip_tf_off.tolist()
+        assert (
+            r["skip_dl_off"]
+            == _block_byte_offsets(dl.astype(np.uint64), skip).tolist()
+        )
     assert set(got) == expected_keys
 
 
@@ -295,4 +300,8 @@ def test_doc_encoder_matches_per_group_reference(stream):
         assert r["skip_max_tf"] == ref.skip_max_tf.tolist()
         assert r["skip_doc_off"] == ref.skip_doc_off.tolist()
         assert r["skip_tf_off"] == ref.skip_tf_off.tolist()
+        assert (
+            r["skip_dl_off"]
+            == _block_byte_offsets(dl.astype(np.uint64), skip).tolist()
+        )
     assert set(got) == set(groups)

@@ -1,0 +1,185 @@
+"""Direct (in-process) tests of the block-max WAND kernel, focused on the
+block-PARTIAL decode path (VERDICT r3 next #1): a selective query must
+decode only the skip blocks whose segments survive the theta test — verified
+through the kernel's decoded-blocks/bytes counters — while returning exactly
+the brute-force BM25 top-k.
+
+The kernel is a plain function, so these tests run it without Spark; the
+``counters`` dict is therefore visible (in executors each worker mutates its
+own copy, which is discarded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from fts_engine_spark.codec import (
+    _block_byte_offsets,
+    encode_postings,
+    varbyte_encode,
+)
+from fts_engine_spark.query import B, K1, bm25_idf, make_wand_kernel
+
+SHARD_SIZE = 1 << 20
+SKIP = 128
+
+
+def make_posting_row(term, doc_ids, tfs, dls, mult, df, shard_id=0):
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    enc = encode_postings(doc_ids, tfs, base_doc=shard_id * SHARD_SIZE, skip=SKIP)
+    return dict(
+        term=term,
+        shard_id=shard_id,
+        count=enc.count,
+        tf_sum=int(tfs.sum()),
+        doc_blob=enc.doc_blob,
+        tf_blob=enc.tf_blob,
+        dl_blob=varbyte_encode(dls.astype(np.uint64)),
+        skip_last_doc=enc.skip_last_doc.tolist(),
+        skip_max_tf=enc.skip_max_tf.tolist(),
+        skip_doc_off=enc.skip_doc_off.tolist(),
+        skip_tf_off=enc.skip_tf_off.tolist(),
+        skip_dl_off=_block_byte_offsets(dls.astype(np.uint64), SKIP).tolist(),
+        mult=mult,
+        df=df,
+    )
+
+
+def bm25_score(mult, n_docs, df, tf, dl, avgdl):
+    idf = bm25_idf(n_docs, df)
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return mult * idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def run_kernel(rows, n_docs, avgdl, k, counters):
+    kernel = make_wand_kernel(
+        n_docs, SHARD_SIZE, avgdl, k, counters=counters
+    )
+    out = kernel(None, pd.DataFrame(rows))
+    return sorted(
+        zip(out["doc_id"].astype(int), out["score"].astype(float)),
+        key=lambda r: (-r[1], r[0]),
+    )
+
+
+def test_selective_query_decodes_few_blocks():
+    """One head term where only block 0 holds high-tf postings: once the
+    heap fills from block 0, every later segment's UB is below theta, so no
+    other block of the 157-block list may be decoded."""
+    n = 20_000
+    doc_ids = np.arange(n)
+    tfs = np.ones(n, dtype=np.int64)
+    tfs[:SKIP] = 50  # block 0 only
+    dls = np.full(n, 100, dtype=np.int64)
+    avgdl = 100.0
+    row = make_posting_row("common", doc_ids, tfs, dls, mult=1, df=n)
+
+    counters: dict[str, int] = {}
+    got = run_kernel([row], n_docs=n, avgdl=avgdl, k=10, counters=counters)
+
+    n_blocks = (n + SKIP - 1) // SKIP
+    assert counters["blocks_total"] == n_blocks
+    assert counters.get("full_decodes", 0) == 0
+    # block 0 always decodes; theta then kills every tf=1 segment
+    assert counters["blocks_decoded"] == 1
+    blob_bytes = len(row["doc_blob"]) + len(row["tf_blob"]) + len(row["dl_blob"])
+    assert counters["bytes_decoded"] < blob_bytes / 50
+
+    # exact result: the 10 lowest doc_ids of block 0 (equal scores,
+    # doc_id-asc tie-break)
+    expect_score = float(bm25_score(1, n, n, 50, 100, avgdl))
+    assert [d for d, _ in got] == list(range(10))
+    for _, s in got:
+        assert abs(s - expect_score) < 1e-12
+
+
+def test_partial_decode_matches_bruteforce_multiterm():
+    """Two-term query with varied tf/dl: kernel top-k must equal the numpy
+    brute-force BM25 ranking exactly, while still decoding fewer blocks
+    than the full lists."""
+    rng = np.random.default_rng(7)
+    n = 12_800  # 100 blocks
+    common_docs = np.arange(n)
+    common_tfs = rng.integers(1, 4, size=n)
+    common_tfs[3 * SKIP : 4 * SKIP] = 60  # one hot block in the middle
+    dls = (80 + (common_docs % 40)).astype(np.int64)
+    avgdl = float(dls.mean())
+
+    # concentrated in docs [2000, 4000): blocks outside that range hold
+    # only low-idf common postings, so theta kills them once the sweep
+    # passes the rare region
+    rare_docs = np.sort(rng.choice(np.arange(2000, 4000), size=300, replace=False))
+    rare_tfs = rng.integers(5, 30, size=300)
+    rare_dls = dls[rare_docs]
+
+    rows = [
+        make_posting_row("common", common_docs, common_tfs, dls, mult=1, df=n),
+        make_posting_row("rare", rare_docs, rare_tfs, rare_dls, mult=2, df=300),
+    ]
+
+    counters: dict[str, int] = {}
+    k = 15
+    got = run_kernel(rows, n_docs=n, avgdl=avgdl, k=k, counters=counters)
+
+    # brute force over the union
+    scores = np.zeros(n)
+    scores[common_docs] += bm25_score(1, n, n, common_tfs, dls, avgdl)
+    scores[rare_docs] += bm25_score(2, n, 300, rare_tfs, rare_dls, avgdl)
+    order = np.lexsort((np.arange(n), -scores))
+    expect = [(int(d), float(scores[d])) for d in order[:k]]
+
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, sg), (_, se) in zip(got, expect):
+        assert abs(sg - se) < 1e-9
+
+    # partial decode really happened: common blocks before/inside the rare
+    # region may decode (~33 of 100), but everything after doc 4000 must be
+    # skipped undecoded
+    assert counters["blocks_decoded"] < counters["blocks_total"]
+    assert counters["blocks_decoded"] < 60
+
+
+def test_tiny_list_takes_full_decode_path():
+    """Lists of <=2 blocks skip block bookkeeping and full-decode once."""
+    n = 150  # 2 blocks
+    doc_ids = np.arange(n)
+    tfs = np.ones(n, dtype=np.int64)
+    dls = np.full(n, 50, dtype=np.int64)
+    row = make_posting_row("tiny", doc_ids, tfs, dls, mult=1, df=n)
+    counters: dict[str, int] = {}
+    got = run_kernel([row], n_docs=n, avgdl=50.0, k=5, counters=counters)
+    assert counters["full_decodes"] == 1
+    assert counters["blocks_decoded"] == counters["blocks_total"] == 2
+    assert [d for d, _ in got] == list(range(5))
+
+
+def test_block_partial_equals_full_decode_kernel():
+    """The block-partial kernel and a kernel forced down the full-decode
+    path (term_stats absent vs... same path, so instead: compare against a
+    run where every list is <=2 blocks by re-encoding with a huge skip)
+    must produce identical top-k on identical logical postings."""
+    rng = np.random.default_rng(42)
+    n = 5_000
+    docs_a = np.sort(rng.choice(n, size=2_000, replace=False))
+    tfs_a = rng.integers(1, 20, size=2_000)
+    dl_all = (60 + (np.arange(n) % 30)).astype(np.int64)
+    docs_b = np.sort(rng.choice(n, size=400, replace=False))
+    tfs_b = rng.integers(1, 40, size=400)
+    avgdl = float(dl_all.mean())
+
+    rows = [
+        make_posting_row("a", docs_a, tfs_a, dl_all[docs_a], mult=1, df=2_000),
+        make_posting_row("b", docs_b, tfs_b, dl_all[docs_b], mult=1, df=400),
+    ]
+    got = run_kernel(rows, n_docs=n, avgdl=avgdl, k=20, counters={})
+
+    scores = np.zeros(n)
+    scores[docs_a] += bm25_score(1, n, 2_000, tfs_a, dl_all[docs_a], avgdl)
+    scores[docs_b] += bm25_score(1, n, 400, tfs_b, dl_all[docs_b], avgdl)
+    order = np.lexsort((np.arange(n), -scores))
+    expect = [int(d) for d in order[:20]]
+    assert [d for d, _ in got] == expect
