@@ -3,18 +3,31 @@
 The batch engine sessionizes with two per-user window functions
 (``operators/relational.py:sessionize``). On an unbounded stream the same
 gap-based semantics need CUSTOM STATE: a user's open session must survive
-across micro-batches and close either when a later event exceeds the gap
-or when event time (the watermark) passes ``session_end + gap`` — the
-canonical ``applyInPandasWithState`` shape (state schema + event-time
-timeout), which ``groupBy(window(...))`` aggregation cannot express
-because a session's extent depends on the data, not a fixed grid.
+across micro-batches and close only when event time (the watermark) passes
+``session_end + gap`` — the canonical ``applyInPandasWithState`` shape
+(state schema + event-time timeout), which ``groupBy(window(...))``
+aggregation cannot express because a session's extent depends on the data,
+not a fixed grid.
 
-Scale: state is one (start, end, n) triple per ACTIVE user — O(active
-users), evenly hash-partitioned by user_id; timeouts garbage-collect
-closed sessions, so state does not grow with stream length. Emission is
-append-mode and deterministic in event time: a session is final once the
-watermark passes its end + gap, independent of micro-batch boundaries
-(asserted against the batch operator in tests/test_streaming_sessionize.py).
+Late-data correctness: a session is NOT final the moment a later in-batch
+event exceeds the gap — a late-but-within-watermark event arriving in a
+later micro-batch can still land inside it, before it, or BRIDGE two
+provisional sessions into one. State therefore holds the full list of
+provisional sessions per user (each an interval whose internal event gaps
+are <= gap), new events are merged interval-style (start = min, end = max,
+counts summed; an event connects to a session iff it lies within ``gap``
+of its boundary), and a session is emitted only once the watermark passes
+``end + gap`` — at which point no admissible event (Spark drops rows older
+than the watermark) can ever connect to it. Emission is append-mode and
+deterministic in event time: the emitted set equals the batch operator's
+output over the same (non-late) events, independent of micro-batch
+boundaries (asserted in tests/test_streaming_sessionize.py, including a
+late event that splits differently than in-order processing would).
+
+Scale: state is the provisional-session list per ACTIVE user — O(active
+users * sessions inside the watermark horizon), evenly hash-partitioned by
+user_id; watermark-driven emission garbage-collects state, so it does not
+grow with stream length.
 """
 
 from __future__ import annotations
@@ -31,7 +44,34 @@ _OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long"
 )
-_STATE_SCHEMA = "start long, end long, n long"
+# provisional sessions, parallel arrays sorted by start
+_STATE_SCHEMA = "starts array<long>, ends array<long>, ns array<long>"
+
+
+def _merge(
+    sessions: list[tuple[int, int, int]], epochs: list[int], gap: int
+) -> list[tuple[int, int, int]]:
+    """Merge new event times into the provisional-session list.
+
+    Both inputs represent gap-connected event sets, so connectivity is
+    purely boundary proximity: sweep all items in start order, connecting
+    an item whenever its start is within ``gap`` of the running end. This
+    reproduces exactly the batch semantics (sort ALL events, split where
+    consecutive diff > gap) — a late event can extend a session backwards
+    (start = min) or bridge two provisional sessions into one.
+    """
+    items = sorted(sessions + [(t, t, 1) for t in epochs])
+    out: list[tuple[int, int, int]] = []
+    cs, ce, cn = items[0]
+    for s, e, n in items[1:]:
+        if s - ce <= gap:
+            ce = max(ce, e)
+            cn += n
+        else:
+            out.append((cs, ce, cn))
+            cs, ce, cn = s, e, n
+    out.append((cs, ce, cn))
+    return out
 
 
 def _make_update_fn(gap_seconds: int):
@@ -54,44 +94,44 @@ def _make_update_fn(gap_seconds: int):
                 }
             )
 
-        if state.hasTimedOut:
-            # watermark passed session_end + gap: the open session is final
-            if state.exists:
-                s, e, n = state.get
-                state.remove()
-                yield emit([(int(s), int(e), int(n))])
-            return
-
-        epochs: list[int] = []
-        for pdf in pdfs:
-            ts = pd.to_datetime(pdf["ts"])
-            epochs.extend((ts.astype("int64") // 10**9).tolist())
-        epochs.sort()
-
+        sessions: list[tuple[int, int, int]] = []
         if state.exists:
-            s, e, n = (int(x) for x in state.get)
-        else:
-            s = e = -1
-            n = 0
+            starts, ends, ns = state.get
+            sessions = [
+                (int(s), int(e), int(n)) for s, e, n in zip(starts, ends, ns)
+            ]
 
-        closed: list[tuple[int, int, int]] = []
-        for t in epochs:
-            if n == 0:
-                s = e = t
-                n = 1
-            elif t - e > gap_seconds:
-                closed.append((s, e, n))
-                s = e = t
-                n = 1
-            else:
-                e = max(e, t)
-                n += 1
+        if not state.hasTimedOut:
+            epochs: list[int] = []
+            for pdf in pdfs:
+                ts = pd.to_datetime(pdf["ts"])
+                epochs.extend((ts.astype("int64") // 10**9).tolist())
+            if epochs:
+                sessions = _merge(sessions, epochs, gap_seconds)
 
-        if n > 0:
-            state.update((s, e, n))
-            state.setTimeoutTimestamp((e + gap_seconds) * 1000)
-        if closed:
-            yield emit(closed)
+        # final = watermark passed end + gap: any still-admissible event t
+        # satisfies t > watermark >= end + gap, so it cannot connect
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        final = [x for x in sessions if x[1] + gap_seconds <= wm_sec]
+        pending = [x for x in sessions if x[1] + gap_seconds > wm_sec]
+
+        if pending:
+            state.update(
+                (
+                    [s for s, _, _ in pending],
+                    [e for _, e, _ in pending],
+                    [n for _, _, n in pending],
+                )
+            )
+            # re-arm for the earliest possible finalization; guaranteed
+            # > current watermark because ripe sessions were split off
+            state.setTimeoutTimestamp(
+                (min(e for _, e, _ in pending) + gap_seconds) * 1000
+            )
+        elif state.exists:
+            state.remove()
+        if final:
+            yield emit(sorted(final))
 
     return update
 

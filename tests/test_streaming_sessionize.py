@@ -107,6 +107,76 @@ def test_stream_sessions_match_batch(spark, stream_result):
     assert got == expected
 
 
+def test_late_event_resplits_provisional_sessions(spark, tmp_path):
+    """ADVICE r3 (medium): a late-but-within-watermark event arriving in a
+    LATER micro-batch must land exactly where batch semantics put it — here
+    events [0, 1000] then late 800 with gap 600 must yield sessions
+    (0,0,1) and (800..1000,2), NOT (1000,2). Requires gap-closed sessions
+    to stay provisional until the watermark passes end+gap, and session
+    start to move down on merge."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2025, 6, 1, 12, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    def at(off):
+        return base + dt.timedelta(seconds=off)
+
+    write("b1", [(0, 7, at(0)), (1, 7, at(1000))])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=GAP, watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_late")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 1000-300=700s: 800 is late relative to arrival
+        # order but still admissible
+        write("b2", [(2, 7, at(800))])
+        q.processAllAvailable()
+        write("b3", [(3, 999, dt.datetime(2025, 6, 2, 12, 0, 0))])
+        q.processAllAvailable()
+        write("b4", [(4, 999, dt.datetime(2025, 6, 2, 13, 0, 0))])
+        q.processAllAvailable()
+        out = spark.table("sessions_late").collect()
+    finally:
+        q.stop()
+
+    got = {
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in out
+        if r["user_id"] == 7
+    }
+    assert got == {(at(0), at(0), 1), (at(800), at(1000), 2)}
+
+    # and the emitted set equals the batch operator over the same events
+    # (the batch operator formats timestamps as strings)
+    batch_df = spark.createDataFrame(
+        [(0, 7, at(0)), (1, 7, at(1000)), (2, 7, at(800))], schema
+    )
+    expected = {
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch_df, gap_seconds=GAP).collect()
+    }
+    fmt = "%Y-%m-%d %H:%M:%S"
+    assert {
+        (s.strftime(fmt), e.strftime(fmt), n) for s, e, n in got
+    } == expected
+
+
 def test_stream_sessions_closed_by_gap_and_timeout(stream_result):
     by_user = {}
     for r in stream_result:
