@@ -165,12 +165,20 @@ class FtsEngine:
     # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats
     def analyze(self) -> DataFrame:
         """Per-shard metrics + global rollup of the index shape."""
-        m = self.spark.read.parquet(os.path.join(self.index_dir, "metrics"))
+        from .layout import table_path
+
+        m = self.spark.read.parquet(
+            table_path(self.index_dir, self.index.meta, "metrics")
+        )
         return m.orderBy("shard_id")
 
     def stats(self) -> dict:
         """Global index stats (reference Stats struct equivalent)."""
-        terms = self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+        from .layout import table_path
+
+        terms = self.spark.read.parquet(
+            table_path(self.index_dir, self.index.meta, "terms")
+        )
         row = terms.agg(
             F.count("*").alias("n_terms"),
             F.sum("df").alias("n_postings"),

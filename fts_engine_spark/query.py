@@ -127,9 +127,13 @@ class FtsIndex:
         self.avgdl = float(self.meta["avgdl"])
         self.shard_size = int(self.meta["shard_size"])
         self.preset = self.meta["preset"]
-        self._postings_path = os.path.join(index_dir, "postings")
-        self._terms_path = os.path.join(index_dir, "terms")
-        self._docs_path = os.path.join(index_dir, "docs")
+        from .layout import table_path
+
+        # versioned-table pointers (atomic replace by compaction /
+        # incremental dictionary merge); legacy names when absent
+        self._postings_path = table_path(index_dir, self.meta, "postings")
+        self._terms_path = table_path(index_dir, self.meta, "terms")
+        self._docs_path = table_path(index_dir, self.meta, "docs")
         self._postings_df: DataFrame | None = None
         self._terms_df: DataFrame | None = None
         self._warm = False
