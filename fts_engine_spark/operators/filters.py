@@ -23,8 +23,10 @@ GB; either filter provides the SAME query-term gate (no false negatives —
 a gated-out term is definitely absent; false positives merely cost one
 wasted exact lookup) in ~20-50x less driver memory. At 10^9+-term scale
 the build parallelizes naturally over the range-bucketed dictionary (one
-filter per bucket, gate = OR over bucket filters); the single-filter form
-here is the per-bucket unit.
+filter per bucket, range-routed membership — equivalent to the OR over
+bucket filters); :class:`BucketedTermGate` below implements that path as
+a single mapInPandas pass, and the single-filter forms are its per-bucket
+units.
 
 Both are pure numpy/python with DETERMINISTIC builds (the reference's
 cuckoo evicts a ``rand.Intn`` victim; we derive the victim slot from the
@@ -360,3 +362,167 @@ def _xor_rows(c_start: int, c_mask: int, c_fp: int,
         return 0, 0, fp
     tz = _trailing_zeros(mask)
     return c_start + tz, mask >> tz, fp
+
+
+# ---------------------------------------------------------------- bucketed
+
+
+def _filter_to_bytes(f) -> bytes:
+    """npz-serialize a Cuckoo/Ribbon filter into a bytes blob (the unit a
+    distributed fit ships back to the driver)."""
+    import io
+
+    buf = io.BytesIO()
+    if isinstance(f, CuckooFilter):
+        np.savez_compressed(
+            buf, kind=np.array([0]), buckets=f.buckets,
+            meta=np.array([f.bucket_size, f.max_kicks], dtype=np.int64),
+        )
+    elif isinstance(f, RibbonFilter):
+        np.savez_compressed(
+            buf, kind=np.array([1]), cells=f.cells,
+            meta=np.array(
+                [f.m, f.w, f.seed, f.span, 1 if f.built else 0],
+                dtype=np.int64,
+            ),
+        )
+    else:
+        raise TypeError(f"cannot serialize {type(f).__name__}")
+    return buf.getvalue()
+
+
+def _filter_from_bytes(blob: bytes):
+    import io
+
+    with np.load(io.BytesIO(blob)) as z:
+        if int(z["kind"][0]) == 0:
+            buckets = z["buckets"]
+            bucket_size, max_kicks = (int(x) for x in z["meta"])
+            cf = CuckooFilter(buckets.shape[0], bucket_size, max_kicks)
+            cf.buckets = buckets.astype(np.uint16)
+            return cf
+        cells = z["cells"]
+        m, w, seed, span, built = (int(x) for x in z["meta"])
+        rf = RibbonFilter.__new__(RibbonFilter)
+        rf.m, rf.w, rf.seed, rf.span = m, w, seed, span
+        rf.cells = cells.astype(np.uint16)
+        rf.built = bool(built)
+        return rf
+
+
+class BucketedTermGate:
+    """Per-range-bucket term gate — the 10^9-term build path this module's
+    header promises (one filter per dictionary bucket).
+
+    The terms table is written range-bucketed by term (build.py), so each
+    parquet partition holds a DISJOINT, contiguous term range. The fit
+    runs as ONE ``mapInPandas`` pass over that table: every task fits a
+    filter over ITS partition's vocabulary only (peak build memory =
+    largest bucket, not the vocabulary) and ships back ~2 bytes/term of
+    filter plus the bucket's [min, max] term range. The driver never
+    materializes term strings.
+
+    Membership routes by range (the buckets are disjoint, so at most one
+    can hold the term; a term falling between ranges is a TRUE negative)
+    and probes that bucket's filter — equivalent to the OR over all
+    bucket filters, minus the extra false-positive chances. No false
+    negatives: every indexed term lies inside its bucket's range and its
+    bucket's filter.
+    """
+
+    def __init__(self, kind: str, filters: list, ranges: list[tuple[str, str]]):
+        order = sorted(range(len(ranges)), key=lambda i: ranges[i][0])
+        self.kind = kind
+        self.filters = [filters[i] for i in order]
+        self.ranges = [ranges[i] for i in order]
+        self._mins = [r[0] for r in self.ranges]
+
+    @classmethod
+    def fit_distributed(cls, terms_df, kind: str = "cuckoo") -> "BucketedTermGate":
+        """Fit per-bucket filters over the range-bucketed terms table."""
+        import pandas as pd
+
+        if kind not in ("cuckoo", "ribbon"):
+            raise ValueError(f"unknown gate kind {kind!r}")
+
+        def fit_partition(batches):
+            terms: list[str] = []
+            for pdf in batches:
+                terms.extend(pdf["term"].tolist())
+            if not terms:
+                return
+            if kind == "cuckoo":
+                f = CuckooFilter.for_capacity(len(terms)).fit(terms)
+            else:
+                f = RibbonFilter.for_capacity(len(terms)).build(terms)
+            yield pd.DataFrame(
+                {
+                    "tmin": [min(terms)],
+                    "tmax": [max(terms)],
+                    "blob": [_filter_to_bytes(f)],
+                }
+            )
+
+        rows = (
+            terms_df.select("term")
+            .mapInPandas(fit_partition, "tmin string, tmax string, blob binary")
+            .collect()
+        )
+        if not rows:
+            raise ValueError("cannot fit a term gate over an empty dictionary")
+        return cls(
+            kind,
+            [_filter_from_bytes(bytes(r["blob"])) for r in rows],
+            [(r["tmin"], r["tmax"]) for r in rows],
+        )
+
+    def _route(self, term: str) -> int | None:
+        import bisect
+
+        i = bisect.bisect_right(self._mins, term) - 1
+        if i < 0 or term > self.ranges[i][1]:
+            return None
+        return i
+
+    def __contains__(self, term: str) -> bool:
+        i = self._route(term)
+        return i is not None and term in self.filters[i]
+
+    @property
+    def nbytes(self) -> int:
+        return sum(f.nbytes for f in self.filters)
+
+    @property
+    def n_buckets(self) -> int:
+        return len(self.filters)
+
+    # ---- snapshot: one npz per bucket + a json manifest, temp+rename
+    def save(self, dir_path: str) -> None:
+        import json
+
+        tmp = f"{dir_path}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for i, f in enumerate(self.filters):
+            f.save(os.path.join(tmp, f"bucket_{i}.npz"))
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump({"kind": self.kind, "ranges": self.ranges}, fh)
+        if os.path.isdir(dir_path):
+            import shutil
+
+            shutil.rmtree(dir_path)
+        os.replace(tmp, dir_path)
+
+    @classmethod
+    def load(cls, dir_path: str) -> "BucketedTermGate":
+        import json
+
+        with open(os.path.join(dir_path, "manifest.json")) as fh:
+            man = json.load(fh)
+        klass = CuckooFilter if man["kind"] == "cuckoo" else RibbonFilter
+        filters = [
+            klass.load(os.path.join(dir_path, f"bucket_{i}.npz"))
+            for i in range(len(man["ranges"]))
+        ]
+        return cls(
+            man["kind"], filters, [tuple(r) for r in man["ranges"]]
+        )

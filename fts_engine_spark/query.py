@@ -268,9 +268,10 @@ class FtsIndex:
             mult[t] = mult.get(t, 0) + 1
         if self._pruner.needs_vocab and mult:
             if not self._pruner.fitted():
-                self._pruner.fit(
-                    r["term"] for r in self._read_terms().select("term").collect()
-                )
+                # distributed per-range-bucket fit: no full-vocabulary
+                # driver collect (each task fits over its own dictionary
+                # bucket; the driver holds only ~2 bytes/term of filters)
+                self._pruner.fit_df(self._read_terms())
             kept = set(self._pruner.gate_terms(list(mult)))
             mult = {t: m for t, m in mult.items() if t in kept}
         return mult
