@@ -609,8 +609,9 @@ def run_scaling(sf_dir: str) -> None:
         "doc-row encoder doubled per-core byte rates) so the measurement",
         "isolates algorithmic scaling — the thing that transfers to a",
         "multi-executor cluster, where every 4N-executor step also multiplies",
-        "memory channels. The wall-straddling (2 vs 8) and saturated (8 vs 32)",
-        "measurements and their analysis live in BENCH/SCALING_NOTES.md.",
+        "memory channels. The consolidated table of all measured pairs (1-4,",
+        "2-8, 8-32) is in root BASELINE.md; analysis in BENCH/SCALING_NOTES.md",
+        "and BENCH/SCALING_8_32.md.",
         "",
         "ABSOLUTE query latency/QPS in this table is measured at N and 4N",
         "cores and only evidences query-path SCALING; the serving-tier",
