@@ -808,7 +808,9 @@ def make_wand_kernel(
                     active.append((t, j))
             if not active:
                 continue
-            if len(heap) >= k and ub_sum <= theta:
+            # k <= 0 = reference "return all" semantics: no pruning, every
+            # matching doc is kept (heap never bounds)
+            if k > 0 and len(heap) >= k and ub_sum <= theta:
                 continue
 
             # exact-score the segment from the active terms; a segment lies
@@ -835,11 +837,11 @@ def make_wand_kernel(
             acc = np.zeros(len(uniq))
             np.add.at(acc, inv, s)
             for doc, sc in zip(uniq.tolist(), acc.tolist()):
-                if len(heap) < k:
+                if k <= 0 or len(heap) < k:
                     heapq.heappush(heap, (sc, -doc))
                 elif (sc, -doc) > heap[0]:
                     heapq.heapreplace(heap, (sc, -doc))
-            if len(heap) >= k:
+            if k > 0 and len(heap) >= k:
                 theta = heap[0][0]
 
         if not heap:

@@ -46,11 +46,22 @@ def stream_pages(spark: SparkSession, input_dir: str, fmt: str = "parquet") -> D
 
 
 def _append_batch(
-    spark: SparkSession, batch_df: DataFrame, index_dir: str, cfg: BuildConfig
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_dir: str,
+    cfg: BuildConfig,
+    compact_every: int | None = None,
 ) -> None:
     """foreachBatch body: build the micro-batch as delta shards appended to
     ``index_dir``. Reuses the exact batch build pipeline against a staging
-    dir, then splices the staged shards in at the next free shard range."""
+    dir, then splices the staged shards in at the next free shard range.
+
+    ``compact_every``: after the commit, when ``delta_batches`` reaches
+    this count, run :func:`..compact.compact_index` — bounds shard-count
+    growth (and therefore warm-cache task count) of a long-running ingest
+    without an external scheduler. Compaction commits atomically, so a
+    crash inside it never harms the just-committed append.
+    """
     if batch_df.isEmpty():
         return
     meta_path = os.path.join(index_dir, "meta.json")
@@ -159,6 +170,11 @@ def _append_batch(
     )
     shutil.rmtree(staging, ignore_errors=True)
 
+    if compact_every and meta["delta_batches"] >= compact_every:
+        from .compact import compact_index
+
+        compact_index(spark, index_dir, cfg)
+
 
 def incremental_index(
     spark: SparkSession,
@@ -167,9 +183,12 @@ def incremental_index(
     cfg: BuildConfig | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the incremental-ingest stream. The index must already exist
     (bootstrap with ``build_index`` on an initial corpus, possibly empty).
+    ``compact_every=N`` merges delta shards back to full shards after
+    every N micro-batches (atomic; see ``compact.compact_index``).
     """
     cfg = cfg or BuildConfig()
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
@@ -179,7 +198,9 @@ def incremental_index(
         pages.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda bdf, _bid: _append_batch(spark, bdf, index_dir, cfg)
+            lambda bdf, _bid: _append_batch(
+                spark, bdf, index_dir, cfg, compact_every=compact_every
+            )
         )
     )
     if available_now:

@@ -133,3 +133,38 @@ def test_incremental_terms_swap_is_versioned(spark, tmp_path):
     # and the index reads through the pointer
     fts = FtsIndex(spark, index_dir)
     assert fts.search_bm25("alpha", k=5).count() == 5
+
+
+def test_append_batch_auto_compacts(spark, tmp_path):
+    """compact_every triggers compaction from inside the ingest commit:
+    shard growth is bounded and results stay identical."""
+    index_dir = str(tmp_path / "ix")
+    build_index(spark, _docs(spark, 130), index_dir, CFG, resume=False)
+    _append_batch(spark, _docs(spark, 15, start=130), index_dir, CFG,
+                  compact_every=2)
+    before = _search_sets(spark, index_dir)
+    _append_batch(spark, _docs(spark, 15, start=145), index_dir, CFG,
+                  compact_every=2)  # delta_batches hits 2 -> compacts
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["compactions"] == 1
+    assert meta["delta_batches"] == 0
+    assert meta["n_shards"] == 3  # ceil(160/64), not 130//64+2 deltas
+    # UNtruncated (k=0) result sets must equal a fresh build over all 160
+    # docs exactly, by (url, score) — doc ids differ (fresh builds assign
+    # by url-hash rank), so top-10 tie winners would differ, but the full
+    # match set + scores cannot
+    def full_sets(ix):
+        fts = FtsIndex(spark, ix)
+        return {
+            q: {
+                (r["url"], round(float(r["score"]), 9))
+                for r in fts.search_bm25(q, k=0, hydrate=True).collect()
+            }
+            for q in ["alpha w3", "epsilon gamma", "w12 delta"]
+        }
+
+    ref_dir = str(tmp_path / "ref")
+    build_index(spark, _docs(spark, 160), ref_dir, CFG, resume=False)
+    assert full_sets(index_dir) == full_sets(ref_dir)
+    assert before  # sanity: pre-compaction searches returned rows

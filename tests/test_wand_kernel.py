@@ -183,3 +183,20 @@ def test_block_partial_equals_full_decode_kernel():
     order = np.lexsort((np.arange(n), -scores))
     expect = [int(d) for d in order[:20]]
     assert [d for d, _ in got] == expect
+
+
+def test_k_zero_returns_all_matches():
+    """k<=0 is the reference's 'return all' (engine.go k<=0 semantics):
+    the kernel must score and return EVERY matching doc — this crashed
+    with an IndexError on an empty heap before r4."""
+    n = 1_000
+    doc_ids = np.arange(0, n, 2)  # 500 matching docs
+    tfs = (1 + (doc_ids % 7)).astype(np.int64)
+    dls = np.full(len(doc_ids), 90, dtype=np.int64)
+    row = make_posting_row("t", doc_ids, tfs, dls, mult=1, df=len(doc_ids))
+    got = run_kernel([row], n_docs=n, avgdl=90.0, k=0, counters={})
+    assert len(got) == 500
+    expect = bm25_score(1, n, 500, tfs, dls, 90.0)
+    by_doc = dict(got)
+    for d, e in zip(doc_ids.tolist(), expect.tolist()):
+        assert abs(by_doc[d] - e) < 1e-12
