@@ -101,12 +101,14 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
-def _index_search(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+def _index_search(
+    spark: SparkSession, sf_dir: str, mode: str, k: int = 10
+) -> DataFrame:
     from fts_engine_spark.query import FtsIndex
 
     index_dir = _ensure_index(spark, sf_dir)
     fts = FtsIndex(spark, index_dir)
-    out = fts.search_bm25(" ".join(Q_TERMS), k=10, mode=mode, hydrate=True)
+    out = fts.search_bm25(" ".join(Q_TERMS), k=k, mode=mode, hydrate=True)
     return out.select(
         F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
         F.round(F.col("score"), 4).alias("score"),
@@ -138,6 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the real engine: sharded varbyte index, both execution modes
         "fts_index_bm25_relational": lambda s, d: _index_search(s, d, "relational"),
         "fts_index_bm25_wand": lambda s, d: _index_search(s, d, "wand"),
+        # k<=0 = the reference's "return all" (engine.go:136-149 truncates
+        # only when k>0): EVERY matching doc scored through the WAND
+        # kernel with pruning disabled — oracle is the same BM25 SQL
+        # without LIMIT
+        "fts_index_bm25_all": lambda s, d: _index_search(s, d, "wand", k=0),
         # --- dedup family
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # contract plan is the LSH-candidates→exact-verify pipeline (the
@@ -366,6 +373,7 @@ scored AS (
 SELECT doc_id, round(raw, 4) AS score FROM scored
 ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
 """
+    bm25_all = bm25.replace(" LIMIT 10", "")
     return {
         "fts_tokens": f"WITH toks AS ({_TOKS}) SELECT doc_id, term FROM toks",
         "fts_postings_tf": f"WITH toks AS ({_TOKS}) {_TF}",
@@ -399,6 +407,7 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         "fts_search_bm25": bm25,
         "fts_index_bm25_relational": bm25,
         "fts_index_bm25_wand": bm25,
+        "fts_index_bm25_all": bm25_all,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents), "
             "c AS (SELECT m, min(doc_id) AS canonical_id FROM h GROUP BY 1) "

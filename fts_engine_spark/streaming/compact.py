@@ -48,6 +48,18 @@ _EXPLODED_SCHEMA = (
 )
 
 
+def _tail_postings(spark: SparkSession, postings_path: str, P: int) -> DataFrame:
+    """Postings rows of shards >= P. The predicate is on the PARTITION
+    column, so the scan prunes whole shard directories — compaction reads
+    only the delta tail, never the full-shard prefix (plan-asserted in
+    tests/test_plans.py)."""
+    return (
+        spark.read.parquet(postings_path)
+        .where(F.col("shard_id") >= P)
+        .withColumn("shard_id", F.col("shard_id").cast("long"))
+    )
+
+
 def _occupancy(docs: DataFrame, shard_size: int) -> dict[int, int]:
     """Docs per shard — one small aggregate row per shard (collect is
     bounded by shard count: 10^6 rows at 10^12 docs / 1M shard_size)."""
@@ -133,11 +145,7 @@ def compact_index(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    tail = (
-        spark.read.parquet(postings_path)
-        .where(F.col("shard_id") >= P)  # partition-pruned scan
-        .withColumn("shard_id", F.col("shard_id").cast("long"))
-    )
+    tail = _tail_postings(spark, postings_path, P)
     n_tail_new = n_new_shards - P
     reencoded = (
         tail.mapInPandas(explode_tail, schema=_EXPLODED_SCHEMA)

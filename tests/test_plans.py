@@ -260,3 +260,22 @@ def test_assign_doc_ids_join_path_matches_literal_map(spark, docs, monkeypatch):
     assert n1 == n2 == 300
     assert lit_ids == join_ids
     assert sorted(lit_ids.values()) == list(range(300))
+
+
+def test_compaction_tail_scan_is_partition_pruned(spark, small_index):
+    """Compaction must read only the delta tail: the shard_id >= P
+    predicate is on the partition column, so whole prefix-shard
+    directories are pruned at the scan (the full-shard prefix is carried
+    by file copy, never decoded)."""
+    from fts_engine_spark.streaming.compact import _tail_postings
+
+    index_dir, _ = small_index
+    import os
+
+    tail = _tail_postings(spark, os.path.join(index_dir, "postings"), 2)
+    assert_plan(tail, "PartitionFilters")
+    from fts_engine_spark.plans.review import formatted_plan
+
+    plan = formatted_plan(tail)
+    # the partition filter actually carries the shard predicate
+    assert "shard_id" in plan.split("PartitionFilters", 1)[1][:200]
