@@ -97,11 +97,23 @@ def make_pruner(strategy: str = "dict"):
             return terms
         return [t for t in terms if t in f]
 
+    def save_gate(dir_path: str) -> None:
+        f = state["filter"]
+        if f is not None and hasattr(f, "save"):
+            f.save(dir_path)
+
+    def load_gate(dir_path: str) -> None:
+        from .filters import BucketedTermGate
+
+        state["filter"] = BucketedTermGate.load(dir_path)
+
     prune.strategy = strategy
     prune.gates_with_dictionary = strategy == "dict"
     prune.needs_vocab = strategy in ("cuckoo", "ribbon")
     prune.fit = fit
     prune.fit_df = fit_df
+    prune.save_gate = save_gate
+    prune.load_gate = load_gate
     prune.gate_terms = gate_terms
     prune.fitted = lambda: state["filter"] is not None
     prune.gate_nbytes = lambda: (

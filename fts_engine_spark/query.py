@@ -268,10 +268,26 @@ class FtsIndex:
             mult[t] = mult.get(t, 0) + 1
         if self._pruner.needs_vocab and mult:
             if not self._pruner.fitted():
-                # distributed per-range-bucket fit: no full-vocabulary
-                # driver collect (each task fits over its own dictionary
-                # bucket; the driver holds only ~2 bytes/term of filters)
-                self._pruner.fit_df(self._read_terms())
+                # load a saved gate snapshot when one matches the CURRENT
+                # terms-table version (the dir name carries the terms
+                # pointer, so an incremental append — which would make a
+                # stale gate produce FALSE NEGATIVES — invalidates it);
+                # else fit distributed per-range-bucket (no full-vocab
+                # driver collect; ~2 bytes/term of filters on the driver)
+                # and snapshot for the next process.
+                terms_tag = os.path.basename(self._terms_path)
+                gate_dir = os.path.join(
+                    self.index_dir,
+                    f"_term_gate_{self._pruner.strategy}_{terms_tag}",
+                )
+                if os.path.isdir(gate_dir):
+                    self._pruner.load_gate(gate_dir)
+                else:
+                    self._pruner.fit_df(self._read_terms())
+                    try:
+                        self._pruner.save_gate(gate_dir)
+                    except OSError:
+                        pass  # read-only index dir: serve without snapshot
             kept = set(self._pruner.gate_terms(list(mult)))
             mult = {t: m for t, m in mult.items() if t in kept}
         return mult

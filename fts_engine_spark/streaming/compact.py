@@ -107,10 +107,12 @@ def compact_index(
     # P*shard_size in old-doc-id order; per old shard the remap is a
     # single scalar shift (ids within a shard are contiguous from base)
     base = P * shard_size
-    shift: dict[int, int] = {}
+    # shift indexed by (s - P): a flat int64 array (not a dict) so the
+    # kernel closure stays ~8 B/tail-shard when pickled to executors
+    shift_arr = np.zeros(tail_shards[-1] - P + 1, dtype=np.int64)
     acc = base
     for s in tail_shards:
-        shift[s] = acc - s * shard_size
+        shift_arr[s - P] = acc - s * shard_size
         acc += occ[s]
     n_new_docs = acc
     if n_new_docs != n_docs:
@@ -131,12 +133,13 @@ def compact_index(
                     base_doc=s * shard_size,
                 )
                 dl = varbyte_decode(bytes(row.dl_blob)).astype(np.int32)
+                sh = int(shift_arr[s - P])
                 outs.append(
                     pd.DataFrame(
                         {
-                            "shard_id": (d + shift[s]) // shard_size,
+                            "shard_id": (d + sh) // shard_size,
                             "term": row.term,
-                            "doc_id": d + shift[s],
+                            "doc_id": d + sh,
                             "tf": tf.astype(np.int32),
                             "dl": dl,
                         }
@@ -174,7 +177,8 @@ def compact_index(
 
     # docs: renumber the tail ids; one broadcast join on shard
     shift_df = spark.createDataFrame(
-        list(shift.items()), "shard long, shift long"
+        [(s, int(shift_arr[s - P])) for s in tail_shards],
+        "shard long, shift long",
     )
     new_docs_dir, _, docs_ptr = next_version_dir(index_dir, meta, "docs")
     (

@@ -164,6 +164,15 @@ def _append_batch(
     atomic_write_json(meta_path, meta)
     if os.path.exists(old_terms):
         shutil.rmtree(old_terms, ignore_errors=True)
+    # gate snapshots are keyed by terms version (stale ones would be
+    # false-negative-unsafe; FtsIndex never loads a non-matching tag, so
+    # removal is pure housekeeping)
+    import glob
+
+    new_tag = terms_ptr["terms_dir"]
+    for g in glob.glob(os.path.join(index_dir, "_term_gate_*")):
+        if not g.endswith(new_tag):
+            shutil.rmtree(g, ignore_errors=True)
     Manifest(index_dir).mark_done(
         f"delta_batch_{meta['delta_batches']}",
         {"n_docs": n_new, "first_shard": next_shard},

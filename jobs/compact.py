@@ -1,0 +1,43 @@
+"""spark-submit job: compact an incrementally-grown index's delta shards.
+
+    spark-submit --py-files dist/fts_engine_spark.zip jobs/compact.py \
+        --index /path/to/index [--shard-size-check]
+
+Merges under-filled (delta) shards back to full shards and commits
+atomically (see fts_engine_spark/streaming/compact.py). Safe to run while
+readers are live: readers opened before the commit keep the old table
+directories (removed only after the pointer flip lands), readers opened
+after see the compacted layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+from fts_engine_spark.build import BuildConfig
+from fts_engine_spark.streaming.compact import compact_index
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--bloom-ndv", type=int, default=None)
+    args = ap.parse_args()
+    spark = SparkSession.builder.appName("fts-compact").getOrCreate()
+    cfg = BuildConfig() if args.bloom_ndv is None else BuildConfig(
+        bloom_ndv=args.bloom_ndv
+    )
+    meta = compact_index(spark, args.index, cfg)
+    print(json.dumps({
+        "n_docs": meta["n_docs"],
+        "n_shards": meta["n_shards"],
+        "compactions": meta.get("compactions", 0),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

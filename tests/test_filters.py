@@ -245,3 +245,26 @@ def test_pruner_fit_df_uses_bucketed_gate(spark):
     assert pr.fitted()
     kept = pr.gate_terms(["w000", "w299", "nope-absent"])
     assert kept == ["w000", "w299"]
+
+
+def test_gate_snapshot_reused_and_invalidated(spark, small_index, tmp_path):
+    """The distributed-fit gate is snapshotted under the index dir keyed
+    by the terms-table version: a second process loads instead of
+    refitting; a dictionary change (different terms pointer) refits."""
+    import os
+
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir, _ = small_index
+    a = FtsIndex(spark, index_dir, pruning="cuckoo")
+    assert a.search_bm25("turtle", k=5).count() > 0  # triggers fit + save
+    tag = os.path.basename(a._terms_path)
+    gate_dir = os.path.join(index_dir, f"_term_gate_cuckoo_{tag}")
+    assert os.path.isdir(gate_dir)
+
+    b = FtsIndex(spark, index_dir, pruning="cuckoo")
+    fit_calls = []
+    orig = b._pruner.fit_df
+    b._pruner.fit_df = lambda df: fit_calls.append(1) or orig(df)
+    assert b.search_bm25("turtle", k=5).count() > 0
+    assert fit_calls == []  # loaded the snapshot, no distributed fit
