@@ -35,6 +35,19 @@ PAGES_SCHEMA = (
 )
 
 
+def _move_in_tagged(src_dir: str, target_dir: str, tag: str) -> None:
+    """Move a written delta's parquet part files into a live table dir
+    under deterministic ``{tag}{i}.parquet`` names — a retry after a
+    pre-commit crash can then FIND and remove the orphans (a blind
+    ``mode("append")`` write leaves unidentifiable duplicates)."""
+    import glob
+
+    os.makedirs(target_dir, exist_ok=True)
+    parts = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+    for i, f in enumerate(parts):
+        os.replace(f, os.path.join(target_dir, f"{tag}{i:05d}.parquet"))
+
+
 def stream_pages(spark: SparkSession, input_dir: str, fmt: str = "parquet") -> DataFrame:
     """readStream over a landing directory of page files."""
     return (
@@ -51,10 +64,23 @@ def _append_batch(
     index_dir: str,
     cfg: BuildConfig,
     compact_every: int | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """foreachBatch body: build the micro-batch as delta shards appended to
     ``index_dir``. Reuses the exact batch build pipeline against a staging
     dir, then splices the staged shards in at the next free shard range.
+
+    EXACTLY-ONCE under foreachBatch retries: Structured Streaming re-runs
+    a micro-batch after a crash, so the splice must be idempotent —
+    (1) a batch whose ``batch_id`` equals the committed ``last_epoch_id``
+    is a no-op (the crash happened after the commit);
+    (2) before splicing, orphan artifacts of a PRE-commit crash are
+    removed deterministically: postings shard dirs at ids >= the
+    committed ``n_shards``, and docs/metrics delta files carrying this
+    splice's ``e{next_shard}_`` name tag (deltas are moved in as tagged
+    files, not blind parquet appends, precisely so a retry can find
+    them). Every mutation before the single committing
+    ``atomic_write_json`` is therefore re-runnable.
 
     ``compact_every``: after the commit, when ``delta_batches`` reaches
     this count, run :func:`..compact.compact_index` — bounds shard-count
@@ -69,11 +95,29 @@ def _append_batch(
         meta = json.load(f)
     shard_size = int(meta["shard_size"])
     next_shard = int(meta["n_shards"])
+    if batch_id is not None and meta.get("last_epoch_id") == batch_id:
+        return  # retry of an already-committed epoch
 
     staging = os.path.join(index_dir, "_staging_batch")
+    import glob
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
+    # pre-commit crash cleanup: shard dirs above the committed high-water
+    # mark and tagged delta files can only be orphans of a failed attempt
+    postings_dir = table_path(index_dir, meta, "postings")
+    for d in glob.glob(os.path.join(postings_dir, "shard_id=*")):
+        try:
+            if int(d.rsplit("=", 1)[1]) >= next_shard:
+                shutil.rmtree(d, ignore_errors=True)
+        except ValueError:
+            pass
+    tag = f"e{next_shard}_"
+    for base in ("docs", "metrics"):
+        for f_ in glob.glob(
+            os.path.join(table_path(index_dir, meta, base), tag + "*")
+        ):
+            os.remove(f_)
     stage_cfg = BuildConfig(
         preset=cfg.preset,
         shard_size=shard_size,
@@ -102,11 +146,13 @@ def _append_batch(
         .parquet(table_path(index_dir, meta, "postings"))
     )
     stage_docs = spark.read.parquet(os.path.join(staging, "docs"))
+    docs_delta = os.path.join(staging, "_docs_delta")
     (
         stage_docs.withColumn("doc_id", F.col("doc_id") + offset_docs)
-        .write.mode("append")
-        .parquet(table_path(index_dir, meta, "docs"))
+        .write.mode("overwrite")
+        .parquet(docs_delta)
     )
+    _move_in_tagged(docs_delta, table_path(index_dir, meta, "docs"), tag)
 
     # delta-merge the global term dictionary: union the STAGED batch's
     # (already aggregated) term stats with the existing dictionary and
@@ -142,12 +188,16 @@ def _append_batch(
 
     # lineage: append the staged per-shard metrics at their spliced ids
     staged_metrics = spark.read.parquet(os.path.join(staging, "metrics"))
+    metrics_delta = os.path.join(staging, "_metrics_delta")
     (
         staged_metrics.withColumn(
             "shard_id", F.col("shard_id").cast("long") + next_shard
         )
-        .write.mode("append")
-        .parquet(table_path(index_dir, meta, "metrics"))
+        .write.mode("overwrite")
+        .parquet(metrics_delta)
+    )
+    _move_in_tagged(
+        metrics_delta, table_path(index_dir, meta, "metrics"), tag
     )
 
     n_new = int(stage_meta["n_docs"])
@@ -160,6 +210,8 @@ def _append_batch(
     meta["n_shards"] = next_shard + int(stage_meta["n_shards"])
     meta.setdefault("delta_batches", 0)
     meta["delta_batches"] += 1
+    if batch_id is not None:
+        meta["last_epoch_id"] = batch_id
     meta.update(terms_ptr)
     atomic_write_json(meta_path, meta)
     if os.path.exists(old_terms):
@@ -208,7 +260,8 @@ def incremental_index(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda bdf, _bid: _append_batch(
-                spark, bdf, index_dir, cfg, compact_every=compact_every
+                spark, bdf, index_dir, cfg,
+                compact_every=compact_every, batch_id=int(_bid),
             )
         )
     )

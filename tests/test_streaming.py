@@ -105,3 +105,66 @@ def test_ingest_stats_watermark_plan(spark, tmp_path):
     assert spark.table("ingest_stats_test").columns == [
         "window_start", "lang", "n_pages", "total_bytes",
     ]
+
+
+def test_append_batch_exactly_once_under_retry(spark, tmp_path, monkeypatch):
+    """foreachBatch retries must not duplicate a micro-batch: a crash
+    injected at the commit point leaves orphan splice artifacts; the
+    retried epoch cleans them and commits once; a retry AFTER commit is a
+    no-op."""
+    import json
+
+    from fts_engine_spark.checkpoint import atomic_write_json as real_awj
+    from fts_engine_spark.streaming import incremental as inc
+
+    cfg = BuildConfig(preset="simple", shard_size=64, id_buckets=4, n_waves=1)
+    index_dir = str(tmp_path / "ix")
+    boot = str(tmp_path / "boot.parquet")
+    _write_pages(boot, 100, seed=1)
+    build_index(spark, spark.read.parquet(boot), index_dir, cfg, resume=False)
+
+    batch_path = str(tmp_path / "batch.parquet")
+    _write_pages(batch_path, 30, seed=2)
+    batch_df = spark.read.parquet(batch_path)
+
+    # attempt 1: crash exactly at the commit (after all table mutations)
+    calls = {"n": 0}
+
+    def crashing_awj(path, obj):
+        calls["n"] += 1
+        raise RuntimeError("injected crash at commit")
+
+    monkeypatch.setattr(inc, "atomic_write_json", crashing_awj)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inc._append_batch(spark, batch_df, index_dir, cfg, batch_id=7)
+    assert calls["n"] == 1
+    monkeypatch.setattr(inc, "atomic_write_json", real_awj)
+
+    # retry (same epoch): must clean the orphans and commit exactly once
+    inc._append_batch(spark, batch_df, index_dir, cfg, batch_id=7)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["n_docs"] == 130
+    assert meta["last_epoch_id"] == 7
+
+    fts = FtsIndex(spark, index_dir)
+    # no duplicate doc rows from the crashed attempt
+    assert fts.docs().count() == 130
+    assert fts.docs().select("doc_id").distinct().count() == 130
+    urls = fts.docs().select("url").distinct().count()
+    assert urls == 130
+
+    # postings contain no duplicate (term, shard) rows
+    posts = spark.read.parquet(
+        os.path.join(index_dir, meta.get("postings_dir", "postings"))
+    )
+    assert (
+        posts.groupBy("term", "shard_id").count().where("count > 1").count()
+        == 0
+    )
+
+    # a THIRD delivery of the committed epoch is a no-op
+    inc._append_batch(spark, batch_df, index_dir, cfg, batch_id=7)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta2 = json.load(f)
+    assert meta2["n_docs"] == 130 and meta2["delta_batches"] == meta["delta_batches"]
