@@ -189,24 +189,22 @@ class CuckooFilter:
         return int(self.buckets.nbytes)
 
     # ---- snapshot (reference Serialize/Load, cuckoo.go:47-79; npz+rename
-    # instead of gob, same atomic-sink pattern as checkpoint.py)
+    # instead of gob, same atomic-sink pattern as checkpoint.py). The file
+    # bytes ARE the wire format (_filter_to_bytes) — one serializer for
+    # both the on-disk snapshot and the distributed-fit blobs.
     def save(self, path: str) -> None:
         tmp = f"{path}.tmp.{os.getpid()}"
-        np.savez_compressed(
-            tmp,
-            buckets=self.buckets,
-            meta=np.array([self.bucket_size, self.max_kicks], dtype=np.int64),
-        )
-        os.replace(tmp + ".npz", path)
+        with open(tmp, "wb") as fh:
+            fh.write(_filter_to_bytes(self))
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "CuckooFilter":
-        with np.load(path) as z:
-            buckets = z["buckets"]
-            bucket_size, max_kicks = (int(x) for x in z["meta"])
-        cf = cls(buckets.shape[0], bucket_size, max_kicks)
-        cf.buckets = buckets.astype(np.uint16)
-        return cf
+        with open(path, "rb") as fh:
+            f = _filter_from_bytes(fh.read())
+        if not isinstance(f, cls):
+            raise ValueError(f"{path} is not a cuckoo filter snapshot")
+        return f
 
 
 class RibbonFilter:
@@ -312,30 +310,19 @@ class RibbonFilter:
 
     def save(self, path: str) -> None:
         tmp = f"{path}.tmp.{os.getpid()}"
-        np.savez_compressed(
-            tmp,
-            cells=self.cells,
-            meta=np.array([self.m, self.w, self.seed, self.span,
-                           1 if self.built else 0], dtype=np.int64),
-        )
-        os.replace(tmp + ".npz", path)
+        with open(tmp, "wb") as fh:
+            fh.write(_filter_to_bytes(self))
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "RibbonFilter":
         """Validated load (ribbon.go LoadRibbonFilter: refuse malformed
-        snapshots)."""
-        with np.load(path) as z:
-            cells = z["cells"]
-            m, w, seed, span, built = (int(x) for x in z["meta"])
-        if m <= 0 or w <= 0 or w > _MAX_RIBBON_WINDOW or m < w:
-            raise ValueError("ribbon: load: invalid m/w")
-        if len(cells) != m or span != m - w + 1:
-            raise ValueError("ribbon: load: invalid cells/span")
-        rf = cls.__new__(cls)
-        rf.m, rf.w, rf.seed, rf.span = m, w, seed, span
-        rf.cells = cells.astype(np.uint16)
-        rf.built = bool(built)
-        return rf
+        snapshots) — validation lives in the shared deserializer."""
+        with open(path, "rb") as fh:
+            f = _filter_from_bytes(fh.read())
+        if not isinstance(f, cls):
+            raise ValueError(f"{path} is not a ribbon filter snapshot")
+        return f
 
 
 def _trailing_zeros(x: int) -> int:
@@ -392,17 +379,28 @@ def _filter_to_bytes(f) -> bytes:
 
 
 def _filter_from_bytes(blob: bytes):
+    """Validated deserialize (LoadRibbonFilter parity, ribbon.go:423-445:
+    refuse malformed snapshots) — the single wire/disk format for both
+    filters; save()/load() and the distributed fit share it."""
     import io
 
     with np.load(io.BytesIO(blob)) as z:
+        if "kind" not in z:
+            raise ValueError("filter blob: missing kind marker")
         if int(z["kind"][0]) == 0:
             buckets = z["buckets"]
             bucket_size, max_kicks = (int(x) for x in z["meta"])
+            if buckets.ndim != 2 or bucket_size != buckets.shape[1]:
+                raise ValueError("cuckoo: load: invalid bucket shape")
             cf = CuckooFilter(buckets.shape[0], bucket_size, max_kicks)
             cf.buckets = buckets.astype(np.uint16)
             return cf
         cells = z["cells"]
         m, w, seed, span, built = (int(x) for x in z["meta"])
+        if m <= 0 or w <= 0 or w > _MAX_RIBBON_WINDOW or m < w:
+            raise ValueError("ribbon: load: invalid m/w")
+        if len(cells) != m or span != m - w + 1:
+            raise ValueError("ribbon: load: invalid cells/span")
         rf = RibbonFilter.__new__(RibbonFilter)
         rf.m, rf.w, rf.seed, rf.span = m, w, seed, span
         rf.cells = cells.astype(np.uint16)
@@ -438,8 +436,20 @@ class BucketedTermGate:
         self._mins = [r[0] for r in self.ranges]
 
     @classmethod
-    def fit_distributed(cls, terms_df, kind: str = "cuckoo") -> "BucketedTermGate":
-        """Fit per-bucket filters over the range-bucketed terms table."""
+    def fit_distributed(
+        cls, terms_df, kind: str = "cuckoo", n_buckets: int | None = None
+    ) -> "BucketedTermGate":
+        """Fit per-bucket filters over the terms table.
+
+        The fit EXPLICITLY ``repartitionByRange`` on ``term``: the task
+        partitioning of a parquet read is file-size bin-packing, NOT range
+        order — two read partitions can hold interleaved term ranges, and
+        overlapping bucket hulls would turn the single-bucket route into a
+        FALSE NEGATIVE. The range shuffle guarantees disjoint buckets (and
+        ``__contains__`` additionally probes every covering bucket, so
+        even an externally-constructed overlapping gate stays
+        no-false-negative).
+        """
         import pandas as pd
 
         if kind not in ("cuckoo", "ribbon"):
@@ -463,8 +473,14 @@ class BucketedTermGate:
                 }
             )
 
+        if n_buckets is None:
+            n_buckets = max(
+                1,
+                terms_df.sparkSession.sparkContext.defaultParallelism // 2,
+            )
         rows = (
             terms_df.select("term")
+            .repartitionByRange(n_buckets, "term")
             .mapInPandas(fit_partition, "tmin string, tmax string, blob binary")
             .collect()
         )
@@ -476,17 +492,23 @@ class BucketedTermGate:
             [(r["tmin"], r["tmax"]) for r in rows],
         )
 
-    def _route(self, term: str) -> int | None:
+    def __contains__(self, term: str) -> bool:
+        """Probe EVERY bucket whose [tmin, tmax] hull covers the term.
+
+        With disjoint buckets (the fit_distributed guarantee) at most one
+        hull covers any term; scanning all covering hulls keeps the gate
+        no-false-negative even for a gate built over overlapping ranges.
+        Candidates are the prefix of buckets with tmin <= term; the scan
+        walks it backwards and can stop only on a hit (hulls in the
+        prefix may end before the term without bounding later ones).
+        """
         import bisect
 
-        i = bisect.bisect_right(self._mins, term) - 1
-        if i < 0 or term > self.ranges[i][1]:
-            return None
-        return i
-
-    def __contains__(self, term: str) -> bool:
-        i = self._route(term)
-        return i is not None and term in self.filters[i]
+        hi = bisect.bisect_right(self._mins, term)
+        for i in range(hi - 1, -1, -1):
+            if term <= self.ranges[i][1] and term in self.filters[i]:
+                return True
+        return False
 
     @property
     def nbytes(self) -> int:

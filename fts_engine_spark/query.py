@@ -280,9 +280,17 @@ class FtsIndex:
                     self.index_dir,
                     f"_term_gate_{self._pruner.strategy}_{terms_tag}",
                 )
+                loaded = False
                 if os.path.isdir(gate_dir):
-                    self._pruner.load_gate(gate_dir)
-                else:
+                    try:
+                        self._pruner.load_gate(gate_dir)
+                        loaded = True
+                    except (OSError, ValueError, KeyError):
+                        # concurrent ingest may delete a stale snapshot
+                        # between the isdir check and the load, or leave a
+                        # torn one — refit, never crash the query
+                        loaded = False
+                if not loaded:
                     self._pruner.fit_df(self._read_terms())
                     try:
                         self._pruner.save_gate(gate_dir)
@@ -573,7 +581,7 @@ class FtsIndex:
         scored = self._bm25_scored(mult).orderBy(F.desc("score"), F.asc("doc_id"))
         if k > 0:
             scored = scored.limit(k)
-        return self._maybe_hydrate(scored, hydrate)
+        return self._maybe_hydrate(scored, hydrate, bounded=k > 0)
 
     def _bm25_wand(self, mult: dict[str, int], k: int, hydrate: bool) -> DataFrame:
         """Document-partitioned block-max WAND: each shard's posting rows for
@@ -593,7 +601,9 @@ class FtsIndex:
                 if t in self._term_dict
             }
             if not present:
-                return self._maybe_hydrate(self._empty_bm25_result(), hydrate)
+                return self._maybe_hydrate(
+                    self._empty_bm25_result(), hydrate, bounded=True
+                )
             posts = self._pruner(self._read_postings(), list(present))
             if dict(posts.dtypes).get("shard_id") != "bigint":
                 posts = posts.withColumn(
@@ -611,19 +621,27 @@ class FtsIndex:
         out = local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
         if k > 0:
             out = out.limit(k)
-        return self._maybe_hydrate(out, hydrate)
+        return self._maybe_hydrate(out, hydrate, bounded=k > 0)
 
-    def _maybe_hydrate(self, scored: DataFrame, hydrate: bool) -> DataFrame:
+    def _maybe_hydrate(
+        self, scored: DataFrame, hydrate: bool, bounded: bool = True
+    ) -> DataFrame:
         if not hydrate:
             return scored
-        return self._hydrate(scored, [F.desc("score"), F.asc("doc_id")])
+        return self._hydrate(
+            scored, [F.desc("score"), F.asc("doc_id")], bounded=bounded
+        )
 
-    def _hydrate(self, scored: DataFrame, order) -> DataFrame:
-        # Q8 (cui.go:245-249): broadcast the tiny top-k back onto docs
+    def _hydrate(self, scored: DataFrame, order, bounded: bool = True) -> DataFrame:
+        # Q8 (cui.go:245-249): broadcast the tiny top-k back onto docs.
+        # k <= 0 ("return all") is unbounded — broadcasting it would ship
+        # every matching doc to every executor; let Catalyst pick the
+        # join strategy there instead.
+        right = F.broadcast(scored) if bounded else scored
         return (
             self.docs()
             .select("doc_id", "url", "url_md5")
-            .join(F.broadcast(scored), "doc_id")
+            .join(right, "doc_id")
             .orderBy(*order)
         )
 

@@ -74,17 +74,36 @@ def _occupancy(docs: DataFrame, shard_size: int) -> dict[int, int]:
 
 
 def compact_index(
-    spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None
+    spark: SparkSession,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    remove_old: bool = True,
 ) -> dict:
     """Merge under-filled (delta) shards into full ``shard_size`` shards.
 
     Returns the committed meta. No-op (returns current meta) when the
     index is already compact (every shard full except possibly the last).
+
+    ``remove_old=False`` keeps the previous table directories after the
+    pointer flip: readers that resolved their paths BEFORE the commit
+    keep working (the flip itself is atomic either way, but the default
+    removal deletes the directories such readers still reference — on a
+    deployment with long-lived readers, compact with ``remove_old=False``
+    and garbage-collect old ``*_vN`` dirs after a reader drain).
     """
     cfg = cfg or BuildConfig()
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    from ..build import META_VERSION
+
+    if int(meta.get("version", -1)) != META_VERSION:
+        from ..query import IndexVersionError
+
+        raise IndexVersionError(
+            f"index at {index_dir} has meta version {meta.get('version')}, "
+            f"this build compacts version {META_VERSION} — migrate first"
+        )
     shard_size = int(meta["shard_size"])
     skip = int(meta.get("skip_block", cfg.skip_block))
     n_docs = int(meta["n_docs"])
@@ -194,10 +213,16 @@ def compact_index(
         .parquet(new_docs_dir)
     )
 
-    # metrics: recompute per new shard (same rollup as the batch build)
+    # metrics: carry the prefix rows (shard < P) unchanged and recompute
+    # only the re-encoded tail — rescanning every prefix shard's blob
+    # columns would make this O(index) when the job is otherwise O(tail)
     new_metrics, _, metr_ptr = next_version_dir(index_dir, meta, "metrics")
-    (
+    old_metrics = spark.read.parquet(
+        table_path(index_dir, meta, "metrics")
+    ).where(F.col("shard_id") < P)
+    tail_metrics = (
         spark.read.parquet(new_postings)
+        .where(F.col("shard_id") >= P)
         .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_terms"),
@@ -205,6 +230,15 @@ def compact_index(
             F.sum(F.length("doc_blob") + F.length("tf_blob")).alias(
                 "blob_bytes"
             ),
+        )
+    )
+    (
+        old_metrics.select("shard_id", "n_terms", "n_postings", "blob_bytes")
+        .withColumn("shard_id", F.col("shard_id").cast("long"))
+        .unionByName(
+            tail_metrics.withColumn(
+                "shard_id", F.col("shard_id").cast("long")
+            )
         )
         .write.mode("overwrite")
         .parquet(new_metrics)
@@ -219,8 +253,11 @@ def compact_index(
              metr_ptr["table_version"],
          )},
         n_new_shards,
-        old_dirs=[postings_path, docs_path,
-                  table_path(index_dir, meta, "metrics")],
+        old_dirs=(
+            [postings_path, docs_path, table_path(index_dir, meta, "metrics")]
+            if remove_old
+            else []
+        ),
     )
     with open(meta_path) as f:
         return json.load(f)

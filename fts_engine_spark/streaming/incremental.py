@@ -65,6 +65,7 @@ def _append_batch(
     cfg: BuildConfig,
     compact_every: int | None = None,
     batch_id: int | None = None,
+    stream_id: str = "default",
 ) -> None:
     """foreachBatch body: build the micro-batch as delta shards appended to
     ``index_dir``. Reuses the exact batch build pipeline against a staging
@@ -93,9 +94,24 @@ def _append_batch(
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    from ..build import META_VERSION
+
+    if int(meta.get("version", -1)) != META_VERSION:
+        # fail BEFORE mutating: splicing current-format rows into an
+        # older-format postings table would mix schemas silently
+        from ..query import IndexVersionError
+
+        raise IndexVersionError(
+            f"index at {index_dir} has meta version {meta.get('version')}, "
+            f"this build appends version {META_VERSION} rows — rebuild or "
+            "migrate before ingesting"
+        )
     shard_size = int(meta["shard_size"])
     next_shard = int(meta["n_shards"])
-    if batch_id is not None and meta.get("last_epoch_id") == batch_id:
+    # epoch identity = (stream, batch): micro-batch ids RESTART at 0 for
+    # every new checkpoint, so the id alone would drop the first batch of
+    # a later stream whose id collides with this one's last commit
+    if batch_id is not None and meta.get("last_epoch") == [stream_id, batch_id]:
         return  # retry of an already-committed epoch
 
     staging = os.path.join(index_dir, "_staging_batch")
@@ -211,7 +227,7 @@ def _append_batch(
     meta.setdefault("delta_batches", 0)
     meta["delta_batches"] += 1
     if batch_id is not None:
-        meta["last_epoch_id"] = batch_id
+        meta["last_epoch"] = [stream_id, batch_id]
     meta.update(terms_ptr)
     atomic_write_json(meta_path, meta)
     if os.path.exists(old_terms):
@@ -255,6 +271,13 @@ def incremental_index(
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     pages = stream_pages(spark, input_dir)
 
+    # epoch identity rides the checkpoint: batch ids are unique only
+    # within one checkpoint's lifetime
+    import hashlib
+
+    stream_id = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
     writer = (
         pages.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -262,6 +285,7 @@ def incremental_index(
             lambda bdf, _bid: _append_batch(
                 spark, bdf, index_dir, cfg,
                 compact_every=compact_every, batch_id=int(_bid),
+                stream_id=stream_id,
             )
         )
     )

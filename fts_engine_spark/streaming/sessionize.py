@@ -24,6 +24,13 @@ output over the same (non-late) events, independent of micro-batch
 boundaries (asserted in tests/test_streaming_sessionize.py, including a
 late event that splits differently than in-order processing would).
 
+Checkpoint migration: the state schema changed in r4 from one scalar
+(start, end, n) triple to parallel array columns (provisional-session
+list). A checkpoint written by the pre-r4 operator cannot be restarted
+under this version — Spark's state-store schema validation rejects the
+mismatch; restart from a fresh checkpoint (in-flight sessions re-derive
+from reprocessed input when the source retains it).
+
 Scale: state is the provisional-session list per ACTIVE user — O(active
 users * sessions inside the watermark horizon), evenly hash-partitioned by
 user_id; watermark-driven emission garbage-collects state, so it does not
@@ -109,11 +116,15 @@ def _make_update_fn(gap_seconds: int):
             if epochs:
                 sessions = _merge(sessions, epochs, gap_seconds)
 
-        # final = watermark passed end + gap: any still-admissible event t
-        # satisfies t > watermark >= end + gap, so it cannot connect
+        # final = watermark STRICTLY past end + gap. Strict, because Spark
+        # admits rows with event time == watermark, and the batch operator
+        # joins an event at exactly gap distance (split only when
+        # diff > gap): with wm == end+gap, an admissible event t == wm
+        # would still connect. Any admissible t has t >= wm > end + gap,
+        # so t - end > gap — it cannot connect to a finalized session.
         wm_sec = state.getCurrentWatermarkMs() // 1000
-        final = [x for x in sessions if x[1] + gap_seconds <= wm_sec]
-        pending = [x for x in sessions if x[1] + gap_seconds > wm_sec]
+        final = [x for x in sessions if x[1] + gap_seconds < wm_sec]
+        pending = [x for x in sessions if x[1] + gap_seconds >= wm_sec]
 
         if pending:
             state.update(
@@ -123,10 +134,14 @@ def _make_update_fn(gap_seconds: int):
                     [n for _, _, n in pending],
                 )
             )
-            # re-arm for the earliest possible finalization; guaranteed
-            # > current watermark because ripe sessions were split off
+            # re-arm so the timeout fires once wm_sec > min_end + gap:
+            # fires when wm_ms > ts, and wm_sec >= end+gap+1 iff
+            # wm_ms >= (end+gap+1)*1000. setTimeoutTimestamp requires
+            # ts > current watermark, hence the max().
+            min_end = min(e for _, e, _ in pending)
+            ts = (min_end + gap_seconds + 1) * 1000 - 1
             state.setTimeoutTimestamp(
-                (min(e for _, e, _ in pending) + gap_seconds) * 1000
+                max(ts, state.getCurrentWatermarkMs() + 1)
             )
         elif state.exists:
             state.remove()

@@ -4,10 +4,11 @@
         --index /path/to/index [--shard-size-check]
 
 Merges under-filled (delta) shards back to full shards and commits
-atomically (see fts_engine_spark/streaming/compact.py). Safe to run while
-readers are live: readers opened before the commit keep the old table
-directories (removed only after the pointer flip lands), readers opened
-after see the compacted layout.
+atomically (see fts_engine_spark/streaming/compact.py). The pointer flip
+is atomic; by default the OLD table directories are removed right after
+the commit, which breaks readers that resolved their paths before it —
+pass --keep-old on deployments with long-lived readers and
+garbage-collect superseded *_vN directories after a reader drain.
 """
 
 from __future__ import annotations
@@ -25,12 +26,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--bloom-ndv", type=int, default=None)
+    ap.add_argument("--keep-old", action="store_true")
     args = ap.parse_args()
     spark = SparkSession.builder.appName("fts-compact").getOrCreate()
     cfg = BuildConfig() if args.bloom_ndv is None else BuildConfig(
         bloom_ndv=args.bloom_ndv
     )
-    meta = compact_index(spark, args.index, cfg)
+    meta = compact_index(spark, args.index, cfg, remove_old=not args.keep_old)
     print(json.dumps({
         "n_docs": meta["n_docs"],
         "n_shards": meta["n_shards"],

@@ -198,7 +198,7 @@ def test_bucketed_gate_multi_bucket(spark, tmp_path, kind):
         .repartitionByRange(4, "term")
         .sortWithinPartitions("term")
     )
-    gate = BucketedTermGate.fit_distributed(terms_df, kind=kind)
+    gate = BucketedTermGate.fit_distributed(terms_df, kind=kind, n_buckets=4)
     assert gate.n_buckets == 4
     # ranges are disjoint and ordered
     for (a_min, a_max), (b_min, b_max) in zip(gate.ranges, gate.ranges[1:]):
@@ -268,3 +268,45 @@ def test_gate_snapshot_reused_and_invalidated(spark, small_index, tmp_path):
     b._pruner.fit_df = lambda df: fit_calls.append(1) or orig(df)
     assert b.search_bm25("turtle", k=5).count() > 0
     assert fit_calls == []  # loaded the snapshot, no distributed fit
+
+
+def test_bucketed_gate_fit_is_range_safe_regardless_of_file_layout(spark):
+    """Parquet read partitions are file-size bin-packed, not range-ordered;
+    the fit must range-shuffle internally so bucket hulls are disjoint and
+    no present term is ever gated out (a false negative silently drops a
+    query term)."""
+    from fts_engine_spark.operators.filters import BucketedTermGate
+
+    # interleaved layout: alternate terms so ANY naive partitioning of the
+    # input produces overlapping hulls
+    vocab = [f"t{i:04d}" for i in range(1000)]
+    shuffled = vocab[::2] + vocab[1::2]
+    terms_df = spark.createDataFrame(
+        [(t,) for t in shuffled], "term string"
+    ).coalesce(1)
+    gate = BucketedTermGate.fit_distributed(terms_df, kind="cuckoo", n_buckets=5)
+    assert gate.n_buckets >= 2
+    for (a_min, a_max), (b_min, b_max) in zip(gate.ranges, gate.ranges[1:]):
+        assert a_max < b_min  # disjoint despite the interleaved input
+    assert all(t in gate for t in vocab)
+
+
+def test_bucketed_gate_contains_safe_under_overlapping_hulls():
+    """Even a gate constructed with OVERLAPPING ranges (e.g. built
+    externally without the range shuffle) must stay no-false-negative:
+    membership probes every covering bucket, not just one."""
+    from fts_engine_spark.operators.filters import (
+        BucketedTermGate,
+        CuckooFilter,
+    )
+
+    b1 = ["aaa", "ccc", "zzz"]  # hull [aaa, zzz] spans everything
+    b2 = ["mmm", "nnn", "ooo"]  # hull [mmm, ooo] nested inside b1's
+    gate = BucketedTermGate(
+        "cuckoo",
+        [CuckooFilter.for_capacity(3).fit(b1), CuckooFilter.for_capacity(3).fit(b2)],
+        [("aaa", "zzz"), ("mmm", "ooo")],
+    )
+    for t in b1 + b2:
+        assert t in gate, t
+    assert "bbb-absent" not in gate

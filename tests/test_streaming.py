@@ -145,7 +145,7 @@ def test_append_batch_exactly_once_under_retry(spark, tmp_path, monkeypatch):
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     assert meta["n_docs"] == 130
-    assert meta["last_epoch_id"] == 7
+    assert meta["last_epoch"] == ["default", 7]
 
     fts = FtsIndex(spark, index_dir)
     # no duplicate doc rows from the crashed attempt
