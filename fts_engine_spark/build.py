@@ -795,8 +795,15 @@ def build_index(
     )
     avgdl = float(cf_row["t"] or 0) / max(1, n_docs)
     phases["total"] = round(time.monotonic() - t_start, 3)
+    import uuid
+
     meta = {
         "version": META_VERSION,
+        # unique per build run: downstream caches derived from this
+        # index's content (e.g. term-gate snapshots) key on it, so an
+        # in-place rebuild over a new corpus can never satisfy a stale
+        # cache's tag (layout.gate_tag)
+        "build_id": uuid.uuid4().hex,
         "n_docs": n_docs,
         "avgdl": float(avgdl),
         "shard_size": cfg.shard_size,

@@ -28,6 +28,18 @@ def table_path(index_dir: str, meta: dict, name: str) -> str:
     return os.path.join(index_dir, meta.get(f"{name}_dir", name))
 
 
+def gate_tag(meta: dict) -> str:
+    """Cache tag for term-gate snapshots: (build identity, dictionary
+    version). Either changing — an in-place rebuild (new ``build_id``) or
+    an incremental dictionary merge (new ``terms_dir``) — invalidates the
+    snapshot; loading a stale gate would gate out present terms (false
+    negatives)."""
+    return (
+        f"{meta.get('build_id', 'legacy')[:12]}_"
+        f"{meta.get('terms_dir', 'terms')}"
+    )
+
+
 def next_version_dir(index_dir: str, meta: dict, name: str) -> tuple[str, int, dict]:
     """Allocate the next versioned directory for ``name``.
 

@@ -275,10 +275,11 @@ class FtsIndex:
                 # else fit distributed per-range-bucket (no full-vocab
                 # driver collect; ~2 bytes/term of filters on the driver)
                 # and snapshot for the next process.
-                terms_tag = os.path.basename(self._terms_path)
+                from .layout import gate_tag
+
                 gate_dir = os.path.join(
                     self.index_dir,
-                    f"_term_gate_{self._pruner.strategy}_{terms_tag}",
+                    f"_term_gate_{self._pruner.strategy}_{gate_tag(self.meta)}",
                 )
                 loaded = False
                 if os.path.isdir(gate_dir):
@@ -441,7 +442,9 @@ class FtsIndex:
             scored = scored.limit(k)
         if hydrate:
             scored = self._hydrate(
-                scored, [F.desc("unique_matches"), F.desc("total_matches"), F.asc("doc_id")]
+                scored,
+                [F.desc("unique_matches"), F.desc("total_matches"), F.asc("doc_id")],
+                bounded=k > 0,
             )
         return scored
 

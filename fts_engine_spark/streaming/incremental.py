@@ -35,6 +35,27 @@ PAGES_SCHEMA = (
 )
 
 
+def _checkpoint_stream_id(checkpoint_dir: str) -> str:
+    """Epoch identity = the streaming query id Spark PERSISTS inside the
+    checkpoint (``<ckpt>/metadata``). Batch ids are unique only within one
+    checkpoint lifetime, and a path hash would survive a checkpoint
+    reset — Spark's id is regenerated exactly when batch numbering
+    restarts, so (id, batch_id) is collision-free across resets AND
+    stable across restarts of the same checkpoint. Read lazily at batch
+    time (the file exists before the first micro-batch runs); falls back
+    to a path hash for exotic checkpoint stores."""
+    import hashlib
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            qid = json.load(f).get("id")
+        if qid:
+            return str(qid)
+    except (OSError, ValueError):
+        pass
+    return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+
 def _move_in_tagged(src_dir: str, target_dir: str, tag: str) -> None:
     """Move a written delta's parquet part files into a live table dir
     under deterministic ``{tag}{i}.parquet`` names — a retry after a
@@ -66,6 +87,7 @@ def _append_batch(
     compact_every: int | None = None,
     batch_id: int | None = None,
     stream_id: str = "default",
+    compact_keep_old: bool = False,
 ) -> None:
     """foreachBatch body: build the micro-batch as delta shards appended to
     ``index_dir``. Reuses the exact batch build pipeline against a staging
@@ -73,8 +95,8 @@ def _append_batch(
 
     EXACTLY-ONCE under foreachBatch retries: Structured Streaming re-runs
     a micro-batch after a crash, so the splice must be idempotent —
-    (1) a batch whose ``batch_id`` equals the committed ``last_epoch_id``
-    is a no-op (the crash happened after the commit);
+    (1) a batch whose (stream id, batch id) pair equals the committed
+    ``last_epoch`` is a no-op (the crash happened after the commit);
     (2) before splicing, orphan artifacts of a PRE-commit crash are
     removed deterministically: postings shard dirs at ids >= the
     committed ``n_shards``, and docs/metrics delta files carrying this
@@ -128,6 +150,12 @@ def _append_batch(
                 shutil.rmtree(d, ignore_errors=True)
         except ValueError:
             pass
+    # a crash DURING a postings write can leave committed task dirs under
+    # the table's _temporary; the retry's own commitJob would merge them
+    # in (classic double-commit), so remove the whole staging area
+    shutil.rmtree(
+        os.path.join(postings_dir, "_temporary"), ignore_errors=True
+    )
     tag = f"e{next_shard}_"
     for base in ("docs", "metrics"):
         for f_ in glob.glob(
@@ -232,12 +260,12 @@ def _append_batch(
     atomic_write_json(meta_path, meta)
     if os.path.exists(old_terms):
         shutil.rmtree(old_terms, ignore_errors=True)
-    # gate snapshots are keyed by terms version (stale ones would be
-    # false-negative-unsafe; FtsIndex never loads a non-matching tag, so
-    # removal is pure housekeeping)
-    import glob
+    # gate snapshots are keyed by (build_id, terms version) — stale ones
+    # would be false-negative-unsafe; FtsIndex never loads a non-matching
+    # tag, so removal is pure housekeeping
+    from ..layout import gate_tag
 
-    new_tag = terms_ptr["terms_dir"]
+    new_tag = gate_tag(meta)
     for g in glob.glob(os.path.join(index_dir, "_term_gate_*")):
         if not g.endswith(new_tag):
             shutil.rmtree(g, ignore_errors=True)
@@ -250,7 +278,9 @@ def _append_batch(
     if compact_every and meta["delta_batches"] >= compact_every:
         from .compact import compact_index
 
-        compact_index(spark, index_dir, cfg)
+        compact_index(
+            spark, index_dir, cfg, remove_old=not compact_keep_old
+        )
 
 
 def incremental_index(
@@ -261,23 +291,19 @@ def incremental_index(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     compact_every: int | None = None,
+    compact_keep_old: bool = False,
 ) -> StreamingQuery:
     """Start the incremental-ingest stream. The index must already exist
     (bootstrap with ``build_index`` on an initial corpus, possibly empty).
     ``compact_every=N`` merges delta shards back to full shards after
-    every N micro-batches (atomic; see ``compact.compact_index``).
+    every N micro-batches (atomic; see ``compact.compact_index``);
+    ``compact_keep_old=True`` preserves superseded table dirs for live
+    readers (garbage-collect after a reader drain).
     """
     cfg = cfg or BuildConfig()
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     pages = stream_pages(spark, input_dir)
 
-    # epoch identity rides the checkpoint: batch ids are unique only
-    # within one checkpoint's lifetime
-    import hashlib
-
-    stream_id = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
     writer = (
         pages.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -285,7 +311,8 @@ def incremental_index(
             lambda bdf, _bid: _append_batch(
                 spark, bdf, index_dir, cfg,
                 compact_every=compact_every, batch_id=int(_bid),
-                stream_id=stream_id,
+                stream_id=_checkpoint_stream_id(checkpoint_dir),
+                compact_keep_old=compact_keep_old,
             )
         )
     )

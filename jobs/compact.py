@@ -1,7 +1,7 @@
 """spark-submit job: compact an incrementally-grown index's delta shards.
 
     spark-submit --py-files dist/fts_engine_spark.zip jobs/compact.py \
-        --index /path/to/index [--shard-size-check]
+        --index /path/to/index [--bloom-ndv N] [--keep-old]
 
 Merges under-filled (delta) shards back to full shards and commits
 atomically (see fts_engine_spark/streaming/compact.py). The pointer flip

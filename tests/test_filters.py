@@ -258,8 +258,11 @@ def test_gate_snapshot_reused_and_invalidated(spark, small_index, tmp_path):
     index_dir, _ = small_index
     a = FtsIndex(spark, index_dir, pruning="cuckoo")
     assert a.search_bm25("turtle", k=5).count() > 0  # triggers fit + save
-    tag = os.path.basename(a._terms_path)
-    gate_dir = os.path.join(index_dir, f"_term_gate_cuckoo_{tag}")
+    from fts_engine_spark.layout import gate_tag
+
+    gate_dir = os.path.join(
+        index_dir, f"_term_gate_cuckoo_{gate_tag(a.meta)}"
+    )
     assert os.path.isdir(gate_dir)
 
     b = FtsIndex(spark, index_dir, pruning="cuckoo")
@@ -310,3 +313,31 @@ def test_bucketed_gate_contains_safe_under_overlapping_hulls():
     for t in b1 + b2:
         assert t in gate, t
     assert "bbb-absent" not in gate
+
+
+def test_gate_snapshot_invalidated_by_inplace_rebuild(spark, tmp_path):
+    """An in-place rebuild over a NEW corpus must not load the old
+    corpus's gate snapshot (its tag carries the per-build build_id): a
+    stale gate would gate out terms that exist only in the new corpus —
+    silent false negatives."""
+    from fts_engine_spark.build import BuildConfig, build_index
+    from fts_engine_spark.query import FtsIndex
+
+    cfg = BuildConfig(preset="simple", shard_size=64, id_buckets=4)
+    index_dir = str(tmp_path / "ix")
+    docs_a = spark.createDataFrame(
+        [(f"a://{i}", f"apple banana fig{i % 5}", "en") for i in range(80)],
+        "url string, text string, lang string",
+    )
+    build_index(spark, docs_a, index_dir, cfg, resume=False)
+    a = FtsIndex(spark, index_dir, pruning="cuckoo")
+    assert a.search_bm25("apple", k=3).count() > 0  # fit + snapshot
+
+    docs_b = spark.createDataFrame(
+        [(f"b://{i}", f"zebra quokka wombat{i % 5}", "en") for i in range(80)],
+        "url string, text string, lang string",
+    )
+    build_index(spark, docs_b, index_dir, cfg, resume=False)
+    b = FtsIndex(spark, index_dir, pruning="cuckoo")
+    # 'zebra' exists only in corpus B; a stale corpus-A gate would drop it
+    assert b.search_bm25("zebra", k=3).count() > 0
