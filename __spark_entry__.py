@@ -101,6 +101,23 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+BATCH_QUERIES = ["table value fast data", "value fast", "data table"]
+
+
+def _index_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25_batch(BATCH_QUERIES, k=10)
+    docs = fts.docs().select("doc_id", "url")
+    return out.join(docs, "doc_id").select(
+        "query_id",
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _index_search(
     spark: SparkSession, sf_dir: str, mode: str, k: int = 10
 ) -> DataFrame:
@@ -145,6 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kernel with pruning disabled — oracle is the same BM25 SQL
         # without LIMIT
         "fts_index_bm25_all": lambda s, d: _index_search(s, d, "wand", k=0),
+        # batch serving surface: THREE queries scored in ONE Spark job
+        # (shared term decode inside the kernel); per-query top-10 must
+        # equal the per-query oracle
+        "fts_index_bm25_batch": lambda s, d: _index_search_batch(s, d),
         # --- dedup family
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # contract plan is the LSH-candidates→exact-verify pipeline (the
@@ -374,6 +395,35 @@ SELECT doc_id, round(raw, 4) AS score FROM scored
 ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
 """
     bm25_all = bm25.replace(" LIMIT 10", "")
+    # per-query (query_id, term, mult) after 'simple'-preset normalization
+    # of BATCH_QUERIES — single simple words, multiplicity 1 each
+    batch_q_values = ", ".join(
+        f"({qid}, '{t}', 1)"
+        for qid, q in enumerate(BATCH_QUERIES)
+        for t in dict.fromkeys(q.split())
+    )
+    bm25_batch = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(doc_len) FROM dl) AS avgdl),
+q(query_id, term, mult) AS (VALUES {batch_q_values}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.avgdl))) AS raw
+  FROM tf JOIN q USING (term) JOIN stats s USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN params p
+  GROUP BY q.query_id, tf.doc_id),
+r AS (SELECT query_id, doc_id, round(raw, 4) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(raw, 6) DESC, doc_id) AS rn
+      FROM scored)
+SELECT query_id, doc_id, score FROM r WHERE rn <= 10
+ORDER BY query_id, score DESC, doc_id
+"""
     return {
         "fts_tokens": f"WITH toks AS ({_TOKS}) SELECT doc_id, term FROM toks",
         "fts_postings_tf": f"WITH toks AS ({_TOKS}) {_TF}",
@@ -408,6 +458,7 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         "fts_index_bm25_relational": bm25,
         "fts_index_bm25_wand": bm25,
         "fts_index_bm25_all": bm25_all,
+        "fts_index_bm25_batch": bm25_batch,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents), "
             "c AS (SELECT m, min(doc_id) AS canonical_id FROM h GROUP BY 1) "

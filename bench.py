@@ -360,6 +360,20 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     timings["query_set"] = round(sum(lat_sorted) / 1000, 3)
     meter.lap("query_set")
 
+    # ---- 3d. batch scoring: the whole reference query set in ONE Spark
+    # job (shared term decode + one scheduling floor; the bulk-workload
+    # counterpart of the per-query latency above)
+    batch_queries = [qd["query"] for qd in REFERENCE_QUERIES]
+    fts.search_bm25_batch(batch_queries, k=10).collect()  # unmeasured warm-up
+    batch_secs = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        fts.search_bm25_batch(batch_queries, k=10).collect()
+        batch_secs.append(round(time.monotonic() - t0, 3))
+    timings["query_batch25"] = min(batch_secs)
+    timings["query_batch25_trials"] = batch_secs
+    meter.lap("query_batch25")
+
     # ---- 4. sf0.1 index-oracle gate: the sf0.1 session is already paid for,
     # so record the 10x-scale correctness check in the bench of record
     # (VERDICT r2 next #9); compares both BM25 modes to the DuckDB oracle.
@@ -549,7 +563,8 @@ def run_scaling(sf_dir: str) -> None:
     skip = {"index_build", "index_build_trials", "warmup_build_2k",
             "query_set", "query_concurrent", "query_concurrent_trials",
             "sf01_oracle_check", "suite_trials", "sessionize_stream",
-            "sessionize_stream_events_per_sec"}
+            "sessionize_stream_events_per_sec", "query_batch25",
+            "query_batch25_trials"}
     t_lo = sum(v for k, v in r_lo["queries"].items() if k not in skip)
     t_hi = sum(v for k, v in r_hi["queries"].items() if k not in skip)
     eff_query = (t_lo / t_hi) / ratio if t_hi else 0.0

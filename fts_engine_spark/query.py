@@ -66,6 +66,14 @@ WAND_SCHEMA = StructType(
     ]
 )
 
+WAND_BATCH_SCHEMA = StructType(
+    [
+        StructField("query_id", IntegerType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
 
 def bm25_idf(n_docs: int, df: int) -> float:
     """Okapi BM25 idf with +1 smoothing (always positive)."""
@@ -552,6 +560,80 @@ class FtsIndex:
             return self._bm25_relational(mult, k, hydrate)
         return self._bm25_wand(mult, k, hydrate)
 
+    def search_bm25_batch(
+        self, queries: list[str], k: int = 10, preset: str | None = None
+    ) -> DataFrame:
+        """Score a BATCH of queries in ONE Spark job.
+
+        Returns (query_id, doc_id, score): per query, the deterministic
+        top-k (score desc, doc_id asc; k <= 0 returns all matches),
+        identical to running :meth:`search_bm25` per query.
+
+        Why it exists: a warm single query is one small Spark job whose
+        wall time is dominated by the scheduling + Python-stage floor
+        (~250-400 ms at local[32]); a batch shares that floor across all
+        queries AND shares posting decode — within a shard, a term common
+        to several queries is decoded once (the kernel caches weight-free
+        base scores; see :func:`make_wand_batch_kernel`). Bulk workloads
+        (query-log evaluation, offline relevance scoring) get throughput
+        that per-query serving cannot reach.
+
+        Plan: one filtered scan over the union of all queries' terms ->
+        per-shard batch WAND kernel (reuses the warm cache partitioning:
+        no exchange before the kernel) -> per-query top-k via a window
+        over the tiny (shards x queries x k) local-result relation.
+        """
+        per_query: dict[int, dict[str, tuple[int, int]]] = {}
+        union_mult: dict[int, dict[str, int]] = {}
+        all_terms: set[str] = set()
+        for i, q in enumerate(queries):
+            m = self._query_mult(q, preset)
+            union_mult[i] = m
+            all_terms.update(m)
+        if not all_terms:
+            return self.spark.range(0).select(
+                F.col("id").cast("int").alias("query_id"),
+                F.col("id").alias("doc_id"),
+                F.col("id").cast("double").alias("score"),
+            )
+        stats = self.term_stats(sorted(all_terms))  # ONE lookup (or none, warm)
+        for i, m in union_mult.items():
+            pq = {
+                t: (mult, stats[t][0])
+                for t, mult in m.items()
+                if t in stats
+            }
+            if pq:
+                per_query[i] = pq
+        if not per_query:
+            return self.spark.range(0).select(
+                F.col("id").cast("int").alias("query_id"),
+                F.col("id").alias("doc_id"),
+                F.col("id").cast("double").alias("score"),
+            )
+        live_terms = sorted({t for pq in per_query.values() for t in pq})
+        posts = self._pruner(self._read_postings(), live_terms)
+        if dict(posts.dtypes).get("shard_id") != "bigint":
+            posts = posts.withColumn("shard_id", F.col("shard_id").cast("long"))
+        kernel = make_wand_batch_kernel(
+            self.n_docs, self.shard_size, self.avgdl, k, per_query
+        )
+        local = posts.groupBy("shard_id").applyInPandas(
+            kernel, schema=WAND_BATCH_SCHEMA
+        )
+        if k > 0:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            local = (
+                local.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .drop("_rn")
+            )
+        return local.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
     def _idf_col(self) -> "F.Column":
         n = float(self.n_docs)
         dfc = F.col("df").cast("double")
@@ -663,6 +745,176 @@ class FtsIndex:
         )
 
 
+def _parse_term_rows(pdf: pd.DataFrame, base: int, counters) -> dict:
+    """Per-term block tables for one shard's posting rows — WEIGHT-FREE:
+    block caches hold (doc_ids, base_score) where base_score =
+    tf*(K1+1)/(tf + K1*(1-B+B*dl/avgdl)); a query's contribution is
+    w * base_score with w = mult * idf. Keeping weights out of the cache
+    is what lets a BATCH of queries share one decode of a common term."""
+    term_map: dict = {}
+    for row in pdf.itertuples(index=False):
+        last = np.asarray(row.skip_last_doc, dtype=np.int64)
+        if len(last) == 0:
+            continue
+        maxtf = np.asarray(row.skip_max_tf, dtype=np.float64)
+        first = np.empty_like(last)
+        first[0] = base
+        first[1:] = last[:-1] + 1
+        if counters is not None:
+            counters["blocks_total"] = counters.get("blocks_total", 0) + len(last)
+        term_map[row.term] = {
+            "first": first,
+            "last": last,
+            # weight-free block upper bound: true bound on base_score
+            "ub_base": (K1 + 1.0) * maxtf / (maxtf + K1 * (1.0 - B)),
+            "doc_blob": bytes(row.doc_blob),
+            "tf_blob": bytes(row.tf_blob),
+            "dl_blob": bytes(row.dl_blob),
+            "doc_off": np.asarray(row.skip_doc_off, dtype=np.int64),
+            "tf_off": np.asarray(row.skip_tf_off, dtype=np.int64),
+            "dl_off": np.asarray(row.skip_dl_off, dtype=np.int64),
+            "count": int(row.count),
+            "row_mult": int(getattr(row, "mult", 1)),
+            "row_df": int(getattr(row, "df", 0)),
+            "decoded": None,  # full-decode cache (tiny lists)
+            "blocks": {},  # block idx -> (doc_ids, base_scores)
+        }
+    return term_map
+
+
+def _base_score(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    return tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+
+
+def _decode_term_full(t: dict, base: int, avgdl: float, counters):
+    if t["decoded"] is None:
+        deltas = varbyte_decode(t["doc_blob"])
+        doc_ids = np.cumsum(deltas.astype(np.int64)) + base
+        tfs = varbyte_decode(t["tf_blob"]).astype(np.float64)
+        dls = varbyte_decode(t["dl_blob"]).astype(np.float64)
+        t["decoded"] = (doc_ids, _base_score(tfs, dls, avgdl))
+        if counters is not None:
+            counters["full_decodes"] = counters.get("full_decodes", 0) + 1
+            counters["blocks_decoded"] = counters.get(
+                "blocks_decoded", 0
+            ) + len(t["last"])
+            counters["bytes_decoded"] = (
+                counters.get("bytes_decoded", 0)
+                + len(t["doc_blob"]) + len(t["tf_blob"]) + len(t["dl_blob"])
+            )
+    return t["decoded"]
+
+
+def _decode_term_block(t: dict, j: int, base: int, avgdl: float, counters):
+    """(doc_ids, base_scores) of skip block j only — decoded via the
+    stored byte offsets, touching no other bytes; cached per block."""
+    if t["decoded"] is not None:
+        return t["decoded"]
+    nb = len(t["last"])
+    if nb <= 2:
+        return _decode_term_full(t, base, avgdl, counters)
+    blk = t["blocks"].get(j)
+    if blk is None:
+        d0 = int(t["doc_off"][j])
+        d1 = int(t["doc_off"][j + 1]) if j + 1 < nb else len(t["doc_blob"])
+        f0 = int(t["tf_off"][j])
+        f1 = int(t["tf_off"][j + 1]) if j + 1 < nb else len(t["tf_blob"])
+        l0 = int(t["dl_off"][j])
+        l1 = int(t["dl_off"][j + 1]) if j + 1 < nb else len(t["dl_blob"])
+        prev = int(t["last"][j - 1]) if j > 0 else base
+        doc_ids, tfs = decode_block(
+            t["doc_blob"], t["tf_blob"], (d0, d1), (f0, f1), prev
+        )
+        dls = varbyte_decode(t["dl_blob"][l0:l1]).astype(np.float64)
+        blk = (doc_ids, _base_score(tfs.astype(np.float64), dls, avgdl))
+        t["blocks"][j] = blk
+        if counters is not None:
+            counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + 1
+            counters["bytes_decoded"] = (
+                counters.get("bytes_decoded", 0)
+                + (d1 - d0) + (f1 - f0) + (l1 - l0)
+            )
+    return blk
+
+
+def _wand_sweep(
+    weighted: list[tuple[float, dict]],
+    k: int,
+    base: int,
+    avgdl: float,
+    counters,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND over weighted term tables -> (doc_ids, scores).
+
+    Sweep doc-space segments between block boundaries in order; skip a
+    segment when the sum of active weighted block UBs < current theta —
+    those blocks are never DECODED either (block-partial decode via the
+    stored byte offsets; a segment lies within ONE block of each active
+    term because bounds contain every term's block edges). k <= 0 is the
+    reference's "return all": no pruning, every matching doc kept.
+    """
+    bounds = np.unique(
+        np.concatenate(
+            [t["first"] for _, t in weighted]
+            + [t["last"] + 1 for _, t in weighted]
+        )
+    )
+    heap: list[tuple[float, int]] = []  # min-heap (score, -doc_id)
+    theta = 0.0
+    for si in range(len(bounds)):
+        seg_lo = int(bounds[si])
+        seg_hi = int(bounds[si + 1]) - 1 if si + 1 < len(bounds) else None
+
+        ub_sum = 0.0
+        active = []
+        for w, t in weighted:
+            j = np.searchsorted(t["last"], seg_lo)
+            if j < len(t["last"]) and (
+                seg_hi is None or t["first"][j] <= seg_hi
+            ):
+                ub_sum += w * float(t["ub_base"][j])
+                active.append((w, t, j))
+        if not active:
+            continue
+        if k > 0 and len(heap) >= k and ub_sum <= theta:
+            continue
+
+        seg_docs = []
+        seg_scores = []
+        for w, t, j in active:
+            doc_ids, bscore = _decode_term_block(t, j, base, avgdl, counters)
+            lo = np.searchsorted(doc_ids, seg_lo, side="left")
+            hi = (
+                np.searchsorted(doc_ids, seg_hi, side="right")
+                if seg_hi is not None
+                else len(doc_ids)
+            )
+            if hi > lo:
+                seg_docs.append(doc_ids[lo:hi])
+                seg_scores.append(w * bscore[lo:hi])
+        if not seg_docs:
+            continue
+        d = np.concatenate(seg_docs)
+        s = np.concatenate(seg_scores)
+        uniq, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(len(uniq))
+        np.add.at(acc, inv, s)
+        for doc, sc in zip(uniq.tolist(), acc.tolist()):
+            if k <= 0 or len(heap) < k:
+                heapq.heappush(heap, (sc, -doc))
+            elif (sc, -doc) > heap[0]:
+                heapq.heapreplace(heap, (sc, -doc))
+        if k > 0 and len(heap) >= k:
+            theta = heap[0][0]
+
+    if not heap:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    return (
+        np.array([-d for _, d in heap], dtype=np.int64),
+        np.array([s for s, _ in heap], dtype=np.float64),
+    )
+
+
 def make_wand_kernel(
     n_docs: int,
     shard_size: int,
@@ -677,22 +929,11 @@ def make_wand_kernel(
     driver holds the dictionary (warm serving mode) — the input rows then
     need no mult/df columns and the per-query plan has no broadcast.
 
-    Within a shard (all rows share shard_id; one row per query term):
-    1. per-term skip arrays give (first_doc, last_doc, ub) per block where
-       ub = mult * idf * (K1+1) * max_tf / (max_tf + K1*(1-B)) — a true
-       upper bound on any posting's contribution in the block;
-    2. sweep doc-space segments between block boundaries in order; skip a
-       segment when the sum of active block UBs < current θ — those blocks
-       are never DECODED either: the per-block byte offsets the index
-       stores (skip_doc_off / skip_tf_off / skip_dl_off) drive
-       :func:`codec.decode_block`, so a surviving segment decodes exactly
-       the one overlapping block per active term (segment bounds are the
-       union of every term's block edges, so a segment never straddles two
-       blocks of the same term), cached per block. Lists of <=2 blocks
-       take the full-blob decode (block bookkeeping would cost more than
-       it saves). At shard_size=1M a selective query therefore touches
-       O(surviving blocks * 128) postings, not O(df) — the gap VERDICT r3
-       "What's wrong #1" flagged between the stored layout and the kernel.
+    Machinery shared with :func:`make_wand_batch_kernel` (see
+    ``_parse_term_rows`` / ``_wand_sweep``): per-term block tables cache
+    WEIGHT-FREE base scores, block-partially decoded via the stored byte
+    offsets — a skipped block is never decoded (VERDICT r3 #1); lists of
+    <=2 blocks take the full-blob decode.
 
     ``counters`` (optional dict, mutated in place) records
     ``blocks_decoded`` / ``blocks_total`` / ``full_decodes`` /
@@ -701,191 +942,86 @@ def make_wand_kernel(
     mutates its own copy, which is discarded.
     """
 
-    def ub_of(mult: int, idf: float, max_tf: np.ndarray) -> np.ndarray:
-        mt = max_tf.astype(np.float64)
-        return mult * idf * (K1 + 1.0) * mt / (mt + K1 * (1.0 - B))
-
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
         shard_id = int(pdf["shard_id"].iloc[0])
         base = shard_id * shard_size
+        term_map = _parse_term_rows(pdf, base, counters)
 
-        # per-term block tables
-        terms = []
-        for row in pdf.itertuples(index=False):
+        weighted = []
+        for term, t in term_map.items():
             if term_stats is not None:
-                stats = term_stats.get(row.term)
+                stats = term_stats.get(term)
                 if stats is None:
                     # pruning='none' (a valid strategy) passes every shard
                     # term through; non-query terms score nothing
                     continue
                 mult, df_ = int(stats[0]), int(stats[1])
             else:
-                mult, df_ = int(row.mult), int(row.df)
-            idf = bm25_idf(n_docs, df_)
-            last = np.asarray(row.skip_last_doc, dtype=np.int64)
-            maxtf = np.asarray(row.skip_max_tf, dtype=np.int64)
-            doc_off = np.asarray(row.skip_doc_off, dtype=np.int64)
-            tf_off = np.asarray(row.skip_tf_off, dtype=np.int64)
-            dl_off = np.asarray(row.skip_dl_off, dtype=np.int64)
-            if len(last) == 0:
-                continue
-            first = np.empty_like(last)
-            first[0] = base
-            first[1:] = last[:-1] + 1
-            if counters is not None:
-                counters["blocks_total"] = counters.get(
-                    "blocks_total", 0
-                ) + len(last)
-            terms.append(
-                {
-                    "mult": mult,
-                    "idf": idf,
-                    "first": first,
-                    "last": last,
-                    "ub": ub_of(mult, idf, maxtf),
-                    "doc_blob": bytes(row.doc_blob),
-                    "tf_blob": bytes(row.tf_blob),
-                    "dl_blob": bytes(row.dl_blob),
-                    "doc_off": doc_off,
-                    "tf_off": tf_off,
-                    "dl_off": dl_off,
-                    "count": int(row.count),
-                    "decoded": None,  # full-decode cache (tiny lists)
-                    "blocks": {},  # block idx -> (doc_ids, scores)
-                }
-            )
-        if not terms:
+                mult, df_ = t["row_mult"], t["row_df"]
+            weighted.append((mult * bm25_idf(n_docs, df_), t))
+        if not weighted:
             return pd.DataFrame({"doc_id": [], "score": []})
-
-        # segment boundaries = union of block first/last+1 docids
-        bounds = np.unique(
-            np.concatenate(
-                [t["first"] for t in terms] + [t["last"] + 1 for t in terms]
-            )
-        )
-        heap: list[tuple[float, int]] = []  # min-heap (score, -doc_id)
-        theta = 0.0
-
-        def score_of(t, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
-            return (
-                t["mult"]
-                * t["idf"]
-                * tfs
-                * (K1 + 1.0)
-                / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-            )
-
-        def decode_term_full(t):
-            if t["decoded"] is None:
-                deltas = varbyte_decode(t["doc_blob"])
-                doc_ids = np.cumsum(deltas.astype(np.int64)) + base
-                tfs = varbyte_decode(t["tf_blob"]).astype(np.float64)
-                dls = varbyte_decode(t["dl_blob"]).astype(np.float64)
-                t["decoded"] = (doc_ids, score_of(t, tfs, dls))
-                if counters is not None:
-                    counters["full_decodes"] = counters.get("full_decodes", 0) + 1
-                    counters["blocks_decoded"] = counters.get(
-                        "blocks_decoded", 0
-                    ) + len(t["last"])
-                    counters["bytes_decoded"] = (
-                        counters.get("bytes_decoded", 0)
-                        + len(t["doc_blob"]) + len(t["tf_blob"])
-                        + len(t["dl_blob"])
-                    )
-            return t["decoded"]
-
-        def decode_term_block(t, j: int):
-            """(doc_ids, scores) of skip block j only — decoded via the
-            stored byte offsets, touching no other bytes; cached."""
-            if t["decoded"] is not None:
-                return t["decoded"]
-            nb = len(t["last"])
-            if nb <= 2:
-                return decode_term_full(t)
-            blk = t["blocks"].get(j)
-            if blk is None:
-                d0 = int(t["doc_off"][j])
-                d1 = int(t["doc_off"][j + 1]) if j + 1 < nb else len(t["doc_blob"])
-                f0 = int(t["tf_off"][j])
-                f1 = int(t["tf_off"][j + 1]) if j + 1 < nb else len(t["tf_blob"])
-                l0 = int(t["dl_off"][j])
-                l1 = int(t["dl_off"][j + 1]) if j + 1 < nb else len(t["dl_blob"])
-                prev = int(t["last"][j - 1]) if j > 0 else base
-                doc_ids, tfs = decode_block(
-                    t["doc_blob"], t["tf_blob"], (d0, d1), (f0, f1), prev
-                )
-                dls = varbyte_decode(t["dl_blob"][l0:l1]).astype(np.float64)
-                blk = (doc_ids, score_of(t, tfs.astype(np.float64), dls))
-                t["blocks"][j] = blk
-                if counters is not None:
-                    counters["blocks_decoded"] = (
-                        counters.get("blocks_decoded", 0) + 1
-                    )
-                    counters["bytes_decoded"] = (
-                        counters.get("bytes_decoded", 0)
-                        + (d1 - d0) + (f1 - f0) + (l1 - l0)
-                    )
-            return blk
-
-        for si in range(len(bounds)):
-            seg_lo = int(bounds[si])
-            seg_hi = int(bounds[si + 1]) - 1 if si + 1 < len(bounds) else None
-
-            # active blocks: block b of term t with first<=seg_hi and last>=seg_lo
-            ub_sum = 0.0
-            active = []
-            for t in terms:
-                j = np.searchsorted(t["last"], seg_lo)
-                if j < len(t["last"]) and (
-                    seg_hi is None or t["first"][j] <= seg_hi
-                ):
-                    ub_sum += float(t["ub"][j])
-                    active.append((t, j))
-            if not active:
-                continue
-            # k <= 0 = reference "return all" semantics: no pruning, every
-            # matching doc is kept (heap never bounds)
-            if k > 0 and len(heap) >= k and ub_sum <= theta:
-                continue
-
-            # exact-score the segment from the active terms; a segment lies
-            # within ONE block of each active term (bounds contain every
-            # term's block edges), so only block j is decoded
-            seg_docs = []
-            seg_scores = []
-            for t, j in active:
-                doc_ids, score = decode_term_block(t, j)
-                lo = np.searchsorted(doc_ids, seg_lo, side="left")
-                hi = (
-                    np.searchsorted(doc_ids, seg_hi, side="right")
-                    if seg_hi is not None
-                    else len(doc_ids)
-                )
-                if hi > lo:
-                    seg_docs.append(doc_ids[lo:hi])
-                    seg_scores.append(score[lo:hi])
-            if not seg_docs:
-                continue
-            d = np.concatenate(seg_docs)
-            s = np.concatenate(seg_scores)
-            uniq, inv = np.unique(d, return_inverse=True)
-            acc = np.zeros(len(uniq))
-            np.add.at(acc, inv, s)
-            for doc, sc in zip(uniq.tolist(), acc.tolist()):
-                if k <= 0 or len(heap) < k:
-                    heapq.heappush(heap, (sc, -doc))
-                elif (sc, -doc) > heap[0]:
-                    heapq.heapreplace(heap, (sc, -doc))
-            if k > 0 and len(heap) >= k:
-                theta = heap[0][0]
-
-        if not heap:
-            return pd.DataFrame({"doc_id": [], "score": []})
-        docs = np.array([-d for _, d in heap], dtype=np.int64)
-        scores = np.array([s for s, _ in heap], dtype=np.float64)
+        docs, scores = _wand_sweep(weighted, k, base, avgdl, counters)
         return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    def wrapped(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return kernel(pdf)
+
+    return wrapped
+
+
+def make_wand_batch_kernel(
+    n_docs: int,
+    shard_size: int,
+    avgdl: float,
+    k: int,
+    per_query: dict[int, dict[str, tuple[int, int]]],
+    counters: dict[str, int] | None = None,
+):
+    """Batch variant: score MANY queries in one per-shard kernel pass.
+
+    ``per_query``: {query_id: {term: (mult, df)}}. All queries share one
+    term table per shard — a term common to several queries is decoded
+    ONCE (the caches hold weight-free base scores; each query applies its
+    own mult*idf weight), and the whole batch costs a single Spark job,
+    amortizing the per-query scheduling floor across the batch. Emits
+    (query_id, doc_id, score) local top-k rows per shard.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        shard_id = int(pdf["shard_id"].iloc[0])
+        base = shard_id * shard_size
+        term_map = _parse_term_rows(pdf, base, counters)
+
+        qids: list[np.ndarray] = []
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for qid in sorted(per_query):
+            weighted = [
+                (int(m) * bm25_idf(n_docs, int(df_)), term_map[t])
+                for t, (m, df_) in per_query[qid].items()
+                if t in term_map
+            ]
+            if not weighted:
+                continue
+            docs, scores = _wand_sweep(weighted, k, base, avgdl, counters)
+            if len(docs):
+                qids.append(np.full(len(docs), qid, dtype=np.int32))
+                docs_out.append(docs)
+                scores_out.append(scores)
+        if not docs_out:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(qids),
+                "doc_id": np.concatenate(docs_out),
+                "score": np.concatenate(scores_out),
+            }
+        )
 
     def wrapped(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return kernel(pdf)

@@ -206,3 +206,32 @@ def test_warm_serving_rank_parity(spark, small_index):
     finally:
         warm._postings_df.unpersist()
         warm._terms_df.unpersist()
+
+
+def test_batch_search_equals_individual(spark, small_index):
+    """search_bm25_batch must return, per query, exactly the single-query
+    WAND results — cold and warm."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir, _ = small_index
+    queries = ["turtle hotel", "coordinate", "turtle turtle fast"]
+    for warm in (False, True):
+        fts = FtsIndex(spark, index_dir)
+        if warm:
+            fts.warm(serving_conf=False)
+        try:
+            batch = fts.search_bm25_batch(queries, k=5).collect()
+            by_q = {}
+            for r in batch:
+                by_q.setdefault(r["query_id"], []).append(
+                    (r["doc_id"], round(float(r["score"]), 9))
+                )
+            for i, q in enumerate(queries):
+                single = [
+                    (r["doc_id"], round(float(r["score"]), 9))
+                    for r in fts.search_bm25(q, k=5, mode="wand").collect()
+                ]
+                assert by_q.get(i, []) == single, (warm, q)
+        finally:
+            if warm:
+                fts.close()

@@ -200,3 +200,61 @@ def test_k_zero_returns_all_matches():
     by_doc = dict(got)
     for d, e in zip(doc_ids.tolist(), expect.tolist()):
         assert abs(by_doc[d] - e) < 1e-12
+
+
+def test_batch_kernel_shares_decode_across_queries():
+    """Two queries sharing a term: the shared term's blocks decode ONCE
+    for the whole batch (caches hold weight-free base scores), and each
+    query's results equal its single-query run."""
+    from fts_engine_spark.query import make_wand_batch_kernel
+
+    rng = np.random.default_rng(3)
+    n = 6_400  # 50 blocks
+    docs_c = np.arange(n)
+    tfs_c = rng.integers(1, 6, size=n)
+    dls = (70 + (docs_c % 20)).astype(np.int64)
+    avgdl = float(dls.mean())
+    docs_r = np.sort(rng.choice(n, size=200, replace=False))
+    tfs_r = rng.integers(3, 20, size=200)
+
+    rows = [
+        make_posting_row("shared", docs_c, tfs_c, dls, mult=1, df=n),
+        make_posting_row("rare", docs_r, tfs_r, dls[docs_r], mult=1, df=200),
+    ]
+    per_query = {
+        0: {"shared": (1, n), "rare": (1, 200)},
+        1: {"shared": (2, n)},  # different multiplicity, same term
+    }
+    counters: dict[str, int] = {}
+    kernel = make_wand_batch_kernel(
+        n, SHARD_SIZE, avgdl, 10, per_query, counters=counters
+    )
+    out = kernel(None, pd.DataFrame(rows))
+    # blocks_total counted once per term table, decode shared: decoded
+    # blocks cannot exceed the union of both lists' blocks
+    assert counters["blocks_decoded"] <= counters["blocks_total"]
+
+    # equality with per-query single kernels
+    for qid, stats in per_query.items():
+        single_rows = [
+            make_posting_row(
+                t,
+                docs_c if t == "shared" else docs_r,
+                tfs_c if t == "shared" else tfs_r,
+                dls if t == "shared" else dls[docs_r],
+                mult=stats[t][0],
+                df=stats[t][1],
+            )
+            for t in stats
+        ]
+        single = run_kernel(single_rows, n_docs=n, avgdl=avgdl, k=10, counters={})
+        got = sorted(
+            (
+                (int(r.doc_id), float(r.score))
+                for r in out[out["query_id"] == qid].itertuples()
+            ),
+            key=lambda r: (-r[1], r[0]),
+        )
+        assert [d for d, _ in got] == [d for d, _ in single]
+        for (_, a), (_, b) in zip(got, single):
+            assert abs(a - b) < 1e-12
