@@ -446,7 +446,10 @@ def _sessionize_stream_bench(spark, sf_dir: str) -> float:
     )
     t0 = time.monotonic()
     q = (
-        sessionize_stream(stream, gap_seconds=1800, watermark="30 minutes")
+        sessionize_stream(
+            stream, gap_seconds=1800, watermark="30 minutes",
+            checkpoint_dir=ckpt,
+        )
         .writeStream.format("noop")
         .option("checkpointLocation", ckpt)
         .outputMode("append")

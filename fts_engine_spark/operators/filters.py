@@ -518,31 +518,55 @@ class BucketedTermGate:
     def n_buckets(self) -> int:
         return len(self.filters)
 
-    # ---- snapshot: one npz per bucket + a json manifest, temp+rename
+    # ---- snapshot: payload dir per save + an atomically-replaced pointer
+    # file (ADVICE r4 #4: the previous rmtree-then-os.replace had a
+    # no-snapshot crash window and a two-concurrent-savers race — B
+    # recreating dir_path after A's rmtree made A's os.replace onto a
+    # non-empty dir raise). Now each saver writes its OWN payload dir
+    # (pid+uuid unique) and commits by os.replace of the small CURRENT
+    # file — an atomic file swap, so there is no window without a loadable
+    # snapshot and concurrent savers just last-write-win the pointer.
     def save(self, dir_path: str) -> None:
         import json
+        import shutil
+        import uuid
 
-        tmp = f"{dir_path}.tmp.{os.getpid()}"
-        os.makedirs(tmp, exist_ok=True)
+        os.makedirs(dir_path, exist_ok=True)
+        payload = f"payload_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        pdir = os.path.join(dir_path, payload)
+        os.makedirs(pdir, exist_ok=True)
         for i, f in enumerate(self.filters):
-            f.save(os.path.join(tmp, f"bucket_{i}.npz"))
-        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            f.save(os.path.join(pdir, f"bucket_{i}.npz"))
+        with open(os.path.join(pdir, "manifest.json"), "w") as fh:
             json.dump({"kind": self.kind, "ranges": self.ranges}, fh)
-        if os.path.isdir(dir_path):
-            import shutil
-
-            shutil.rmtree(dir_path)
-        os.replace(tmp, dir_path)
+        cur = os.path.join(dir_path, "CURRENT")
+        tmp = f"{cur}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, cur)
+        # best-effort GC of superseded payloads: a concurrent reader that
+        # already read an older CURRENT may lose the race and fail its
+        # load — the query path catches load errors and refits (bounded
+        # harm, same posture as the old layout)
+        for d in os.listdir(dir_path):
+            if d.startswith("payload_") and d != payload:
+                shutil.rmtree(os.path.join(dir_path, d), ignore_errors=True)
 
     @classmethod
     def load(cls, dir_path: str) -> "BucketedTermGate":
         import json
 
-        with open(os.path.join(dir_path, "manifest.json")) as fh:
+        cur = os.path.join(dir_path, "CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as fh:
+                base = os.path.join(dir_path, fh.read().strip())
+        else:  # pre-pointer snapshot layout (manifest at the top level)
+            base = dir_path
+        with open(os.path.join(base, "manifest.json")) as fh:
             man = json.load(fh)
         klass = CuckooFilter if man["kind"] == "cuckoo" else RibbonFilter
         filters = [
-            klass.load(os.path.join(dir_path, f"bucket_{i}.npz"))
+            klass.load(os.path.join(base, f"bucket_{i}.npz"))
             for i in range(len(man["ranges"]))
         ]
         return cls(

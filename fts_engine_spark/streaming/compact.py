@@ -10,8 +10,9 @@ commits atomically via the meta-pointer swap (:mod:`..layout`).
 Prefix preservation (the 100 TB shape of the job): shards ``0..P-1``,
 where ``P`` is the first non-full shard, already hold a dense prefix of
 doc ids — their postings files are carried into the new postings directory
-UNCHANGED (a file copy locally; a server-side object copy on S3-like
-stores — no decode, no shuffle). Only docs with ``doc_id >= P*shard_size``
+UNCHANGED via a local file copy (no decode, no shuffle; an object-store
+deployment would swap this one step for server-side copy, which this local
+implementation does not do). Only docs with ``doc_id >= P*shard_size``
 (the partial base tail plus every delta shard) are renumbered — densely,
 in doc-id order, so the remap is MONOTONE and re-sorting within posting
 lists is never needed — then re-encoded through the same arrow encoder the
@@ -185,14 +186,23 @@ def compact_index(
         .option("parquet.bloom.filter.expected.ndv#term", str(cfg.bloom_ndv))
         .parquet(new_postings)
     )
-    # carry the full prefix unchanged (server-side copy on object stores)
+    # carry the full prefix unchanged. Occupancy proved shards 0..P-1 are
+    # full, so a missing directory can only mean corruption (or a
+    # non-POSIX path this local copy cannot serve) — committing without
+    # it would atomically flip to a postings table missing those shards'
+    # postings; fail before the commit instead (ADVICE r4 #2).
     for s in range(P):
         src = os.path.join(postings_path, f"shard_id={s}")
-        if os.path.isdir(src):
-            shutil.copytree(
-                src, os.path.join(new_postings, f"shard_id={s}"),
-                dirs_exist_ok=True,
+        if not os.path.isdir(src):
+            raise RuntimeError(
+                f"compaction: expected full prefix shard dir {src} is "
+                "missing — postings table is corrupt or the path is not "
+                "locally accessible; aborting before the pointer flip"
             )
+        shutil.copytree(
+            src, os.path.join(new_postings, f"shard_id={s}"),
+            dirs_exist_ok=True,
+        )
 
     # docs: renumber the tail ids; one broadcast join on shard
     shift_df = spark.createDataFrame(

@@ -35,25 +35,58 @@ PAGES_SCHEMA = (
 )
 
 
-def _checkpoint_stream_id(checkpoint_dir: str) -> str:
+def _checkpoint_stream_id(spark: SparkSession, checkpoint_dir: str) -> str:
     """Epoch identity = the streaming query id Spark PERSISTS inside the
     checkpoint (``<ckpt>/metadata``). Batch ids are unique only within one
-    checkpoint lifetime, and a path hash would survive a checkpoint
-    reset — Spark's id is regenerated exactly when batch numbering
-    restarts, so (id, batch_id) is collision-free across resets AND
-    stable across restarts of the same checkpoint. Read lazily at batch
-    time (the file exists before the first micro-batch runs); falls back
-    to a path hash for exotic checkpoint stores."""
-    import hashlib
-
+    checkpoint lifetime — Spark's id is regenerated exactly when batch
+    numbering restarts, so (id, batch_id) is collision-free across
+    checkpoint resets AND stable across restarts of the same checkpoint.
+    Read lazily at batch time (the file exists before the first
+    micro-batch runs): local ``open()`` first, then the Hadoop FS API for
+    remote checkpoint stores (hdfs://, s3a://, ...). NO silent fallback —
+    a path hash would survive a checkpoint reset, so a new stream at the
+    same path whose batch id equals the committed ``last_epoch`` would be
+    silently skipped (data loss, ADVICE r4 #1). If the id cannot be read,
+    fail loudly and tell the caller to pass an explicit ``stream_id``."""
+    meta_file = os.path.join(checkpoint_dir, "metadata")
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        with open(meta_file) as f:
             qid = json.load(f).get("id")
         if qid:
             return str(qid)
-    except (OSError, ValueError):
+    except OSError:
+        # not a local path — go through the Hadoop FS API
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(meta_file)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            stream = fs.open(jpath)
+            try:
+                reader = jvm.java.io.BufferedReader(
+                    jvm.java.io.InputStreamReader(stream, "UTF-8")
+                )
+                lines = []
+                while True:
+                    line = reader.readLine()
+                    if line is None:
+                        break
+                    lines.append(line)
+            finally:
+                stream.close()
+            qid = json.loads("\n".join(lines)).get("id")
+            if qid:
+                return str(qid)
+        except Exception:
+            pass
+    except ValueError:
         pass
-    return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    raise RuntimeError(
+        f"cannot read the streaming query id from {meta_file}; exactly-once "
+        "epoch identity needs it (a path-derived fallback would survive a "
+        "checkpoint reset and silently skip a colliding batch id). Pass an "
+        "explicit stream_id= to incremental_index, unique per checkpoint "
+        "lifetime."
+    )
 
 
 def _move_in_tagged(src_dir: str, target_dir: str, tag: str) -> None:
@@ -291,14 +324,26 @@ def incremental_index(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     compact_every: int | None = None,
-    compact_keep_old: bool = False,
+    compact_keep_old: bool = True,
+    stream_id: str | None = None,
 ) -> StreamingQuery:
     """Start the incremental-ingest stream. The index must already exist
     (bootstrap with ``build_index`` on an initial corpus, possibly empty).
     ``compact_every=N`` merges delta shards back to full shards after
-    every N micro-batches (atomic; see ``compact.compact_index``);
-    ``compact_keep_old=True`` preserves superseded table dirs for live
-    readers (garbage-collect after a reader drain).
+    every N micro-batches (atomic; see ``compact.compact_index``).
+
+    ``compact_keep_old`` defaults to True here (unlike the batch CLI
+    ``jobs/compact.py``): auto-compaction runs INSIDE a live ingest, where
+    concurrently-serving ``FtsIndex`` readers hold paths resolved at open —
+    eager removal would yield FileNotFoundException mid-query for a warm
+    reader's evicted cache blocks (ADVICE r4 #3). Superseded ``*_vN`` dirs
+    accumulate until garbage-collected after a reader drain; eager removal
+    belongs in the explicit CLI where a drain can be coordinated.
+
+    ``stream_id``: explicit epoch identity for checkpoint stores whose
+    query id cannot be read via local or Hadoop FS access; must be unique
+    per checkpoint lifetime (reuse across a checkpoint reset would skip a
+    colliding batch id). Default: read Spark's persisted query id.
     """
     cfg = cfg or BuildConfig()
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
@@ -311,7 +356,11 @@ def incremental_index(
             lambda bdf, _bid: _append_batch(
                 spark, bdf, index_dir, cfg,
                 compact_every=compact_every, batch_id=int(_bid),
-                stream_id=_checkpoint_stream_id(checkpoint_dir),
+                stream_id=(
+                    stream_id
+                    if stream_id is not None
+                    else _checkpoint_stream_id(spark, checkpoint_dir)
+                ),
                 compact_keep_old=compact_keep_old,
             )
         )

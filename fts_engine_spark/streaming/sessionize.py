@@ -27,9 +27,11 @@ late event that splits differently than in-order processing would).
 Checkpoint migration: the state schema changed in r4 from one scalar
 (start, end, n) triple to parallel array columns (provisional-session
 list). A checkpoint written by the pre-r4 operator cannot be restarted
-under this version — Spark's state-store schema validation rejects the
-mismatch; restart from a fresh checkpoint (in-flight sessions re-derive
-from reprocessed input when the source retains it).
+under this version; the ``STATE_FORMAT_VERSION`` stamp written into the
+checkpoint dir (``check_state_format``) turns such a restart into an
+actionable error at stream start — restart from a fresh checkpoint
+(in-flight sessions re-derive from reprocessed input when the source
+retains it).
 
 Scale: state is the provisional-session list per ACTIVE user — O(active
 users * sessions inside the watermark horizon), evenly hash-partitioned by
@@ -46,6 +48,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_SECONDS = 1800
+
+# Bumped on every incompatible _STATE_SCHEMA change (v2 = the r4 move from
+# one scalar (start, end, n) triple to parallel array columns). Spark's
+# state-store schema validation rejects SOME mismatched restarts, but
+# applyInPandasWithState state rows are opaque serialized rows in some
+# Spark versions — a pre-v2 checkpoint could deserialize garbage or crash
+# deep in the worker instead of failing clearly (ADVICE r4 #5). The stamp
+# makes the mismatch an actionable error at stream start.
+STATE_FORMAT_VERSION = 2
+
+
+def check_state_format(checkpoint_dir: str) -> None:
+    """Stamp/validate this operator's state-format version in
+    ``checkpoint_dir``. First use writes the stamp; a restart against a
+    checkpoint stamped with (or predating) another version fails loudly
+    BEFORE any state row is deserialized. Local-filesystem checkpoints
+    only (remote stores: manage the stamp alongside the checkpoint)."""
+    import json
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stamp = os.path.join(checkpoint_dir, "fts_state_format.json")
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            got = int(json.load(f).get("sessionize_state_version", -1))
+        if got != STATE_FORMAT_VERSION:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir} holds sessionize state format "
+                f"v{got}; this build reads v{STATE_FORMAT_VERSION}. Restart "
+                "from a fresh checkpoint (in-flight sessions re-derive from "
+                "reprocessed input when the source retains it)."
+            )
+    elif any(
+        os.path.isdir(os.path.join(checkpoint_dir, d))
+        for d in ("state", "offsets", "commits")
+    ):
+        raise RuntimeError(
+            f"checkpoint {checkpoint_dir} predates the state-format stamp "
+            f"(pre-v{STATE_FORMAT_VERSION} sessionize state); restart from "
+            "a fresh checkpoint."
+        )
+    else:
+        with open(stamp, "w") as f:
+            json.dump({"sessionize_state_version": STATE_FORMAT_VERSION}, f)
+
 
 _OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
@@ -155,12 +202,20 @@ def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = SESSION_GAP_SECONDS,
     watermark: str = "30 minutes",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Gap-based sessions over a streaming (user_id, ts, ...) DataFrame.
 
     Returns an append-mode stream of closed sessions
     (user_id, session_start, session_end, n_events).
+
+    Pass the query's ``checkpoint_dir`` to stamp/validate the state-format
+    version before start (:func:`check_state_format`) — a restart against
+    an incompatible checkpoint then fails with an actionable message
+    instead of crashing inside state deserialization.
     """
+    if checkpoint_dir is not None:
+        check_state_format(checkpoint_dir)
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

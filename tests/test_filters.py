@@ -341,3 +341,46 @@ def test_gate_snapshot_invalidated_by_inplace_rebuild(spark, tmp_path):
     b = FtsIndex(spark, index_dir, pruning="cuckoo")
     # 'zebra' exists only in corpus B; a stale corpus-A gate would drop it
     assert b.search_bm25("zebra", k=3).count() > 0
+
+
+def test_bucketed_gate_save_is_pointer_atomic(tmp_path):
+    """Snapshot commit = atomic CURRENT-file replace (ADVICE r4 #4): a
+    second save never leaves a window without a loadable snapshot, old
+    payloads are GC'd, and a pre-pointer (legacy) layout still loads."""
+    import os
+
+    from fts_engine_spark.operators.filters import BucketedTermGate, CuckooFilter
+
+    vocab_a = [f"a{i:04d}" for i in range(200)]
+    vocab_b = [f"b{i:04d}" for i in range(200)]
+    ga = BucketedTermGate(
+        "cuckoo", [CuckooFilter.for_capacity(200).fit(vocab_a)],
+        [(min(vocab_a), max(vocab_a))],
+    )
+    gb = BucketedTermGate(
+        "cuckoo", [CuckooFilter.for_capacity(200).fit(vocab_b)],
+        [(min(vocab_b), max(vocab_b))],
+    )
+    path = str(tmp_path / "gate")
+    ga.save(path)
+    assert os.path.exists(os.path.join(path, "CURRENT"))
+    ga2 = BucketedTermGate.load(path)
+    assert all(t in ga2 for t in vocab_a)
+
+    gb.save(path)  # overwrite: pointer flip, old payload GC'd
+    payloads = [d for d in os.listdir(path) if d.startswith("payload_")]
+    assert len(payloads) == 1
+    gb2 = BucketedTermGate.load(path)
+    assert all(t in gb2 for t in vocab_b)
+    assert "a0000" not in gb2  # really the new gate (range-routed out)
+
+    # legacy layout (manifest at the top level, no CURRENT) still loads
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    payload_dir = os.path.join(path, payloads[0])
+    for f in os.listdir(payload_dir):
+        import shutil
+
+        shutil.copy(os.path.join(payload_dir, f), os.path.join(legacy, f))
+    gl = BucketedTermGate.load(legacy)
+    assert all(t in gl for t in vocab_b)

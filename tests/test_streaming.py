@@ -168,3 +168,31 @@ def test_append_batch_exactly_once_under_retry(spark, tmp_path, monkeypatch):
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta2 = json.load(f)
     assert meta2["n_docs"] == 130 and meta2["delta_batches"] == meta["delta_batches"]
+
+
+def test_checkpoint_stream_id_fails_loudly(tmp_path):
+    """ADVICE r4 #1: when the persisted query id cannot be read (locally
+    or via the Hadoop FS API), epoch identity must FAIL, not silently
+    degrade to a reset-stable path hash (which would skip a colliding
+    batch id after a checkpoint reset = data loss)."""
+    import pytest
+
+    from fts_engine_spark.streaming.incremental import _checkpoint_stream_id
+
+    class _NoJvm:  # stands in for a session whose FS access also fails
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    with pytest.raises(RuntimeError, match="stream_id"):
+        _checkpoint_stream_id(_NoJvm(), str(tmp_path / "missing_ckpt"))
+
+
+def test_checkpoint_stream_id_reads_local_metadata(tmp_path):
+    import json
+
+    from fts_engine_spark.streaming.incremental import _checkpoint_stream_id
+
+    ckpt = tmp_path / "ck"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text(json.dumps({"id": "abc-123"}))
+    assert _checkpoint_stream_id(object(), str(ckpt)) == "abc-123"

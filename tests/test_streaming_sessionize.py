@@ -187,3 +187,38 @@ def test_stream_sessions_closed_by_gap_and_timeout(stream_result):
     assert len(by_user[2]) == 3
     n_events = sorted(r["n_events"] for r in by_user[2])
     assert n_events == [1, 2, 3]
+
+
+def test_state_format_stamp(tmp_path):
+    """ADVICE r4 #5: the checkpoint dir carries a state-format stamp so a
+    restart against an incompatible (or pre-stamp) checkpoint fails with
+    an actionable error instead of deserializing garbage state."""
+    import json
+    import os
+
+    import pytest
+
+    from fts_engine_spark.streaming.sessionize import (
+        STATE_FORMAT_VERSION,
+        check_state_format,
+    )
+
+    # fresh checkpoint: stamp written, idempotent re-check passes
+    ckpt = str(tmp_path / "ck")
+    check_state_format(ckpt)
+    stamp = os.path.join(ckpt, "fts_state_format.json")
+    with open(stamp) as f:
+        assert json.load(f)["sessionize_state_version"] == STATE_FORMAT_VERSION
+    check_state_format(ckpt)
+
+    # mismatched version: loud failure
+    with open(stamp, "w") as f:
+        json.dump({"sessionize_state_version": STATE_FORMAT_VERSION - 1}, f)
+    with pytest.raises(RuntimeError, match="state format"):
+        check_state_format(ckpt)
+
+    # unstamped checkpoint that already holds state: pre-stamp = loud failure
+    old = str(tmp_path / "old")
+    os.makedirs(os.path.join(old, "state"))
+    with pytest.raises(RuntimeError, match="predates"):
+        check_state_format(old)
