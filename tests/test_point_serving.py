@@ -1,0 +1,109 @@
+"""Driver-side point-serving tier (VERDICT r4 missing #1 / next #2).
+
+The tier serves warm single queries in-process — same WAND kernel, no
+Spark job — from a byte-budgeted LRU of hot terms' posting tables. These
+tests pin (a) exact result parity with the distributed path over the full
+reference query set, (b) the no-job property once warm, (c) the LRU byte
+budget, and (d) the fallbacks (cold index, oversized term).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fts_engine_spark.query import FtsIndex
+from tools.gen_corpus import REFERENCE_QUERIES
+
+
+@pytest.fixture(scope="module")
+def point_fts(spark, small_index):
+    index_dir, _meta = small_index
+    fts = FtsIndex(spark, index_dir).enable_point_serving()
+    yield fts
+    fts.close()
+
+
+def test_point_matches_distributed_on_reference_set(spark, point_fts):
+    """Hash-identical results: every reference query's point-tier rows ==
+    the distributed WAND path's rows, scores to full float64."""
+    for qd in REFERENCE_QUERIES:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in point_fts.search_bm25(
+                qd["query"], k=qd["k"], mode="wand"
+            ).collect()
+        ]
+        got = point_fts.search_bm25_point(qd["query"], k=qd["k"])
+        assert got == want, qd["query"]
+
+
+def test_point_k_zero_returns_all(point_fts):
+    want = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in point_fts.search_bm25("hotel turtle", k=0, mode="wand").collect()
+    ]
+    got = point_fts.search_bm25_point("hotel turtle", k=0)
+    assert got == want and len(got) > 10
+
+
+def test_point_warm_query_runs_no_spark_job(spark, point_fts):
+    """After the first (fetch) call, a repeat query schedules ZERO jobs —
+    the whole point of the tier."""
+    point_fts.search_bm25_point("french hotel", k=10)  # fetch terms
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    out = point_fts.search_bm25_point("french hotel", k=10)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert out  # real results
+    assert after == before, "warm point query must not schedule a Spark job"
+
+
+def test_point_cache_lru_byte_budget(spark, small_index):
+    index_dir, _meta = small_index
+    fts = FtsIndex(spark, index_dir).enable_point_serving()
+    try:
+        fts.search_bm25_point("french hotel turtle", k=10)
+        stats = fts.point_cache_stats()
+        assert stats["terms"] >= 2 and 0 < stats["bytes"] <= stats["max_bytes"]
+        # shrink the budget below the current usage and query NEW terms:
+        # old terms must be evicted, accounting stays consistent
+        fts._point_max_bytes = stats["bytes"]
+        fts.search_bm25_point("mountain river castle bridge", k=10)
+        stats2 = fts.point_cache_stats()
+        recount = sum(
+            fts._point_term_bytes(tabs) for tabs in fts._point_cache.values()
+        )
+        assert stats2["bytes"] == recount
+        assert "mountain" in fts._point_cache  # current query never evicted
+    finally:
+        fts.close()
+
+
+def test_point_falls_back_when_not_enabled(spark, small_index):
+    index_dir, _meta = small_index
+    fts = FtsIndex(spark, index_dir)  # cold: no warm(), no point cache
+    try:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts.search_bm25("turtle", k=5, mode="wand").collect()
+        ]
+        assert fts.search_bm25_point("turtle", k=5) == want
+    finally:
+        fts.close()
+
+
+def test_point_falls_back_on_oversized_term(spark, small_index):
+    """A term whose df exceeds the point budget's cap is served by the
+    distributed path (the driver never materializes its posting list)."""
+    index_dir, _meta = small_index
+    fts = FtsIndex(spark, index_dir).enable_point_serving(cache_max_bytes=40)
+    try:
+        # df_cap = 40 // 40 = 1: any term with df > 1 falls back
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts.search_bm25("hotel", k=5, mode="wand").collect()
+        ]
+        assert fts.search_bm25_point("hotel", k=5) == want
+        assert fts.point_cache_stats()["terms"] == 0  # nothing cached
+    finally:
+        fts.close()
