@@ -150,16 +150,21 @@ class FtsEngine:
         scorer: str | None = None,
         mode: str | None = None,
         hydrate: bool = False,
+        with_total: bool = True,
     ):
         """Reference ``SearchResult`` shape (``engine.go:146-157``): top-k
         rows + pre-truncation ``TotalResultsCount`` + ``Timings`` map
-        (preprocess / search_tokens / total)."""
+        (preprocess / search_tokens / total). ``with_total=False`` skips
+        the pre-truncation count job (``total_results_count`` = -1) —
+        serving callers that only want the top-k shouldn't pay a full
+        posting decode for a number they discard."""
         return self.index.search_full(
             query,
             self.options.k if k is None else k,
             scorer=scorer or self.options.scorer,
             mode=mode or self.options.mode,
             hydrate=hydrate,
+            with_total=with_total,
         )
 
     # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats

@@ -235,3 +235,62 @@ def test_batch_search_equals_individual(spark, small_index):
         finally:
             if warm:
                 fts.close()
+
+
+def test_search_full_with_total_false_skips_count(spark, small_index):
+    """with_total=False: same top-k rows, total sentinel -1, and (wand)
+    no decoded-postings count job — the serving fast path."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    for scorer, mode in (
+        ("reference", "wand"),
+        ("bm25", "relational"),
+        ("bm25", "wand"),
+    ):
+        full = fts.search_full(
+            "turtle hotel", k=5, preset="multilingual",
+            scorer=scorer, mode=mode,
+        )
+        fast = fts.search_full(
+            "turtle hotel", k=5, preset="multilingual",
+            scorer=scorer, mode=mode, with_total=False,
+        )
+        assert fast.total_results_count == -1
+        assert full.total_results_count > 0
+        assert sorted(map(tuple, fast.results.collect())) == sorted(
+            map(tuple, full.results.collect())
+        ), (scorer, mode)
+
+
+def test_match_count_equals_distinct_decoded(spark, small_index):
+    """The doc-blob-only count must equal the full-decode distinct count
+    (they read different byte ranges of the same lists)."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    mult = {"turtle": 1, "hotel": 1}
+    cheap = fts._match_count_df(mult).count()
+    fullc = (
+        fts.decoded_postings(list(mult), mult)
+        .select("doc_id").distinct().count()
+    )
+    assert cheap == fullc > 0
+
+
+def test_warm_dict_byte_budget_boundary(spark, small_index):
+    """VERDICT r4 wrong #4: the warm driver dictionary is capped by
+    estimated BYTES, not just entries; over-budget degrades to the
+    in-plan broadcast path with identical results."""
+    index_dir, _ = small_index
+    over = FtsIndex(spark, index_dir)
+    under = FtsIndex(spark, index_dir)
+    try:
+        under.warm(driver_dict_max_bytes=100)  # ~300B/term: never fits
+        assert under._term_dict is None
+        over.warm()  # default 256 MiB: the small dict fits
+        assert over._term_dict is not None
+        a = [tuple(r) for r in under.search_bm25("turtle hotel", k=5).collect()]
+        b = [tuple(r) for r in over.search_bm25("turtle hotel", k=5).collect()]
+        assert a == b and len(a) > 0
+    finally:
+        under.close()
+        over.close()

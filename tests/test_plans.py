@@ -279,3 +279,15 @@ def test_compaction_tail_scan_is_partition_pruned(spark, small_index):
     plan = formatted_plan(tail)
     # the partition filter actually carries the shard predicate
     assert "shard_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_match_count_reads_only_doc_blob(spark, small_index):
+    """The pre-truncation total (VERDICT r4 wrong #3) decodes doc ids
+    only: tf_blob/dl_blob must be PRUNED from the scan — the projection
+    sits before mapInPandas, so the count path never re-reads the bytes
+    the block-partial WAND kernel skipped."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    df = fts._match_count_df({"turtle": 1, "hotel": 1})
+    assert_plan(df, "ReadSchema: struct<term:string,doc_blob:binary>")
+    assert_plan_absent(df, "tf_blob", "dl_blob")
