@@ -101,6 +101,76 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+def _ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index built through the MUTATION path (VERDICT r4 next #3):
+    bootstrap ``build_index`` on ~60% of the corpus, two micro-batch
+    appends (the exactly-once ``foreachBatch`` body, driven directly with
+    deterministic epoch ids), then ``compact_index`` — so incremental
+    splice + dictionary delta-merge + delta-shard compaction all sit
+    under the same DuckDB hash gate as the batch build. The split is
+    deterministic on the source doc_id (6/2/2 by ``doc_id % 10``);
+    BM25 over the union corpus is split-invariant (term/df/dl exact;
+    avgdl is an exactly-weighted running mean)."""
+    import hashlib
+    import shutil
+
+    from fts_engine_spark.build import META_VERSION, BuildConfig, build_index
+    from fts_engine_spark.streaming.compact import compact_index
+    from fts_engine_spark.streaming.incremental import _append_batch
+
+    key = hashlib.md5(f"incr:{sf_dir}:v{META_VERSION}".encode()).hexdigest()[:10]
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    index_dir = f"/tmp/fts_incr_cache_{key}"
+    marker = os.path.join(index_dir, "_contract_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+            "lang",
+            (F.col("doc_id") % 10).alias("_split"),
+        )
+        cfg = BuildConfig(
+            preset="simple", shard_size=2048, id_buckets=16, n_waves=1
+        )
+        build_index(
+            spark,
+            docs.where(F.col("_split") < 6).drop("_split"),
+            index_dir,
+            cfg,
+            resume=False,
+        )
+        for bid, (lo, hi) in enumerate(((6, 8), (8, 10))):
+            _append_batch(
+                spark,
+                docs.where(
+                    (F.col("_split") >= lo) & (F.col("_split") < hi)
+                ).drop("_split"),
+                index_dir,
+                cfg,
+                batch_id=bid,
+                stream_id="contract",
+            )
+        compact_index(spark, index_dir, cfg)
+        with open(marker, "w") as f:
+            f.write("ok")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_incremental_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25(" ".join(Q_TERMS), k=10, mode="wand", hydrate=True)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 BATCH_QUERIES = ["table value fast data", "value fast", "data table"]
 
 
@@ -162,6 +232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kernel with pruning disabled — oracle is the same BM25 SQL
         # without LIMIT
         "fts_index_bm25_all": lambda s, d: _index_search(s, d, "wand", k=0),
+        # the MUTATION path under the hash gate: bootstrap + 2 exactly-once
+        # micro-batch appends + delta-shard compaction, then the same BM25
+        # search — oracle is the same SQL over the union corpus
+        "fts_incremental_bm25": lambda s, d: _incremental_search(s, d),
         # batch serving surface: THREE queries scored in ONE Spark job
         # (shared term decode inside the kernel); per-query top-10 must
         # equal the per-query oracle
@@ -458,6 +532,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_relational": bm25,
         "fts_index_bm25_wand": bm25,
         "fts_index_bm25_all": bm25_all,
+        "fts_incremental_bm25": bm25,
         "fts_index_bm25_batch": bm25_batch,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents), "
