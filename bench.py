@@ -1,10 +1,21 @@
 """Benchmark harness.
 
 Default run (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON
-line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...} plus
-index-build throughput (docs/sec) and warm top-k latency p50/p99 over the
-reference query set on the synthetic web corpus.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints a
+COMPACT headline JSON as the FINAL stdout line — {"metric", "value",
+"unit": "sec", "queries": {...}, "sf", p50/p99/QPS/point/batch +
+window_contaminated} — and writes the full detail (trials, steal-gate
+log, host deltas, per-query ms) to BENCH/detail_last.json. The split
+exists because r4's everything-in-one-line record outgrew the driver's
+stdout-tail capture and the round's record parsed as null.
+
+Steal gate: every measured phase checks its /proc/stat steal-tick delta
+against a threshold (build 10k, suite 8k, serving 2k; override via
+SPARK_GRAFT_STEAL_*); a phase over threshold re-runs (bounded retries)
+and, if no attempt lands clean, the result carries
+window_contaminated=true with the offending phases' ticks — a throttled
+host window can delay the record, but can no longer silently BE the
+record (VERDICT r4 wrong #1).
 
 ``--scaling`` mode: re-executes the same workload in subprocesses at two
 parallelism levels (default local[1] vs local[4], the sandbox stand-in for
@@ -80,6 +91,23 @@ BENCH_PHASES = os.environ.get("SPARK_GRAFT_BENCH_PHASES", "all")
 # realistic web-page length: ~40 sentences (~400 tokens) per doc
 DOC_SENTS = (20, 60)
 
+# operator-suite rows (median-of-3 each); also the scaling report's
+# suite-total allowlist
+SUITE_QUERIES = [
+    "fts_postings_tf",
+    "fts_term_stats",
+    "fts_search_coordinate",
+    "fts_search_bm25",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_token_counts",
+]
+
 
 class HostMeter:
     """Per-phase host telemetry (VERDICT r3 wrong #3: the record could not
@@ -112,15 +140,63 @@ class HostMeter:
             pass
         return steal, majflt
 
-    def lap(self, name: str) -> None:
+    def lap(self, name: str) -> dict[str, int]:
+        """Record a lap; returns THIS lap's delta (the accumulated per-name
+        totals stay in ``deltas`` for the record)."""
         cur = self._snap()
+        lap = {
+            "steal_ticks": cur[0] - self._last[0],
+            "pgmajfault": cur[1] - self._last[1],
+        }
         d = self.deltas.setdefault(name, {"steal_ticks": 0, "pgmajfault": 0})
-        d["steal_ticks"] += cur[0] - self._last[0]
-        d["pgmajfault"] += cur[1] - self._last[1]
+        d["steal_ticks"] += lap["steal_ticks"]
+        d["pgmajfault"] += lap["pgmajfault"]
         self._last = cur
+        return lap
 
     def reset(self) -> None:
         self._last = self._snap()
+
+
+# Steal-gating (VERDICT r4 wrong #1): BENCH_r04 was committed from a
+# 31k-steal-tick window and misrepresented the code. Now each phase's
+# steal delta is checked against a threshold; a contaminated phase
+# re-runs (bounded retries) and the record takes the FIRST sub-threshold
+# attempt — if none qualifies, the fastest attempt is recorded and the
+# phase (and the whole result) is stamped contaminated, with the ticks.
+STEAL_BUILD_TICKS = int(os.environ.get("SPARK_GRAFT_STEAL_BUILD", "10000"))
+STEAL_SERVE_TICKS = int(os.environ.get("SPARK_GRAFT_STEAL_SERVE", "2000"))
+STEAL_SUITE_TICKS = int(os.environ.get("SPARK_GRAFT_STEAL_SUITE", "8000"))
+STEAL_RETRIES = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
+
+
+def gated_phase(meter, contaminated: dict, steal_log: dict, name: str,
+                threshold: int, fn, retries: int = STEAL_RETRIES):
+    """Run ``fn()`` under the steal gate. Returns (value, secs) of the
+    accepted attempt: the first whose window stayed under ``threshold``
+    steal ticks, else the fastest of all attempts with the phase recorded
+    in ``contaminated`` (name -> worst ticks). Every attempt's (secs,
+    ticks) lands in ``steal_log`` for the detail record."""
+    attempts = []
+    for _ in range(retries + 1):
+        meter.reset()
+        t0 = time.monotonic()
+        value = fn()
+        secs = time.monotonic() - t0
+        ticks = meter.lap(name)["steal_ticks"]
+        attempts.append((secs, ticks, value))
+        if ticks <= threshold:
+            break
+    steal_log[name] = [
+        {"secs": round(s, 3), "steal_ticks": t} for s, t, _ in attempts
+    ]
+    clean = [a for a in attempts if a[1] <= threshold]
+    if clean:
+        secs, _, value = clean[-1]  # the attempt that broke the loop
+    else:
+        contaminated[name] = max(a[1] for a in attempts)
+        secs, _, value = min(attempts, key=lambda a: a[0])
+    return value, secs
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -227,12 +303,19 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     # must measure a session that looks like a serving tier, not one
     # freshly hammered by N builds.
     build_trials = max(1, int(os.environ.get("SPARK_GRAFT_BUILD_TRIALS", "2")))
+    contaminated: dict[str, int] = {}
+    steal_log: dict[str, list] = {}
     trial_secs: list[float] = []
-    shutil.rmtree(index_dir, ignore_errors=True)
-    t0 = time.monotonic()
-    build_index(spark, docs, index_dir, cfg, resume=False)
-    trial_secs.append(time.monotonic() - t0)
-    meter.lap("index_build")
+
+    def _build_once():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_index(spark, docs, index_dir, cfg, resume=False)
+
+    _, secs = gated_phase(
+        meter, contaminated, steal_log, "index_build",
+        STEAL_BUILD_TICKS, _build_once,
+    )
+    trial_secs.append(secs)
     build_secs = min(trial_secs)
     timings["index_build"] = round(build_secs, 3)
     docs_per_sec = BENCH_DOCS / build_secs
@@ -243,27 +326,15 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     if BENCH_PHASES == "build":
         return _result(timings, time.monotonic() - t_all, sf_dir, docs_per_sec,
                        p50, p99, qps, per_query, cpus, spark, out_json,
-                       host=meter.deltas)
+                       host=meter.deltas, contaminated=contaminated,
+                       steal_log=steal_log)
 
     # ---- 2. operator suite on the driver tables at sf_dir (runs BEFORE the
     # query storm: 150 back-to-back applyInPandas jobs leave the session with
     # degraded JVM state — see BENCH/SCALING_NOTES.md — and the suite should
     # measure the operators, not that residue)
     queries = entry_mod.queries()
-    suite = [
-        "fts_postings_tf",
-        "fts_term_stats",
-        "fts_search_coordinate",
-        "fts_search_bm25",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_clusters",
-        "dedup_simhash",
-        "ann_cosine_topk",
-        "text_quality",
-        "text_token_counts",
-    ]
+    suite = SUITE_QUERIES
     # PER-QUERY unmeasured warm-up + median-of-3 (VERDICT r3 wrong #3: the
     # r2→r3 fix warmed only the FIRST suite query, so later first-runs
     # still absorbed one-time JIT/codegen/scan setup, and single-shot rows
@@ -271,29 +342,38 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     # runs after a warm-up run is robust to a one-off steal spike in
     # either direction; all trials ride in the JSON next to the host
     # steal/fault deltas so any residual swing is attributable.
-    suite_trials: dict[str, list[float]] = {}
-    for name in suite:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        runs = []
-        for _ in range(3):
-            t0 = time.monotonic()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.monotonic() - t0, 3))
-        timings[name] = round(statistics.median(runs), 3)
-        suite_trials[name] = runs
-        meter.lap(name)
-    timings["suite_trials"] = suite_trials
+    def _suite_once():
+        out: dict[str, object] = {"trials": {}}
+        for name in suite:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.monotonic() - t0, 3))
+            out[name] = round(statistics.median(runs), 3)
+            out["trials"][name] = runs
+        return out
+
+    suite_out, _ = gated_phase(
+        meter, contaminated, steal_log, "suite", STEAL_SUITE_TICKS,
+        _suite_once,
+    )
+    timings["suite_trials"] = suite_out.pop("trials")
+    timings.update(suite_out)
 
     # ---- 2b. streaming sessionization micro-bench: the sf events table
     # replayed as 4 time-ordered micro-batches through the stateful
     # applyInPandasWithState operator (events/sec over total wall time)
-    t0 = time.monotonic()
-    timings["sessionize_stream_events_per_sec"] = round(
-        _sessionize_stream_bench(spark, sf_dir), 1
+    eps, secs = gated_phase(
+        meter, contaminated, steal_log, "sessionize_stream",
+        STEAL_SERVE_TICKS, lambda: _sessionize_stream_bench(spark, sf_dir),
     )
-    timings["sessionize_stream"] = round(time.monotonic() - t0, 3)
-    meter.lap("sessionize_stream")
+    timings["sessionize_stream_events_per_sec"] = round(eps, 1)
+    timings["sessionize_stream"] = round(secs, 3)
 
     # ---- 3. warm top-k latency over the reference query set
     fts = FtsIndex(spark, index_dir).warm()
@@ -328,51 +408,116 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
         )
         fts.search_bm25(qd["query"], k=qd["k"], mode="wand").collect()
 
-    # two storms, best QPS (host steal only ever adds time — same
-    # best-of-N rationale as the build trials)
-    qps = 0.0
-    storm_secs = []
-    for _ in range(2):
-        t0 = time.monotonic()
-        with ThreadPoolExecutor(max_workers=8) as ex:
-            list(ex.map(one, REFERENCE_QUERIES * 2))
-        secs = time.monotonic() - t0
-        storm_secs.append(round(secs, 3))
-        qps = max(qps, (len(REFERENCE_QUERIES) * 2) / secs)
+    # two storms per attempt, best QPS (host steal only ever adds time —
+    # same best-of-N rationale as the build trials), under the steal gate
+    def _storm_once():
+        best_qps, secs_list = 0.0, []
+        for _ in range(2):
+            t0 = time.monotonic()
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                list(ex.map(one, REFERENCE_QUERIES * 2))
+            secs = time.monotonic() - t0
+            secs_list.append(round(secs, 3))
+            best_qps = max(best_qps, (len(REFERENCE_QUERIES) * 2) / secs)
+        return best_qps, secs_list
+
+    (qps, storm_secs), _ = gated_phase(
+        meter, contaminated, steal_log, "query_concurrent",
+        STEAL_SERVE_TICKS, _storm_once,
+    )
     timings["query_concurrent"] = min(storm_secs)
     timings["query_concurrent_trials"] = storm_secs
-    meter.lap("query_concurrent")
 
     # ---- 3c. per-query latency: two measured passes, per-query MIN (the
     # min estimates the steady-state latency a dedicated serving box would
     # see; the storm above already re-warmed every query's path)
-    per_query: dict[str, float] = {}
-    for _ in range(2):
-        for qd in REFERENCE_QUERIES:
-            t0 = time.monotonic()
-            fts.search_bm25(qd["query"], k=qd["k"], mode="wand").collect()
-            ms = (time.monotonic() - t0) * 1000
-            key = f"q{qd['query_id']}"
-            per_query[key] = round(min(ms, per_query.get(key, ms)), 1)
+    def _query_set_once():
+        pq: dict[str, float] = {}
+        for _ in range(2):
+            for qd in REFERENCE_QUERIES:
+                t0 = time.monotonic()
+                fts.search_bm25(qd["query"], k=qd["k"], mode="wand").collect()
+                ms = (time.monotonic() - t0) * 1000
+                key = f"q{qd['query_id']}"
+                pq[key] = round(min(ms, pq.get(key, ms)), 1)
+        return pq
+
+    per_query, secs = gated_phase(
+        meter, contaminated, steal_log, "query_set", STEAL_SERVE_TICKS,
+        _query_set_once,
+    )
     lat_sorted = sorted(per_query.values())
     p50 = statistics.median(lat_sorted)
     p99 = lat_sorted[min(len(lat_sorted) - 1, int(0.99 * len(lat_sorted)))]
     timings["query_set"] = round(sum(lat_sorted) / 1000, 3)
-    meter.lap("query_set")
 
-    # ---- 3d. batch scoring: the whole reference query set in ONE Spark
+    # ---- 3d. point-serving tier: the same reference set served from the
+    # driver (in-process WAND over the hot-term LRU; VERDICT r4 next #2).
+    # Parity with the distributed path is asserted on 3 queries before
+    # timing — a fast-but-wrong tier must fail the bench, not pass it.
+    fts.enable_point_serving()
+    for qd in REFERENCE_QUERIES:
+        fts.search_bm25_point(qd["query"], k=qd["k"])  # fetch/warm
+    for qd in REFERENCE_QUERIES[:3]:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts.search_bm25(
+                qd["query"], k=qd["k"], mode="wand"
+            ).collect()
+        ]
+        got = fts.search_bm25_point(qd["query"], k=qd["k"])
+        if got != want:
+            raise RuntimeError(f"point-tier parity failure on {qd['query']!r}")
+
+    def _point_once():
+        lat: list[float] = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES:
+                t0 = time.monotonic()
+                fts.search_bm25_point(qd["query"], k=qd["k"])
+                lat.append((time.monotonic() - t0) * 1000)
+        lat.sort()
+        return (
+            round(statistics.median(lat), 2),
+            round(lat[min(len(lat) - 1, int(0.99 * len(lat)))], 2),
+        )
+
+    (point_p50, point_p99), secs = gated_phase(
+        meter, contaminated, steal_log, "query_point", STEAL_SERVE_TICKS,
+        _point_once,
+    )
+    timings["query_point_p50_ms"] = point_p50
+    timings["query_point_p99_ms"] = point_p99
+    timings["query_point"] = round(secs, 3)
+
+    # ---- 3e. batch scoring: the whole reference query set in ONE Spark
     # job (shared term decode + one scheduling floor; the bulk-workload
     # counterpart of the per-query latency above)
     batch_queries = [qd["query"] for qd in REFERENCE_QUERIES]
     fts.search_bm25_batch(batch_queries, k=10).collect()  # unmeasured warm-up
-    batch_secs = []
-    for _ in range(2):
-        t0 = time.monotonic()
-        fts.search_bm25_batch(batch_queries, k=10).collect()
-        batch_secs.append(round(time.monotonic() - t0, 3))
+
+    def _batch_once():
+        secs_list = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fts.search_bm25_batch(batch_queries, k=10).collect()
+            secs_list.append(round(time.monotonic() - t0, 3))
+        return secs_list
+
+    batch_secs, _ = gated_phase(
+        meter, contaminated, steal_log, "query_batch25", STEAL_SERVE_TICKS,
+        _batch_once,
+    )
     timings["query_batch25"] = min(batch_secs)
     timings["query_batch25_trials"] = batch_secs
-    meter.lap("query_batch25")
+
+    # ---- 3f. compaction cost vs delta-tail size (VERDICT r4 next #4):
+    # clone the serving index, splice in a delta tail of N docs, compact,
+    # and time it at two tail sizes — the design claim (cost ∝ tail, the
+    # full-shard prefix is file-copied, never re-encoded) gets a number.
+    compact_rows = _compaction_bench(spark, index_dir, docs, cfg,
+                                     meter, contaminated, steal_log)
+    timings.update(compact_rows)
 
     # ---- 4. sf0.1 index-oracle gate: the sf0.1 session is already paid for,
     # so record the 10x-scale correctness check in the bench of record
@@ -385,7 +530,10 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
         meter.lap("sf01_oracle_check")
 
     # remaining build trials (see the trial-1 comment): a rebuild into a
-    # scratch dir so the serving index the queries used stays untouched
+    # scratch dir so the serving index the queries used stays untouched.
+    # NOT steal-gated: these trials exist to feed best-of-N (min), which
+    # is inherently robust to added noise; gating would add builds a
+    # reused-worker session degrades on (BENCH/SCALING_NOTES.md).
     meter.reset()
     for _ in range(build_trials - 1):
         scratch = index_dir + "_trial"
@@ -402,7 +550,58 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
 
     return _result(timings, time.monotonic() - t_all, sf_dir, docs_per_sec,
                    p50, p99, qps, per_query, cpus, spark, out_json,
-                   sf01_pass=sf01_pass, host=meter.deltas)
+                   sf01_pass=sf01_pass, host=meter.deltas,
+                   contaminated=contaminated, steal_log=steal_log)
+
+
+def _compaction_bench(spark, index_dir, docs, cfg, meter, contaminated,
+                      steal_log) -> dict:
+    """Clone the bench index, append a delta tail, compact, time it — at
+    two tail sizes, so the record shows compaction cost tracking the TAIL
+    (the re-encoded part), not the index (whose full-shard prefix is
+    file-copied). Rows: compact_tail_{N} (seconds), compact_tail_{N}_docs
+    (tail actually re-encoded: the partial base shard + the delta)."""
+    import json as _json
+    import shutil
+
+    from fts_engine_spark.streaming.compact import compact_index
+    from fts_engine_spark.streaming.incremental import _append_batch
+
+    out: dict[str, float] = {}
+    for tail_docs in (1000, 6000):
+        work = f"{index_dir}_compactbench_{tail_docs}"
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(index_dir, work)
+        _append_batch(
+            spark, docs.limit(tail_docs), work, cfg,
+            batch_id=0, stream_id=f"bench{tail_docs}",
+        )
+        with open(f"{work}/meta.json") as f:
+            meta = _json.load(f)
+        shard_size = int(meta["shard_size"])
+        # docs the compactor re-encodes = everything from the first
+        # non-full shard: the base index's partial last shard + the delta
+        full_prefix_docs = (
+            int(meta["n_docs"]) - tail_docs
+        ) // shard_size * shard_size
+        reencoded = int(meta["n_docs"]) - full_prefix_docs
+
+        def _compact_once(w=work):
+            compact_index(spark, w, cfg)
+
+        # one-shot timing per tail (cloning + re-appending for a retry
+        # would measure a different filesystem state); still steal-gated
+        # via a 0-retry gate so contamination is stamped, not hidden.
+        # Build threshold: compaction runs a re-encode job, not a point
+        # lookup — the serving threshold would flag every busy window.
+        _, secs = gated_phase(
+            meter, contaminated, steal_log, f"compact_tail_{tail_docs}",
+            STEAL_BUILD_TICKS, _compact_once, retries=0,
+        )
+        out[f"compact_tail_{tail_docs}"] = round(secs, 3)
+        out[f"compact_tail_{tail_docs}_docs"] = reencoded
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def _sessionize_stream_bench(spark, sf_dir: str) -> float:
@@ -496,7 +695,9 @@ def _sf01_oracle_check(spark, sf_dir: str) -> bool:
 
 
 def _result(timings, total, sf_dir, docs_per_sec, p50, p99, qps, per_query,
-            cpus, spark, out_json, sf01_pass=None, host=None):
+            cpus, spark, out_json, sf01_pass=None, host=None,
+            contaminated=None, steal_log=None):
+    contaminated = contaminated or {}
     result = {
         "metric": "index-build docs/sec + query p50/p99 + operator suite",
         "value": round(total, 3),
@@ -511,6 +712,11 @@ def _result(timings, total, sf_dir, docs_per_sec, p50, p99, qps, per_query,
         "query_ms": per_query,
         "cpus": int(cpus),
         "sf01_oracle_pass": sf01_pass,
+        # steal gate verdict (VERDICT r4 wrong #1): phases that stayed
+        # over their steal threshold after bounded retries, with ticks
+        "window_contaminated": bool(contaminated),
+        "contaminated_phases": contaminated,
+        "steal_gate_log": steal_log or {},
         # per-phase hypervisor steal ticks + host major page faults: the
         # attribution record for round-over-round swings (a phase that
         # doubled with a matching steal/fault spike is a host window, not
@@ -519,7 +725,41 @@ def _result(timings, total, sf_dir, docs_per_sec, p50, p99, qps, per_query,
     }
     spark.stop()
     if out_json:
-        print(json.dumps(result))
+        # full detail -> file; COMPACT headline as the FINAL stdout line
+        # (VERDICT r4 wrong #2: the one-line-everything record outgrew the
+        # driver's stdout-tail capture and parsed as null)
+        detail_path = os.path.join(REPO, "BENCH", "detail_last.json")
+        try:
+            os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+            with open(detail_path, "w") as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            detail_path = None
+        headline_queries = {
+            k: v
+            for k, v in timings.items()
+            if isinstance(v, (int, float)) and not k.endswith("_trials")
+        }
+        headline = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": "sec",
+            "queries": headline_queries,
+            "sf": result["sf"],
+            "cpus": result["cpus"],
+            "build_docs": BENCH_DOCS,
+            "build_docs_per_sec": result["build_docs_per_sec"],
+            "query_p50_ms": result["query_p50_ms"],
+            "query_p99_ms": result["query_p99_ms"],
+            "query_qps": result["query_qps"],
+            "query_point_p50_ms": timings.get("query_point_p50_ms"),
+            "query_batch25": timings.get("query_batch25"),
+            "sf01_oracle_pass": sf01_pass,
+            "window_contaminated": bool(contaminated),
+            "contaminated_phases": contaminated,
+            "detail_file": detail_path,
+        }
+        print(json.dumps(headline))
     return result
 
 
@@ -563,13 +803,10 @@ def run_scaling(sf_dir: str) -> None:
         if r_lo["query_qps"]
         else 0.0
     )
-    skip = {"index_build", "index_build_trials", "warmup_build_2k",
-            "query_set", "query_concurrent", "query_concurrent_trials",
-            "sf01_oracle_check", "suite_trials", "sessionize_stream",
-            "sessionize_stream_events_per_sec", "query_batch25",
-            "query_batch25_trials"}
-    t_lo = sum(v for k, v in r_lo["queries"].items() if k not in skip)
-    t_hi = sum(v for k, v in r_hi["queries"].items() if k not in skip)
+    # suite total over the explicit allowlist (the headline's queries dict
+    # also carries non-suite phase rows: point tier, compaction, etc.)
+    t_lo = sum(r_lo["queries"].get(k, 0.0) for k in SUITE_QUERIES)
+    t_hi = sum(r_hi["queries"].get(k, 0.0) for k in SUITE_QUERIES)
     eff_query = (t_lo / t_hi) / ratio if t_hi else 0.0
     report = {
         f"local{lo_cpus}": r_lo,
