@@ -490,6 +490,27 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     timings["query_point_p99_ms"] = point_p99
     timings["query_point"] = round(secs, 3)
 
+    # concurrent point throughput: 8 client threads over the warm tier.
+    # The tier serializes sweeps behind one lock (shared block caches),
+    # so this measures the driver-side ceiling — still ~10-30x the
+    # job-floor QPS because each serve is milliseconds, not a job.
+    def _point_storm_once():
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(
+                ex.map(
+                    lambda qd: fts.search_bm25_point(qd["query"], k=qd["k"]),
+                    REFERENCE_QUERIES * 4,
+                )
+            )
+        return (len(REFERENCE_QUERIES) * 4) / (time.monotonic() - t0)
+
+    point_qps, _ = gated_phase(
+        meter, contaminated, steal_log, "query_point_storm",
+        STEAL_SERVE_TICKS, _point_storm_once,
+    )
+    timings["query_point_qps"] = round(point_qps, 1)
+
     # ---- 3e. batch scoring: the whole reference query set in ONE Spark
     # job (shared term decode + one scheduling floor; the bulk-workload
     # counterpart of the per-query latency above)
