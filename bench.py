@@ -171,31 +171,42 @@ STEAL_RETRIES = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
 
 
 def gated_phase(meter, contaminated: dict, steal_log: dict, name: str,
-                threshold: int, fn, retries: int = STEAL_RETRIES):
+                threshold: int, fn, retries: int = STEAL_RETRIES,
+                prepare=None):
     """Run ``fn()`` under the steal gate. Returns (value, secs) of the
     accepted attempt: the first whose window stayed under ``threshold``
     steal ticks, else the fastest of all attempts with the phase recorded
     in ``contaminated`` (name -> worst ticks). Every attempt's (secs,
-    ticks) lands in ``steal_log`` for the detail record."""
+    ticks) lands in ``steal_log`` for the detail record. ``prepare``
+    runs before each attempt OUTSIDE the measured window (cleanup like
+    rmtree must not count against the attempt's time or steal). Only the
+    ACCEPTED attempt's host delta is recorded under ``name`` in
+    ``meter.deltas`` — the per-phase attribution must describe the same
+    attempt the recorded seconds do (retries live in the steal log)."""
     attempts = []
     for _ in range(retries + 1):
+        if prepare is not None:
+            prepare()
         meter.reset()
         t0 = time.monotonic()
         value = fn()
         secs = time.monotonic() - t0
-        ticks = meter.lap(name)["steal_ticks"]
-        attempts.append((secs, ticks, value))
-        if ticks <= threshold:
+        lap = meter.lap("_gate_scratch")
+        attempts.append((secs, lap, value))
+        if lap["steal_ticks"] <= threshold:
             break
+    meter.deltas.pop("_gate_scratch", None)
     steal_log[name] = [
-        {"secs": round(s, 3), "steal_ticks": t} for s, t, _ in attempts
+        {"secs": round(s, 3), "steal_ticks": lap["steal_ticks"]}
+        for s, lap, _ in attempts
     ]
-    clean = [a for a in attempts if a[1] <= threshold]
+    clean = [a for a in attempts if a[1]["steal_ticks"] <= threshold]
     if clean:
-        secs, _, value = clean[-1]  # the attempt that broke the loop
+        secs, lap, value = clean[-1]  # the attempt that broke the loop
     else:
-        contaminated[name] = max(a[1] for a in attempts)
-        secs, _, value = min(attempts, key=lambda a: a[0])
+        contaminated[name] = max(a[1]["steal_ticks"] for a in attempts)
+        secs, lap, value = min(attempts, key=lambda a: a[0])
+    meter.deltas[name] = dict(lap)
     return value, secs
 
 
@@ -307,13 +318,11 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     steal_log: dict[str, list] = {}
     trial_secs: list[float] = []
 
-    def _build_once():
-        shutil.rmtree(index_dir, ignore_errors=True)
-        build_index(spark, docs, index_dir, cfg, resume=False)
-
     _, secs = gated_phase(
         meter, contaminated, steal_log, "index_build",
-        STEAL_BUILD_TICKS, _build_once,
+        STEAL_BUILD_TICKS,
+        lambda: build_index(spark, docs, index_dir, cfg, resume=False),
+        prepare=lambda: shutil.rmtree(index_dir, ignore_errors=True),
     )
     trial_secs.append(secs)
     build_secs = min(trial_secs)
@@ -749,7 +758,12 @@ def _result(timings, total, sf_dir, docs_per_sec, p50, p99, qps, per_query,
         # full detail -> file; COMPACT headline as the FINAL stdout line
         # (VERDICT r4 wrong #2: the one-line-everything record outgrew the
         # driver's stdout-tail capture and parsed as null)
-        detail_path = os.path.join(REPO, "BENCH", "detail_last.json")
+        # scaling subprocesses get their own detail file (env-set by
+        # run_scaling) so the two levels' records don't clobber each other
+        detail_path = os.path.join(
+            REPO, "BENCH",
+            os.environ.get("SPARK_GRAFT_DETAIL_NAME", "detail_last.json"),
+        )
         try:
             os.makedirs(os.path.dirname(detail_path), exist_ok=True)
             with open(detail_path, "w") as f:
@@ -801,6 +815,7 @@ def run_scaling(sf_dir: str) -> None:
             env["SPARK_GRAFT_CPUS"] = cpus
             env["SPARK_GRAFT_SF_DIR"] = sf_dir
             env["SPARK_GRAFT_BENCH_DOCS"] = str(SCALING_DOCS)
+            env["SPARK_GRAFT_DETAIL_NAME"] = f"detail_scaling_local{cpus}.json"
             out = subprocess.run(
                 [sys.executable, __file__, "--single"],
                 capture_output=True,

@@ -540,17 +540,26 @@ class BucketedTermGate:
         with open(os.path.join(pdir, "manifest.json"), "w") as fh:
             json.dump({"kind": self.kind, "ranges": self.ranges}, fh)
         cur = os.path.join(dir_path, "CURRENT")
+        prev = None
+        try:
+            with open(cur) as fh:
+                prev = fh.read().strip()
+        except OSError:
+            pass
         tmp = f"{cur}.tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             fh.write(payload)
         os.replace(tmp, cur)
-        # best-effort GC of superseded payloads: a concurrent reader that
-        # already read an older CURRENT may lose the race and fail its
-        # load — the query path catches load errors and refits (bounded
-        # harm, same posture as the old layout)
-        for d in os.listdir(dir_path):
-            if d.startswith("payload_") and d != payload:
-                shutil.rmtree(os.path.join(dir_path, d), ignore_errors=True)
+        # GC ONLY the payload the previous CURRENT referenced — never a
+        # sibling payload_* dir, which may be a concurrent saver's
+        # in-progress write or the one whose pointer won the race
+        # (deleting those would leave CURRENT dangling; found by the r5
+        # review). Two racing savers both GC the same prev (idempotent);
+        # the race loser's unreferenced payload leaks — bounded at one
+        # gate's bytes (~4 B/term) per lost race, and saves are rare
+        # (once per (build, terms-version)).
+        if prev and prev != payload:
+            shutil.rmtree(os.path.join(dir_path, prev), ignore_errors=True)
 
     @classmethod
     def load(cls, dir_path: str) -> "BucketedTermGate":

@@ -571,34 +571,34 @@ class FtsIndex:
             order = [
                 F.desc("unique_matches"), F.desc("total_matches"), F.asc("doc_id")
             ]
-            top = self._reference_scored(mult).orderBy(*order)
+            scored = self._reference_scored(mult)
             if with_total:
-                scored = self._reference_scored(mult).persist()
+                scored = scored.persist()
                 total = scored.count()
-                top = scored.orderBy(*order)
+            else:
+                total = -1
+            top = scored.orderBy(*order)
             if k > 0:
                 top = top.limit(k)
             rows = top.collect()
             local = self.spark.createDataFrame(rows, top.schema)
             if with_total:
                 scored.unpersist()
-            else:
-                total = -1
         elif scorer == "bm25" and mode == "relational":
             order = [F.desc("score"), F.asc("doc_id")]
-            top = self._bm25_scored(mult).orderBy(*order)
+            scored = self._bm25_scored(mult)
             if with_total:
-                scored = self._bm25_scored(mult).persist()
+                scored = scored.persist()
                 total = scored.count()
-                top = scored.orderBy(*order)
+            else:
+                total = -1
+            top = scored.orderBy(*order)
             if k > 0:
                 top = top.limit(k)
             rows = top.collect()
             local = self.spark.createDataFrame(rows, top.schema)
             if with_total:
                 scored.unpersist()
-            else:
-                total = -1
         elif scorer == "bm25":
             order = [F.desc("score"), F.asc("doc_id")]
             rows = self._bm25_wand(mult, k, hydrate=False).collect()
@@ -747,10 +747,15 @@ class FtsIndex:
             )
         return total
 
-    def _point_fetch(self, terms: list[str]) -> None:
+    def _point_fetch(self, terms: list[str], protect: frozenset[str]) -> None:
         """ONE Spark job fetching the posting rows of every missing term
         (pruned scan over the warm cache), parsed into kernel block tables
-        and inserted at MRU; evicts from LRU end to honor the budget."""
+        and inserted at MRU. ``protect`` is the CURRENT query's full term
+        set: all of it is refreshed to MRU before eviction, so the evictor
+        can never drop a term the in-flight query is about to read (the
+        r5 review found exactly that KeyError: the old guard protected
+        only the missing terms, and a cached-but-LRU-old query term could
+        be evicted by its own query's fetch)."""
         rows = self.postings_for(terms).collect()
         by_term: dict[str, dict[int, dict]] = {t: {} for t in terms}
         for row in rows:
@@ -763,12 +768,23 @@ class FtsIndex:
             self._point_cache[term] = tables
             self._point_cache.move_to_end(term)
             self._point_cache_bytes += nbytes
+        for term in protect:
+            if term in self._point_cache:
+                self._point_cache.move_to_end(term)
+        self._point_evict(protect)
+
+    def _point_evict(self, protect: frozenset[str]) -> None:
+        """Evict from the LRU end until under budget. Protected terms sit
+        contiguously at the MRU end (callers refresh them first), so
+        hitting one means only the in-flight query's terms remain — the
+        transient overshoot is bounded by that query's footprint and the
+        post-sweep unprotected pass restores the hard budget."""
         while (
             self._point_cache_bytes > self._point_max_bytes
             and self._point_cache
         ):
             old, tabs = next(iter(self._point_cache.items()))
-            if old in by_term:  # never evict the current query's terms
+            if old in protect:
                 break
             del self._point_cache[old]
             self._point_cache_bytes -= self._point_term_bytes(tabs)
@@ -812,9 +828,10 @@ class FtsIndex:
                 ).collect()
             ]
         with self._point_lock:
+            protect = frozenset(present)
             missing = [t for t in present if t not in self._point_cache]
             if missing:
-                self._point_fetch(missing)
+                self._point_fetch(missing, protect)
             else:
                 for t in present:
                     self._point_cache.move_to_end(t)
@@ -839,6 +856,10 @@ class FtsIndex:
                         heapq.heappush(heap, (sc, -doc))
                     elif (sc, -doc) > heap[0]:
                         heapq.heapreplace(heap, (sc, -doc))
+            # the sweep is done with this query's terms: enforce the hard
+            # byte budget (fetch-time eviction spares in-flight terms, so
+            # a wide query can transiently overshoot)
+            self._point_evict(frozenset())
         out = [(-d, s) for s, d in heap]
         out.sort(key=lambda x: (-x[1], x[0]))
         return [(int(d), float(s)) for d, s in out]

@@ -187,18 +187,28 @@ def compact_index(
         .parquet(new_postings)
     )
     # carry the full prefix unchanged. Occupancy proved shards 0..P-1 are
-    # full, so a missing directory can only mean corruption (or a
-    # non-POSIX path this local copy cannot serve) — committing without
-    # it would atomically flip to a postings table missing those shards'
-    # postings; fail before the commit instead (ADVICE r4 #2).
+    # full of DOCS; a missing postings directory is either corruption
+    # (committing would flip to a table missing that shard's postings —
+    # ADVICE r4 #2) or a legitimately posting-less shard (every doc
+    # tokenized to zero terms: punctuation-only / empty pages, which
+    # partitionBy writes no dir for). The metrics table tells them apart:
+    # it has a row exactly for shards the build emitted posting rows for.
+    shards_with_postings = {
+        int(r["shard_id"])
+        for r in spark.read.parquet(table_path(index_dir, meta, "metrics"))
+        .select("shard_id").where(F.col("shard_id") < P).collect()
+    }
     for s in range(P):
         src = os.path.join(postings_path, f"shard_id={s}")
         if not os.path.isdir(src):
-            raise RuntimeError(
-                f"compaction: expected full prefix shard dir {src} is "
-                "missing — postings table is corrupt or the path is not "
-                "locally accessible; aborting before the pointer flip"
-            )
+            if s in shards_with_postings:
+                raise RuntimeError(
+                    f"compaction: prefix shard dir {src} is missing but "
+                    "the metrics table says the shard has postings — "
+                    "postings table is corrupt or the path is not locally "
+                    "accessible; aborting before the pointer flip"
+                )
+            continue  # legitimately posting-less full shard
         shutil.copytree(
             src, os.path.join(new_postings, f"shard_id={s}"),
             dirs_exist_ok=True,

@@ -384,3 +384,30 @@ def test_bucketed_gate_save_is_pointer_atomic(tmp_path):
         shutil.copy(os.path.join(payload_dir, f), os.path.join(legacy, f))
     gl = BucketedTermGate.load(legacy)
     assert all(t in gl for t in vocab_b)
+
+
+def test_bucketed_gate_save_gc_spares_foreign_payloads(tmp_path):
+    """r5 review: save() must GC only the payload the previous CURRENT
+    referenced — a sibling payload dir (a concurrent saver's in-progress
+    write) must survive, or the winning pointer could dangle."""
+    import os
+
+    from fts_engine_spark.operators.filters import BucketedTermGate, CuckooFilter
+
+    vocab = [f"t{i:04d}" for i in range(100)]
+    gate = BucketedTermGate(
+        "cuckoo", [CuckooFilter.for_capacity(100).fit(vocab)],
+        [(min(vocab), max(vocab))],
+    )
+    path = str(tmp_path / "gate")
+    gate.save(path)
+    with open(os.path.join(path, "CURRENT")) as f:
+        first = f.read().strip()
+    # simulate a concurrent saver's in-progress payload
+    foreign = os.path.join(path, "payload_9999_deadbeef")
+    os.makedirs(foreign)
+    gate.save(path)
+    assert os.path.isdir(foreign), "foreign payload must survive GC"
+    assert not os.path.isdir(os.path.join(path, first)), "prev payload GC'd"
+    loaded = BucketedTermGate.load(path)
+    assert all(t in loaded for t in vocab)

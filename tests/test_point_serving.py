@@ -107,3 +107,33 @@ def test_point_falls_back_on_oversized_term(spark, small_index):
         assert fts.point_cache_stats()["terms"] == 0  # nothing cached
     finally:
         fts.close()
+
+
+def test_point_query_mixing_cached_and_missing_terms_under_pressure(
+    spark, small_index
+):
+    """r5 review: a query whose terms are part cached (LRU-old) and part
+    missing, with the budget forcing eviction during the fetch, must not
+    evict its OWN cached term (the old guard protected only the missing
+    set -> KeyError in the serving hot path)."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir).enable_point_serving()
+    try:
+        fts.search_bm25_point("turtle", k=5)  # cache 'turtle'
+        # budget so tight that ANY further insert must evict
+        fts._point_max_bytes = fts.point_cache_stats()["bytes"] + 1
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts.search_bm25(
+                "turtle mountain", k=5, mode="wand"
+            ).collect()
+        ]
+        got = fts.search_bm25_point("turtle mountain", k=5)  # crashed before
+        assert got == want
+        # post-sweep pass enforces the hard budget again
+        assert (
+            fts.point_cache_stats()["bytes"] <= fts._point_max_bytes
+            or fts.point_cache_stats()["terms"] == 0
+        )
+    finally:
+        fts.close()
