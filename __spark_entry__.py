@@ -202,6 +202,34 @@ def _index_search(
     )
 
 
+def _point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-side point-serving tier under the hash gate: the query is
+    answered IN-PROCESS (no Spark job for the sweep — ``search_bm25_point``
+    runs the same ``_wand_sweep`` kernel over the driver's posting cache),
+    and only the tiny (doc_id, score) result list is lifted back into a
+    DataFrame for the oracle compare. Same BM25 oracle as
+    ``fts_index_bm25_wand`` — the tier must be bit-identical to the
+    distributed path, so it must hash-match the same SQL."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir).enable_point_serving()
+    rows = fts.search_bm25_point(" ".join(Q_TERMS), k=10)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    ids = fts.docs().select(
+        "doc_id",
+        F.substring(F.col("url"), 7, 30).cast("long").alias("orig_id"),
+    )
+    # broadcast the ≤k-row result against the (arbitrarily large) docs
+    # table, not the other way round
+    return ids.join(F.broadcast(res), "doc_id").select(
+        F.col("orig_id").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -240,6 +268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (shared term decode inside the kernel); per-query top-10 must
         # equal the per-query oracle
         "fts_index_bm25_batch": lambda s, d: _index_search_batch(s, d),
+        # point-serving tier: the sweep runs in-process on the driver (no
+        # Spark job below the fetch); must hash-match the same BM25 oracle
+        # as the distributed WAND path
+        "fts_point_bm25": lambda s, d: _point_search(s, d),
         # --- dedup family
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # contract plan is the LSH-candidates→exact-verify pipeline (the
@@ -534,6 +566,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_all": bm25_all,
         "fts_incremental_bm25": bm25,
         "fts_index_bm25_batch": bm25_batch,
+        "fts_point_bm25": bm25,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents), "
             "c AS (SELECT m, min(doc_id) AS canonical_id FROM h GROUP BY 1) "
