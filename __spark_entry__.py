@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fts_engine_spark.operators import (
+    curation,
     dedup,
     multimodal,
     relational,
@@ -230,6 +231,49 @@ def _point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sampling fractions for the stratified-sample contract row ('es' is
+# deliberately absent — absent languages must be dropped, not passed)
+STRAT_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.75, "zh": 1.0}
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has no PII, so the contract row splices
+    deterministic synthetic PII (an email / an IPv4 / a phone form, keyed
+    on doc_id % 7) into the text IDENTICALLY in Spark and in the oracle
+    SQL — the scrubber then has real matches to find on ~43% of rows and
+    must leave the other 57% byte-unchanged."""
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    tail = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".7 logged"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -322,6 +366,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: textstats.quality_score(_docs(s, d)),
         "text_token_counts": lambda s, d: textstats.token_counts(_docs(s, d)),
         "text_fingerprint": lambda s, d: textstats.doc_fingerprint(_docs(s, d)),
+        # --- corpus curation (LLM training-data pipeline: filtering,
+        #     splitting, decontamination — operators/curation.py; all but
+        #     decontaminate are zero-shuffle per-row plans)
+        "curation_repetition": lambda s, d: curation.repetition_stats(
+            _docs(s, d), 3
+        ),
+        "curation_quality": lambda s, d: curation.quality_rules(_docs(s, d)),
+        "curation_stratified_sample": lambda s, d: curation.stratified_sample(
+            _docs(s, d), STRAT_FRACS
+        ),
+        # holdout = doc_id % 10 == 0 (an "eval benchmark" slice), train =
+        # the rest; a train doc is contaminated iff it shares any word
+        # 3-gram with the holdout
+        "curation_decontaminate": lambda s, d: curation.decontaminate(
+            _docs(s, d).where(F.col("doc_id") % 10 != 0),
+            _docs(s, d).where(F.col("doc_id") % 10 == 0),
+            3,
+        ),
+        "curation_pii_scrub": lambda s, d: curation.pii_scrub(
+            _pii_augmented(s, d)
+        ),
         # --- generic relational breadth (windows, joins, rollups)
         "events_hourly": lambda s, d: relational.events_hourly(_tbl(s, d, "events")),
         "events_sessionize": lambda s, d: relational.sessionize(_tbl(s, d, "events")),
@@ -373,6 +438,19 @@ _SHINGLES = (
     "i -> array_to_string(ts[i:i+2], ' ')) AS sl FROM base), "
     "sh AS (SELECT DISTINCT doc_id, u.s AS shingle FROM shs, unnest(sl) AS u(s))"
 )
+
+
+def _gram_cte(where: str = "") -> str:
+    """DuckDB subquery producing (doc_id, gl) — the NON-distinct, in-order
+    word-3-gram list per document (same tokenization as _SHINGLE_BASE);
+    the curation oracles need multiplicity, the dedup ones don't."""
+    return (
+        "SELECT doc_id, list_transform(generate_series(1, greatest(len(ts)-2, 0)), "
+        "i -> array_to_string(ts[i:i+2], ' ')) AS gl FROM "
+        "(SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+'), "
+        "t -> strlen(t) >= 3 OR regexp_full_match(t, '[0-9]{1,19}')) AS ts "
+        "FROM documents" + where + ")"
+    )
 
 
 def _srp_sigs_cte(n_bands: int, band_bits: int) -> str:
@@ -753,6 +831,73 @@ ORDER BY query_id, score DESC, doc_id
         "text_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
+        ),
+        # --- corpus curation (operators/curation.py)
+        "curation_repetition": (
+            f"WITH g AS ({_gram_cte()}) "
+            "SELECT doc_id, len(gl)::BIGINT AS n_ngrams, "
+            "len(list_distinct(gl))::BIGINT AS n_distinct, "
+            "round(CASE WHEN len(gl) > 0 "
+            "THEN 1.0 - len(list_distinct(gl))::DOUBLE / len(gl) "
+            "ELSE 0.0 END, 6) AS dup_frac FROM g"
+        ),
+        # keep thresholds mirror curation.quality_rules defaults and, like
+        # the Spark plan, compare the ROUNDED statistics
+        "curation_quality": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS ws FROM documents), "
+            f"g AS ({_gram_cte()}), "
+            "s AS (SELECT w.doc_id, len(ws)::BIGINT AS n_words, "
+            "round(CASE WHEN len(ws) > 0 THEN "
+            "coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE / len(ws) "
+            "ELSE 0.0 END, 6) AS mean_word_len, "
+            f"round(CASE WHEN len(ws) > 0 THEN "
+            f"len(list_filter(ws, x -> x IN ({_STOP_IN})))::DOUBLE / len(ws) "
+            "ELSE 0.0 END, 6) AS stop_ratio, "
+            "round(CASE WHEN len(gl) > 0 "
+            "THEN 1.0 - len(list_distinct(gl))::DOUBLE / len(gl) "
+            "ELSE 0.0 END, 6) AS dup_3gram_frac "
+            "FROM w JOIN g USING (doc_id)) "
+            "SELECT doc_id, n_words, mean_word_len, stop_ratio, dup_3gram_frac, "
+            "(n_words >= 20 AND n_words <= 100000 "
+            "AND mean_word_len >= 2.0 AND mean_word_len <= 10.0 "
+            "AND stop_ratio >= 0.02 AND dup_3gram_frac <= 0.5) AS keep FROM s"
+        ),
+        "curation_stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE "
+            "/ 4294967296.0) < CASE lang "
+            + " ".join(
+                f"WHEN '{lg}' THEN {STRAT_FRACS[lg]}" for lg in sorted(STRAT_FRACS)
+            )
+            + " ELSE NULL END"
+        ),
+        "curation_decontaminate": (
+            f"WITH gtr AS ({_gram_cte(' WHERE doc_id % 10 <> 0')}), "
+            f"gev AS ({_gram_cte(' WHERE doc_id % 10 = 0')}), "
+            "tr AS (SELECT DISTINCT doc_id, u.s AS shingle FROM gtr, unnest(gl) AS u(s)), "
+            "ev AS (SELECT DISTINCT u.s AS shingle FROM gev, unnest(gl) AS u(s)), "
+            "hit AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (shingle)) "
+            "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d "
+            "LEFT JOIN hit h ON d.doc_id = h.doc_id"
+        ),
+        # same deterministic PII augmentation as _pii_augmented, same
+        # fixed replacement order (email -> ipv4 -> phone)
+        "curation_pii_scrub": (
+            "WITH aug AS (SELECT doc_id, text || CASE "
+            "WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' "
+            "WHEN doc_id % 7 = 1 THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.7 logged' "
+            "WHEN doc_id % 7 = 2 THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today' "
+            "ELSE '' END AS text FROM documents) "
+            "SELECT doc_id, "
+            f"(len(regexp_extract_all(text, '{curation.PII_EMAIL}')) "
+            f"+ len(regexp_extract_all(text, '{curation.PII_IPV4}')) "
+            f"+ len(regexp_extract_all(text, '{curation.PII_PHONE}')))::BIGINT AS n_pii, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            f"'{curation.PII_EMAIL}', '<EMAIL>', 'g'), "
+            f"'{curation.PII_IPV4}', '<IP>', 'g'), "
+            f"'{curation.PII_PHONE}', '<PHONE>', 'g') AS clean_text FROM aug"
         ),
         # the fake decoder's outputs are deterministic functions of the
         # payload bytes (multimodal.py:_fake_decode / _sniff): width/height

@@ -40,9 +40,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word n-grams of the simple-tokenized text."""
     toks = tokens_array(stopwords=False)
+    # sequence(1, 0) steps DOWNWARD in Spark ([1, 0]) and slice(_, 0, n)
+    # then raises, so docs with fewer than n tokens need an explicit
+    # empty-array branch.
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(_toks)-{n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks)-{n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n}))) "
+        f"ELSE array() END"
     )
     return (
         docs.select("doc_id", toks.alias("_toks"))
