@@ -190,13 +190,21 @@ def _index_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_search(
-    spark: SparkSession, sf_dir: str, mode: str, k: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    mode: str,
+    k: int = 10,
+    terms: list[str] | None = None,
+    conjunctive: bool = False,
 ) -> DataFrame:
     from fts_engine_spark.query import FtsIndex
 
     index_dir = _ensure_index(spark, sf_dir)
     fts = FtsIndex(spark, index_dir)
-    out = fts.search_bm25(" ".join(Q_TERMS), k=k, mode=mode, hydrate=True)
+    out = fts.search_bm25(
+        " ".join(terms or Q_TERMS), k=k, mode=mode, hydrate=True,
+        conjunctive=conjunctive,
+    )
     return out.select(
         F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
         F.round(F.col("score"), 4).alias("score"),
@@ -299,6 +307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the real engine: sharded varbyte index, both execution modes
         "fts_index_bm25_relational": lambda s, d: _index_search(s, d, "relational"),
         "fts_index_bm25_wand": lambda s, d: _index_search(s, d, "wand"),
+        # conjunctive (AND) mode — only docs containing EVERY query term;
+        # the WAND kernel skips segments where any term has no postings
+        "fts_index_bm25_and": lambda s, d: _index_search(
+            s, d, "wand", conjunctive=True
+        ),
         # k<=0 = the reference's "return all" (engine.go:136-149 truncates
         # only when k>0): EVERY matching doc scored through the WAND
         # kernel with pruning disabled — oracle is the same BM25 SQL
@@ -579,6 +592,14 @@ SELECT doc_id, round(raw, 4) AS score FROM scored
 ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
 """
     bm25_all = bm25.replace(" LIMIT 10", "")
+    # conjunctive: every distinct query term must match; tf is unique per
+    # (term, doc), so the group's row count is the distinct-match count
+    bm25_and = bm25.replace(
+        "  GROUP BY tf.doc_id)",
+        "  GROUP BY tf.doc_id\n"
+        "  HAVING count(*) = (SELECT count(*) FROM q))",
+    )
+    assert bm25_and != bm25  # the splice target must exist
     # per-query (query_id, term, mult) after 'simple'-preset normalization
     # of BATCH_QUERIES — single simple words, multiplicity 1 each
     batch_q_values = ", ".join(
@@ -641,6 +662,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_search_bm25": bm25,
         "fts_index_bm25_relational": bm25,
         "fts_index_bm25_wand": bm25,
+        "fts_index_bm25_and": bm25_and,
         "fts_index_bm25_all": bm25_all,
         "fts_incremental_bm25": bm25,
         "fts_index_bm25_batch": bm25_batch,

@@ -619,16 +619,27 @@ class FtsIndex:
         preset: str | None = None,
         mode: str = "wand",
         hydrate: bool = False,
+        conjunctive: bool = False,
     ) -> DataFrame:
         """Top-k BM25 (k1=1.2, b=0.75), deterministic (score desc, doc_id
         asc). ``mode='relational'`` is the declarative plan; ``mode='wand'``
-        runs per-shard block-max WAND and merges local top-k globally."""
+        runs per-shard block-max WAND and merges local top-k globally.
+
+        ``conjunctive=True`` is AND semantics (the default mode of most
+        web search boxes): only documents containing EVERY distinct query
+        term are scored — an extension over the reference's OR-accumulate
+        (``engine.go:82-158``). In wand mode the requirement strengthens
+        the pruning (see :func:`_wand_sweep`); a query term absent from
+        the corpus makes the result empty, matching SQL
+        ``HAVING count(matched terms) = count(query terms)``.
+        """
         mult = self._query_mult(query, preset)
         if not mult:
             return self._empty_bm25_result()
+        require_n = len(mult) if conjunctive else 0
         if mode == "relational":
-            return self._bm25_relational(mult, k, hydrate)
-        return self._bm25_wand(mult, k, hydrate)
+            return self._bm25_relational(mult, k, hydrate, require_n)
+        return self._bm25_wand(mult, k, hydrate, require_n)
 
     def search_bm25_batch(
         self, queries: list[str], k: int = 10, preset: str | None = None
@@ -790,7 +801,11 @@ class FtsIndex:
             self._point_cache_bytes -= self._point_term_bytes(tabs)
 
     def search_bm25_point(
-        self, query: str, k: int = 10, preset: str | None = None
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        conjunctive: bool = False,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 for ONE query, served from the driver when possible.
 
@@ -806,7 +821,8 @@ class FtsIndex:
             return [
                 (int(r["doc_id"]), float(r["score"]))
                 for r in self.search_bm25(
-                    query, k=k, preset=preset, mode="wand"
+                    query, k=k, preset=preset, mode="wand",
+                    conjunctive=conjunctive,
                 ).collect()
             ]
         mult = self._query_mult(query, preset)
@@ -815,7 +831,8 @@ class FtsIndex:
             for t, m in mult.items()
             if t in self._term_dict
         }
-        if not present:
+        require_n = len(mult) if conjunctive else 0
+        if not present or (require_n > 0 and len(present) < require_n):
             return []
         # a term with df * 20 bytes > budget/2 cannot be point-cached;
         # stream it through the distributed path instead of the driver
@@ -824,7 +841,8 @@ class FtsIndex:
             return [
                 (int(r["doc_id"]), float(r["score"]))
                 for r in self.search_bm25(
-                    query, k=k, preset=preset, mode="wand"
+                    query, k=k, preset=preset, mode="wand",
+                    conjunctive=conjunctive,
                 ).collect()
             ]
         with self._point_lock:
@@ -849,7 +867,8 @@ class FtsIndex:
             heap: list[tuple[float, int]] = []
             for shard, weighted in shards.items():
                 docs, scores = _wand_sweep(
-                    weighted, k, shard * self.shard_size, self.avgdl, None
+                    weighted, k, shard * self.shard_size, self.avgdl, None,
+                    require_n,
                 )
                 for doc, sc in zip(docs.tolist(), scores.tolist()):
                     if k <= 0 or len(heap) < k:
@@ -878,8 +897,11 @@ class FtsIndex:
             F.lit(1.0) + (F.lit(n) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
         )
 
-    def _bm25_scored(self, mult: dict[str, int]) -> DataFrame:
-        """Pre-truncation relational BM25 aggregation (no sort/limit)."""
+    def _bm25_scored(self, mult: dict[str, int], require_n: int = 0) -> DataFrame:
+        """Pre-truncation relational BM25 aggregation (no sort/limit).
+        ``require_n > 0``: conjunctive — keep only docs matching that many
+        distinct terms (decoded postings are unique per (term, doc), so a
+        plain row count per doc is the distinct-match count)."""
         avgdl = self.avgdl
         stats = self._query_stats(mult)
         decoded = self.decoded_postings(list(mult), mult)
@@ -890,22 +912,34 @@ class FtsIndex:
         contrib = (
             F.col("mult") * F.col("idf") * tf * F.lit(K1 + 1.0) / (tf + norm)
         )
-        return (
+        scored = (
             decoded.join(F.broadcast(self._mult_df(mult)), "term")
             .join(F.broadcast(stats), "term")
             .withColumn("idf", self._idf_col())
             .withColumn("contrib", contrib)
             .groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score"))
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.count("*").alias("_matched"),
+            )
         )
+        if require_n > 0:
+            scored = scored.where(F.col("_matched") >= require_n)
+        return scored.drop("_matched")
 
-    def _bm25_relational(self, mult: dict[str, int], k: int, hydrate: bool) -> DataFrame:
-        scored = self._bm25_scored(mult).orderBy(F.desc("score"), F.asc("doc_id"))
+    def _bm25_relational(
+        self, mult: dict[str, int], k: int, hydrate: bool, require_n: int = 0
+    ) -> DataFrame:
+        scored = self._bm25_scored(mult, require_n).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
         if k > 0:
             scored = scored.limit(k)
         return self._maybe_hydrate(scored, hydrate, bounded=k > 0)
 
-    def _bm25_wand(self, mult: dict[str, int], k: int, hydrate: bool) -> DataFrame:
+    def _bm25_wand(
+        self, mult: dict[str, int], k: int, hydrate: bool, require_n: int = 0
+    ) -> DataFrame:
         """Document-partitioned block-max WAND: each shard's posting rows for
         the query terms are processed by one kernel that decodes only the
         skip blocks whose upper-bound sum can beat the running threshold.
@@ -922,7 +956,9 @@ class FtsIndex:
                 for t, m in mult.items()
                 if t in self._term_dict
             }
-            if not present:
+            if not present or (require_n > 0 and len(present) < require_n):
+                # conjunctive: a query term absent from the corpus can
+                # never be matched — the whole result is empty, no job
                 return self._maybe_hydrate(
                     self._empty_bm25_result(), hydrate, bounded=True
                 )
@@ -932,11 +968,15 @@ class FtsIndex:
                     "shard_id", F.col("shard_id").cast("long")
                 )
             kernel = make_wand_kernel(
-                self.n_docs, self.shard_size, self.avgdl, k, term_stats=present
+                self.n_docs, self.shard_size, self.avgdl, k,
+                term_stats=present, require_n=require_n,
             )
         else:
             posts = self._stats_joined_postings(mult)
-            kernel = make_wand_kernel(self.n_docs, self.shard_size, self.avgdl, k)
+            kernel = make_wand_kernel(
+                self.n_docs, self.shard_size, self.avgdl, k,
+                require_n=require_n,
+            )
         local_topk = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_SCHEMA
         )
@@ -996,7 +1036,16 @@ def _parse_posting_row(row, base: int, counters) -> dict | None:
         return None
     maxtf = np.asarray(row.skip_max_tf, dtype=np.float64)
     first = np.empty_like(last)
-    first[0] = base
+    # true first docid = base + first delta (one varint, no block decode);
+    # using the shard base here would mark block 0 active over the whole
+    # doc range before the list even starts — harmless for OR, but it
+    # wrecks the conjunctive segment skip (len(active) < require_n)
+    v = 0
+    for i, byte in enumerate(bytes(row.doc_blob[:10])):
+        v |= (byte & 0x7F) << (7 * i)
+        if not (byte & 0x80):
+            break
+    first[0] = base + v
     first[1:] = last[:-1] + 1
     if counters is not None:
         counters["blocks_total"] = counters.get("blocks_total", 0) + len(last)
@@ -1094,6 +1143,7 @@ def _wand_sweep(
     base: int,
     avgdl: float,
     counters,
+    require_n: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over weighted term tables -> (doc_ids, scores).
 
@@ -1103,6 +1153,16 @@ def _wand_sweep(
     stored byte offsets; a segment lies within ONE block of each active
     term because bounds contain every term's block edges). k <= 0 is the
     reference's "return all": no pruning, every matching doc kept.
+
+    ``require_n > 0`` is conjunctive (AND) mode: only documents matching
+    at least ``require_n`` distinct terms survive (callers pass the
+    distinct query-term count, so "all of them"). It adds a second,
+    stronger skip: a segment where fewer than ``require_n`` terms have
+    postings cannot contain a conjunctive match, so its blocks are never
+    decoded regardless of theta — on rare-term AND queries this prunes
+    nearly every block of the common terms. Counting is segment-complete
+    because segments partition doc space and every posting of a doc lies
+    in the doc's segment.
     """
     bounds = np.unique(
         np.concatenate(
@@ -1125,7 +1185,7 @@ def _wand_sweep(
             ):
                 ub_sum += w * float(t["ub_base"][j])
                 active.append((w, t, j))
-        if not active:
+        if not active or len(active) < require_n:
             continue
         if k > 0 and len(heap) >= k and ub_sum <= theta:
             continue
@@ -1150,6 +1210,14 @@ def _wand_sweep(
         uniq, inv = np.unique(d, return_inverse=True)
         acc = np.zeros(len(uniq))
         np.add.at(acc, inv, s)
+        if require_n > 0:
+            # each term contributes <= 1 posting per doc, so the bincount
+            # over inv IS the distinct-matched-term count per doc
+            cnt = np.bincount(inv, minlength=len(uniq))
+            keep = cnt >= require_n
+            if not keep.any():
+                continue
+            uniq, acc = uniq[keep], acc[keep]
         for doc, sc in zip(uniq.tolist(), acc.tolist()):
             if k <= 0 or len(heap) < k:
                 heapq.heappush(heap, (sc, -doc))
@@ -1173,6 +1241,7 @@ def make_wand_kernel(
     k: int,
     term_stats: dict[str, tuple[int, int]] | None = None,
     counters: dict[str, int] | None = None,
+    require_n: int = 0,
 ):
     """Build the per-shard block-max WAND applyInPandas kernel.
 
@@ -1212,9 +1281,13 @@ def make_wand_kernel(
             else:
                 mult, df_ = t["row_mult"], t["row_df"]
             weighted.append((mult * bm25_idf(n_docs, df_), t))
-        if not weighted:
+        if not weighted or (require_n > 0 and len(weighted) < require_n):
+            # conjunctive: postings are doc-sharded, so a query term with
+            # no postings in this shard rules out every doc in it
             return pd.DataFrame({"doc_id": [], "score": []})
-        docs, scores = _wand_sweep(weighted, k, base, avgdl, counters)
+        docs, scores = _wand_sweep(
+            weighted, k, base, avgdl, counters, require_n
+        )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     def wrapped(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -137,3 +137,54 @@ def test_point_query_mixing_cached_and_missing_terms_under_pressure(
         )
     finally:
         fts.close()
+
+
+def test_conjunctive_identity_across_paths(spark, point_fts):
+    """Conjunctive (AND) mode: wand ≡ relational ≡ point tier, and every
+    returned doc matches EVERY query term (checked against the per-term
+    k=0 OR runs)."""
+    query = "hotel turtle"
+    wand = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in point_fts.search_bm25(
+            query, k=0, mode="wand", conjunctive=True
+        ).collect()
+    ]
+    rel = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in point_fts.search_bm25(
+            query, k=0, mode="relational", conjunctive=True
+        ).collect()
+    ]
+    point = point_fts.search_bm25_point(query, k=0, conjunctive=True)
+    key = lambda r: (-r[1], r[0])
+    assert sorted(wand, key=key) == sorted(point, key=key)
+    assert [d for d, _ in sorted(wand, key=key)] == [
+        d for d, _ in sorted(rel, key=key)
+    ]
+    for (_, sw), (_, sr) in zip(sorted(wand, key=key), sorted(rel, key=key)):
+        assert abs(sw - sr) < 1e-9
+
+    # ground truth: intersection of the single-term match sets, scores
+    # additive from the OR path
+    per_term = {}
+    for t in query.split():
+        per_term[t] = {
+            int(r["doc_id"]): float(r["score"])
+            for r in point_fts.search_bm25(t, k=0, mode="wand").collect()
+        }
+    inter = set.intersection(*(set(v) for v in per_term.values()))
+    assert {d for d, _ in wand} == inter and inter
+    for d, s in wand:
+        assert abs(s - sum(v[d] for v in per_term.values())) < 1e-9
+
+
+def test_conjunctive_absent_term_empty(point_fts):
+    """AND with a term absent from the corpus is empty on every path."""
+    q = "hotel zzzzunseen"
+    assert point_fts.search_bm25(q, k=0, mode="wand", conjunctive=True).count() == 0
+    assert (
+        point_fts.search_bm25(q, k=0, mode="relational", conjunctive=True).count()
+        == 0
+    )
+    assert point_fts.search_bm25_point(q, k=0, conjunctive=True) == []

@@ -346,3 +346,133 @@ def test_wand_sweep_matches_bruteforce_property():
             assert all(brute[d] >= kth - 1e-9 for d in got)
 
     check()
+
+def test_conjunctive_basic():
+    """require_n = n_terms: only docs carrying every term are returned,
+    scored identically to the OR run restricted to those docs."""
+    n = 2_000
+    docs_a = np.arange(0, n, 2)          # evens
+    docs_b = np.arange(0, n, 3)          # multiples of 3
+    dls = np.full(n, 80, dtype=np.int64)
+    tfs_a = (1 + (docs_a % 5)).astype(np.int64)
+    tfs_b = (1 + (docs_b % 7)).astype(np.int64)
+    avgdl = 80.0
+    rows = [
+        make_posting_row("a", docs_a, tfs_a, dls[docs_a], mult=1, df=len(docs_a)),
+        make_posting_row("b", docs_b, tfs_b, dls[docs_b], mult=1, df=len(docs_b)),
+    ]
+    kernel = make_wand_kernel(n, SHARD_SIZE, avgdl, 0, counters={}, require_n=2)
+    out = kernel(None, pd.DataFrame(rows))
+    got = dict(zip(out["doc_id"].astype(int), out["score"].astype(float)))
+    expect_docs = set(range(0, n, 6))    # evens ∩ multiples of 3
+    assert set(got) == expect_docs
+    sa = bm25_score(1, n, len(docs_a), tfs_a, dls[docs_a], avgdl)
+    sb = bm25_score(1, n, len(docs_b), tfs_b, dls[docs_b], avgdl)
+    by_a = dict(zip(docs_a.tolist(), sa.tolist()))
+    by_b = dict(zip(docs_b.tolist(), sb.tolist()))
+    for d, s in got.items():
+        assert abs(s - (by_a[d] + by_b[d])) < 1e-9
+
+
+def test_conjunctive_missing_term_in_shard_returns_empty():
+    """Postings are doc-sharded, so a query term with no postings in the
+    shard rules out every doc there — the kernel must return empty without
+    decoding anything."""
+    n = 1_000
+    docs = np.arange(n)
+    dls = np.full(n, 60, dtype=np.int64)
+    rows = [
+        make_posting_row("present", docs, np.ones(n, dtype=np.int64), dls,
+                         mult=1, df=n),
+    ]
+    counters: dict[str, int] = {}
+    kernel = make_wand_kernel(
+        n, SHARD_SIZE, 60.0, 10, counters=counters, require_n=2
+    )
+    out = kernel(None, pd.DataFrame(rows))
+    assert len(out) == 0
+    assert counters.get("blocks_decoded", 0) == 0
+
+
+def test_conjunctive_prunes_disjoint_blocks():
+    """AND of a head term with a term confined to one doc range: the head
+    term's blocks outside that range can never complete a conjunction and
+    must not be decoded."""
+    n = 20_000                            # 157 blocks of the head term
+    head_docs = np.arange(n)
+    head_tfs = np.ones(n, dtype=np.int64)
+    dls = np.full(n, 100, dtype=np.int64)
+    rare_docs = np.arange(5 * SKIP, 6 * SKIP)   # exactly one head block
+    rare_tfs = np.full(len(rare_docs), 4, dtype=np.int64)
+    rows = [
+        make_posting_row("head", head_docs, head_tfs, dls, mult=1, df=n),
+        make_posting_row("rare", rare_docs, rare_tfs, dls[rare_docs],
+                         mult=1, df=len(rare_docs)),
+    ]
+    counters: dict[str, int] = {}
+    kernel = make_wand_kernel(
+        n, SHARD_SIZE, 100.0, 10, counters=counters, require_n=2
+    )
+    out = kernel(None, pd.DataFrame(rows))
+    assert set(out["doc_id"].astype(int)) <= set(rare_docs.tolist())
+    assert len(out) == 10
+    # the whole sweep may touch at most the blocks overlapping the rare
+    # range (head block 5 + the rare list's own 1-2 blocks)
+    assert counters["blocks_decoded"] <= 4
+
+
+def test_conjunctive_matches_bruteforce_property():
+    """Conjunctive sweep vs brute force on randomized corpora: returned
+    set must be exactly the docs matched by ALL terms (top-k thereof) with
+    OR-identical scores."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(10, 300),
+        skip=st.sampled_from([1, 3, 16, 128]),
+        k=st.sampled_from([0, 1, 5, 999]),
+        n_terms=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, skip, k, n_terms, seed):
+        rng = np.random.default_rng(seed)
+        dls_all = rng.integers(1, 200, size=n).astype(np.int64)
+        avgdl = float(dls_all.mean())
+        rows = []
+        brute = np.zeros(n)
+        match_cnt = np.zeros(n, dtype=np.int64)
+        for ti in range(n_terms):
+            m = int(rng.integers(1, n + 1))
+            local = np.sort(rng.choice(n, size=m, replace=False))
+            tfs = rng.integers(1, 50, size=m).astype(np.int64)
+            mult = int(rng.integers(1, 4))
+            rows.append(
+                _make_row_skip(
+                    f"t{ti}", local, tfs, dls_all[local],
+                    mult=mult, df=m, skip=skip,
+                )
+            )
+            brute[local] += bm25_score(mult, n, m, tfs, dls_all[local], avgdl)
+            match_cnt[local] += 1
+        kernel = make_wand_kernel(
+            n, SHARD_SIZE, avgdl, k, counters={}, require_n=n_terms
+        )
+        out = kernel(None, pd.DataFrame(rows))
+        got = {
+            int(d): float(s) for d, s in zip(out["doc_id"], out["score"])
+        }
+        conj = match_cnt == n_terms
+        for d, s in got.items():
+            assert conj[d]
+            assert abs(s - brute[d]) < 1e-9
+        n_match = int(conj.sum())
+        if k <= 0 or n_match <= k:
+            assert set(got) == set(np.nonzero(conj)[0].tolist())
+        else:
+            assert len(got) == k
+            kth = np.sort(brute[conj])[::-1][k - 1]
+            assert all(brute[d] >= kth - 1e-9 for d in got)
+
+    check()
