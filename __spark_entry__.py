@@ -34,6 +34,8 @@ from fts_engine_spark.operators.sql_tokens import duckdb_tokens_sql, _STOPLIST
 
 # constant query used by the search oracles (already-normalized tokens)
 Q_TERMS = ["table", "value", "fast", "data"]
+# phrase for the positional rows: ~30 matching docs at every sf
+PHRASE = ["merge", "sort"]
 Q_DUP = ["value", "value"]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.12
@@ -211,6 +213,27 @@ def _index_search(
     )
 
 
+def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated phrase search (operators.search.search_phrase):
+    conjunctive-WAND candidates off the compressed index, positional
+    verify over candidate docs only — k=0 so the oracle sees the full
+    match set."""
+    from fts_engine_spark.query import FtsIndex
+    from fts_engine_spark.operators.search import search_phrase
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    idx_docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    out = search_phrase(fts, idx_docs, " ".join(PHRASE), k=0)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        "phrase_count",
+    )
+
+
 def _point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver-side point-serving tier under the hash gate: the query is
     answered IN-PROCESS (no Spark job for the sweep — ``search_bm25_point``
@@ -312,6 +335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_index_bm25_and": lambda s, d: _index_search(
             s, d, "wand", conjunctive=True
         ),
+        # positional (phrase) search: direct scan baseline + the
+        # two-phase index plan, both against the same list-position oracle
+        "fts_phrase_scan": lambda s, d: search.search_phrase_direct(
+            _docs(s, d), PHRASE, k=0
+        ),
+        "fts_phrase_search": lambda s, d: _phrase_search(s, d),
         # k<=0 = the reference's "return all" (engine.go:136-149 truncates
         # only when k>0): EVERY matching doc scored through the WAND
         # kernel with pruning disabled — oracle is the same BM25 SQL
@@ -600,6 +629,21 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         "  HAVING count(*) = (SELECT count(*) FROM q))",
     )
     assert bm25_and != bm25  # the splice target must exist
+    # phrase: contiguous occurrence count over the filtered token LIST
+    # (1-based DuckDB list indexing; same tokenization + stoplist as _TOKS)
+    _ppred = " AND ".join(
+        f"ts[i+{j}] = '{t}'" for j, t in enumerate(PHRASE)
+    )
+    phrase_sql = (
+        "WITH base AS (SELECT doc_id, "
+        "list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+'), "
+        "t -> (strlen(t) >= 3 OR regexp_full_match(t, '[0-9]{1,19}')) "
+        f"AND t NOT IN ({_STOP_IN})) AS ts FROM documents), "
+        "cnt AS (SELECT doc_id, "
+        f"len(list_filter(generate_series(1, greatest(len(ts)-{len(PHRASE)-1}, 0)), "
+        f"i -> {_ppred}))::BIGINT AS phrase_count FROM base) "
+        "SELECT doc_id, phrase_count FROM cnt WHERE phrase_count > 0"
+    )
     # per-query (query_id, term, mult) after 'simple'-preset normalization
     # of BATCH_QUERIES — single simple words, multiplicity 1 each
     batch_q_values = ", ".join(
@@ -663,6 +707,8 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_relational": bm25,
         "fts_index_bm25_wand": bm25,
         "fts_index_bm25_and": bm25_and,
+        "fts_phrase_scan": phrase_sql,
+        "fts_phrase_search": phrase_sql,
         "fts_index_bm25_all": bm25_all,
         "fts_incremental_bm25": bm25,
         "fts_index_bm25_batch": bm25_batch,

@@ -167,6 +167,20 @@ class FtsEngine:
             with_total=with_total,
         )
 
+    def search_phrase(
+        self, docs: DataFrame, phrase: str, k: int | None = None
+    ) -> DataFrame:
+        """Positional (phrase) search — an extension beyond the reference's
+        term-level engine. Candidates come off the compressed index's
+        conjunctive WAND; only those docs are re-analyzed and checked for
+        the contiguous sequence. ``docs`` is the source table (url, text
+        [, lang]) — the index stores postings, not text."""
+        from .operators.search import search_phrase
+
+        return search_phrase(
+            self.index, docs, phrase, k=self.options.k if k is None else k
+        )
+
     # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats
     def analyze(self) -> DataFrame:
         """Per-shard metrics + global rollup of the index shape."""

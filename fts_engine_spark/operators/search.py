@@ -146,3 +146,213 @@ def top_terms(docs: DataFrame, n: int = 20) -> DataFrame:
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(n)
     )
+
+
+# ---------------------------------------------------------------- phrase
+
+def phrase_count_col(
+    terms: list[str],
+    text_col: str = "text",
+    stopwords: bool = True,
+    min_len: int = 3,
+) -> Column:
+    """Occurrences of the contiguous token sequence ``terms`` in the
+    FILTERED 'simple'-pipeline token stream of ``text_col`` — pure
+    built-in higher-order functions, whole-stage codegen, no Python.
+
+    Phrase positions are defined over the post-pipeline stream (min-len +
+    stopword filtering applied), the standard semantics of
+    stopword-removing engines: "merge sort" matches "merge the sort".
+    An extension beyond the reference's term-level search
+    (``engine.go:82-158`` has no positional queries).
+    """
+    if not terms:
+        return F.lit(0).cast("long")
+    ts = tokens_array(text_col, stopwords, min_len)
+    n = len(terms)
+    # 0-based start positions; guard the descending-sequence trap when
+    # the doc has fewer than n tokens (sequence(0, negative) descends)
+    starts = F.when(
+        F.size(ts) >= n, F.sequence(F.lit(0), F.size(ts) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def is_match(i: Column) -> Column:
+        cond = F.get(ts, i) == terms[0]
+        for j in range(1, n):
+            cond = cond & (F.get(ts, i + F.lit(j)) == terms[j])
+        return cond
+
+    return F.size(F.filter(starts, is_match)).cast("long")
+
+
+def search_phrase_direct(
+    docs: DataFrame, phrase_terms: list[str], k: int = 10
+) -> DataFrame:
+    """Index-free phrase search: (doc_id, phrase_count) for docs containing
+    the exact token sequence, ordered count desc / doc_id asc. The scan
+    baseline the index-accelerated plan is verified against."""
+    out = (
+        docs.select(
+            "doc_id", phrase_count_col(phrase_terms).alias("phrase_count")
+        )
+        .where(F.col("phrase_count") > 0)
+        .orderBy(F.desc("phrase_count"), F.asc("doc_id"))
+    )
+    return out.limit(k) if k > 0 else out
+
+
+def search_phrase(
+    index,
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    preset: str | None = None,
+) -> DataFrame:
+    """Index-accelerated phrase search: (doc_id, url, phrase_count).
+
+    Two-phase plan — the classic way a posting-list engine answers
+    phrases without positional postings on every term:
+
+    1. **Candidates** come from the compressed index's conjunctive WAND
+       (``search_bm25(..., conjunctive=True, k=0)``): only docs containing
+       EVERY phrase term, straight off the pruned posting scan. At scale
+       this is the selective step — the conjunction of all phrase terms is
+       tiny against the corpus, and the segment-skip never decodes blocks
+       that cannot complete the conjunction.
+    2. **Verify** re-tokenizes ONLY the candidate docs (semi-join on url)
+       and counts contiguous occurrences: JVM higher-order functions for
+       the SQL-expressible 'simple' pipeline, an Arrow-batched pandas UDF
+       for stemmed presets (identical tokens to the build pipeline).
+
+    Phrase matching happens in ANALYZED token space (Lucene semantics):
+    for a stemmed preset, "merging sorted" matches the phrase "merge
+    sort" because both analyze to (merg, sort). A ``by_lang`` index
+    routes per document language exactly like the build did
+    (en→english, ru→russian, else multilingual): candidates are the
+    union of each pipeline's conjunction, and the verify UDF analyzes
+    each doc with its own language's pipeline.
+
+    ``docs`` must carry (url, text) — plus ``lang`` for ``by_lang`` —
+    for the verify phase; the index stores postings, not text (by
+    design; text lives in the source table). ``index`` is an
+    :class:`~fts_engine_spark.query.FtsIndex`.
+    """
+    from ..query import normalize_query
+
+    spark = index.spark
+    if preset is None and index.preset == "by_lang":
+        from ..functions.udfs import _LANG_PRESETS
+
+        pipeline_by_lang = dict(_LANG_PRESETS)
+        presets = sorted({*pipeline_by_lang.values(), "multilingual"})
+        terms_by = {p: normalize_query(phrase, p) for p in presets}
+        # candidates: union of each pipeline's conjunction (dedup by the
+        # distinct analyzed term tuple — english/multilingual often agree)
+        cand = None
+        for terms in sorted({tuple(t) for t in terms_by.values() if t}):
+            uniq = list(dict.fromkeys(terms))
+            c = index._bm25_wand(
+                {t: 1 for t in uniq}, k=0, hydrate=True, require_n=len(uniq)
+            ).select("doc_id", "url")
+            cand = c if cand is None else cand.unionByName(c)
+        if cand is None:
+            return _empty_phrase(spark)
+        cand = cand.dropDuplicates(["doc_id"])
+        pcount = _phrase_count_by_lang_udf(terms_by, pipeline_by_lang)(
+            F.col("text"), F.col("lang")
+        )
+        proj = ["url", "text", "lang"]
+    else:
+        preset = preset or index.preset
+        terms = normalize_query(phrase, preset)
+        if not terms:
+            return _empty_phrase(spark)
+        # terms are ALREADY normalized — going back through search_bm25's
+        # string parsing would re-stem them (not guaranteed idempotent),
+        # so hand the multiplicity map to the wand path directly
+        uniq = list(dict.fromkeys(terms))
+        cand = index._bm25_wand(
+            {t: 1 for t in uniq}, k=0, hydrate=True, require_n=len(uniq)
+        ).select("doc_id", "url")
+        if preset == "simple":
+            pcount = phrase_count_col(terms, "text")
+        else:
+            pcount = _phrase_count_udf(terms, preset)(F.col("text"))
+        proj = ["url", "text"]
+    verified = (
+        docs.select(*proj)
+        .join(cand, "url")
+        .select("doc_id", "url", pcount.alias("phrase_count"))
+        .where(F.col("phrase_count") > 0)
+        .orderBy(F.desc("phrase_count"), F.asc("doc_id"))
+    )
+    return verified.limit(k) if k > 0 else verified
+
+
+def _empty_phrase(spark) -> DataFrame:
+    return spark.range(0).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("url"),
+        F.col("id").alias("phrase_count"),
+    )
+
+
+def _count_contiguous(toks: list[str], terms: list[str]) -> int:
+    n = len(terms)
+    c = 0
+    for i in range(len(toks) - n + 1):
+        if toks[i : i + n] == terms:
+            c += 1
+    return c
+
+
+def _phrase_count_udf(terms: list[str], preset: str):
+    """Arrow-batched phrase counter through the full (stemming) pipeline —
+    the verify path for presets the JVM expression can't express. Runs
+    only over candidate docs, never the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..textproc.pipeline import get_pipeline
+
+    @pandas_udf("long")
+    def pcount(text):
+        import pandas as pd
+
+        proc = get_pipeline(preset).process
+        return pd.Series(
+            [
+                _count_contiguous(proc(t), terms) if t is not None else 0
+                for t in text
+            ]
+        )
+
+    return pcount
+
+
+def _phrase_count_by_lang_udf(
+    terms_by: dict[str, list[str]], pipeline_by_lang: dict[str, str]
+):
+    """(text, lang) phrase counter with the build's per-language pipeline
+    routing: each doc is analyzed by its own language's pipeline and
+    matched against THAT pipeline's analyzed phrase."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..textproc.pipeline import get_pipeline
+
+    @pandas_udf("long")
+    def pcount(text, lang):
+        import pandas as pd
+
+        procs = {p: get_pipeline(p).process for p in terms_by}
+        out = []
+        for t, lg in zip(text, lang):
+            p = pipeline_by_lang.get(lg, "multilingual")
+            terms = terms_by[p]
+            out.append(
+                _count_contiguous(procs[p](t), terms)
+                if t is not None and terms
+                else 0
+            )
+        return pd.Series(out)
+
+    return pcount
