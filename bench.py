@@ -98,6 +98,8 @@ SUITE_QUERIES = [
     "fts_term_stats",
     "fts_search_coordinate",
     "fts_search_bm25",
+    "fts_index_bm25_and",
+    "fts_phrase_search",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -207,6 +207,7 @@ def search_phrase(
     phrase: str,
     k: int = 10,
     preset: str | None = None,
+    max_pushdown: int = 10_000,
 ) -> DataFrame:
     """Index-accelerated phrase search: (doc_id, url, phrase_count).
 
@@ -236,6 +237,15 @@ def search_phrase(
     for the verify phase; the index stores postings, not text (by
     design; text lives in the source table). ``index`` is an
     :class:`~fts_engine_spark.query.FtsIndex`.
+
+    ``max_pushdown``: when the conjunction survives with at most this
+    many docs (the common case — phrases are selective), their urls are
+    collected and pushed as an ``IN`` predicate INTO the docs scan, so
+    the verify reads only the candidate rows' row groups instead of
+    scanning the whole corpus for a handful of matches (at 10^12 docs
+    that scan IS the query cost). Driver memory is bounded by
+    ``max_pushdown`` urls; larger candidate sets fall back to the
+    distributed semi-join.
     """
     from ..query import normalize_query
 
@@ -279,6 +289,27 @@ def search_phrase(
         else:
             pcount = _phrase_count_udf(terms, preset)(F.col("text"))
         proj = ["url", "text"]
+    if max_pushdown > 0:
+        pairs = cand.limit(max_pushdown + 1).collect()
+        if len(pairs) <= max_pushdown:
+            if not pairs:
+                return _empty_phrase(spark)
+            id_by_url = {r["url"]: int(r["doc_id"]) for r in pairs}
+            tiny = F.broadcast(
+                spark.createDataFrame(
+                    [(u, i) for u, i in id_by_url.items()],
+                    "url string, doc_id long",
+                )
+            )
+            verified = (
+                docs.select(*proj)
+                .where(F.col("url").isin(list(id_by_url)))
+                .join(tiny, "url")
+                .select("doc_id", "url", pcount.alias("phrase_count"))
+                .where(F.col("phrase_count") > 0)
+                .orderBy(F.desc("phrase_count"), F.asc("doc_id"))
+            )
+            return verified.limit(k) if k > 0 else verified
     verified = (
         docs.select(*proj)
         .join(cand, "url")

@@ -291,3 +291,59 @@ def test_match_count_reads_only_doc_blob(spark, small_index):
     df = fts._match_count_df({"turtle": 1, "hotel": 1})
     assert_plan(df, "ReadSchema: struct<term:string,doc_blob:binary>")
     assert_plan_absent(df, "tf_blob", "dl_blob")
+
+
+def test_phrase_verify_pushes_candidate_urls_into_docs_scan(
+    spark, docs, tmp_path_factory
+):
+    """search_phrase's verify must not scan the corpus: with a bounded
+    candidate set, the candidate urls are pushed as an In() predicate
+    into the parquet scan of the docs table (at 10^12 docs the full text
+    scan would BE the query cost)."""
+    from pyspark.sql import functions as F
+
+    from fts_engine_spark.build import BuildConfig, build_index
+
+    d = str(tmp_path_factory.mktemp("phrplan") / "ix")
+    idx_docs = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    # write as parquet so the verify side is a real file scan with pushdown
+    src = str(tmp_path_factory.mktemp("phrplan") / "src.parquet")
+    idx_docs.write.parquet(src)
+    pdocs = spark.read.parquet(src)
+    build_index(
+        spark, pdocs.withColumn("lang", F.lit("en")), d,
+        BuildConfig(preset="simple", shard_size=64, id_buckets=4, n_waves=1),
+        resume=False,
+    )
+    fts = FtsIndex(spark, d)
+    out = search.search_phrase(fts, pdocs, "merge sort", k=0)
+    assert_plan(out, "PushedFilters: [In(url", "Scan parquet")
+    assert out.count() > 0
+
+
+def test_phrase_verify_falls_back_to_join_over_cap(spark, docs, tmp_path_factory):
+    """max_pushdown=0 disables the collect: the verify is the distributed
+    semi-join (no url In() pushdown, no driver collect of candidates)."""
+    from pyspark.sql import functions as F
+
+    from fts_engine_spark.build import BuildConfig, build_index
+
+    d = str(tmp_path_factory.mktemp("phrplan2") / "ix")
+    idx_docs = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    build_index(
+        spark, idx_docs.withColumn("lang", F.lit("en")), d,
+        BuildConfig(preset="simple", shard_size=64, id_buckets=4, n_waves=1),
+        resume=False,
+    )
+    fts = FtsIndex(spark, d)
+    joined = search.search_phrase(fts, idx_docs, "merge sort", k=0, max_pushdown=0)
+    pushed = search.search_phrase(fts, idx_docs, "merge sort", k=0)
+    a = sorted((r["url"], int(r["phrase_count"])) for r in joined.collect())
+    b = sorted((r["url"], int(r["phrase_count"])) for r in pushed.collect())
+    assert a == b and a
