@@ -642,7 +642,11 @@ class FtsIndex:
         return self._bm25_wand(mult, k, hydrate, require_n)
 
     def search_bm25_batch(
-        self, queries: list[str], k: int = 10, preset: str | None = None
+        self,
+        queries: list[str],
+        k: int = 10,
+        preset: str | None = None,
+        conjunctive: bool = False,
     ) -> DataFrame:
         """Score a BATCH of queries in ONE Spark job.
 
@@ -684,6 +688,9 @@ class FtsIndex:
                 for t, mult in m.items()
                 if t in stats
             }
+            if conjunctive and len(pq) < len(m):
+                # a corpus-absent term empties this query's AND result
+                continue
             if pq:
                 per_query[i] = pq
         if not per_query:
@@ -697,7 +704,8 @@ class FtsIndex:
         if dict(posts.dtypes).get("shard_id") != "bigint":
             posts = posts.withColumn("shard_id", F.col("shard_id").cast("long"))
         kernel = make_wand_batch_kernel(
-            self.n_docs, self.shard_size, self.avgdl, k, per_query
+            self.n_docs, self.shard_size, self.avgdl, k, per_query,
+            conjunctive=conjunctive,
         )
         local = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_BATCH_SCHEMA
@@ -1303,6 +1311,7 @@ def make_wand_batch_kernel(
     k: int,
     per_query: dict[int, dict[str, tuple[int, int]]],
     counters: dict[str, int] | None = None,
+    conjunctive: bool = False,
 ):
     """Batch variant: score MANY queries in one per-shard kernel pass.
 
@@ -1312,6 +1321,9 @@ def make_wand_batch_kernel(
     own mult*idf weight), and the whole batch costs a single Spark job,
     amortizing the per-query scheduling floor across the batch. Emits
     (query_id, doc_id, score) local top-k rows per shard.
+    ``conjunctive``: AND semantics per query (the caller guarantees each
+    per_query entry holds that query's FULL distinct term set — queries
+    with a corpus-absent term never reach the kernel).
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1325,14 +1337,17 @@ def make_wand_batch_kernel(
         docs_out: list[np.ndarray] = []
         scores_out: list[np.ndarray] = []
         for qid in sorted(per_query):
+            require_n = len(per_query[qid]) if conjunctive else 0
             weighted = [
                 (int(m) * bm25_idf(n_docs, int(df_)), term_map[t])
                 for t, (m, df_) in per_query[qid].items()
                 if t in term_map
             ]
-            if not weighted:
+            if not weighted or (require_n > 0 and len(weighted) < require_n):
                 continue
-            docs, scores = _wand_sweep(weighted, k, base, avgdl, counters)
+            docs, scores = _wand_sweep(
+                weighted, k, base, avgdl, counters, require_n
+            )
             if len(docs):
                 qids.append(np.full(len(docs), qid, dtype=np.int32))
                 docs_out.append(docs)

@@ -188,3 +188,24 @@ def test_conjunctive_absent_term_empty(point_fts):
         == 0
     )
     assert point_fts.search_bm25_point(q, k=0, conjunctive=True) == []
+
+
+def test_conjunctive_batch_matches_single(spark, point_fts):
+    """Batch AND == per-query AND, including a query with an absent term
+    (empty) and a single-term query (conjunction == OR)."""
+    queries = ["hotel turtle", "hotel zzzzunseen", "turtle"]
+    batch = point_fts.search_bm25_batch(queries, k=5, conjunctive=True)
+    by_q: dict[int, list] = {}
+    for r in batch.collect():
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), float(r["score"]))
+        )
+    for qid, q in enumerate(queries):
+        single = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in point_fts.search_bm25(
+                q, k=5, mode="wand", conjunctive=True
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == single, q
+    assert 1 not in by_q  # absent term -> no rows at all
