@@ -346,10 +346,19 @@ def dup_clusters(
     O(log diameter) rounds instead of O(diameter), which is what makes a
     driver-side iteration loop acceptable at 10^12 docs (a path-shaped
     component of length 1M converges in ~20 rounds, not 1M). Each round is
-    two shuffles (neighbor min, shortcut join) on uniform doc_id keys; the
-    loop materializes each generation and unpersists the previous one so
-    executor memory stays O(|V|); long-lineage growth is bounded by the
-    iteration cap. Deterministic: min() everywhere.
+    two shuffles (neighbor min, shortcut join) on uniform doc_id keys.
+
+    Every generation is cut over to a ``localCheckpoint`` — NOT a plain
+    persist: persist truncates computation but not the LOGICAL PLAN, and
+    this loop's plan trees grow ~3x per round (stepped references labels
+    twice, the shortcut join a third time), so after ~10 rounds Catalyst
+    analysis + cache-manager plan matching dominate and the loop appears
+    hung (observed: a 43-node toy graph wedging a long-lived session).
+    The checkpoint keeps every round at O(1) plan nodes and O(|V|)
+    executor storage; the truncated lineage means executor loss mid-loop
+    recomputes from the last checkpoint — the normal trade for iterative
+    algorithms (swap in ``checkpoint()`` + a reliable dir if that
+    matters). Deterministic: min() everywhere.
     """
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -357,8 +366,7 @@ def dup_clusters(
     )
     labels = docs.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).persist()
-    labels.count()
+    ).localCheckpoint()
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -388,7 +396,7 @@ def dup_clusters(
                     F.coalesce(F.col("_plabel"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint()  # eager: materializes + truncates the plan
         )
         changed = (
             new_labels.alias("n")
@@ -397,7 +405,7 @@ def dup_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        labels.unpersist()  # drop the previous generation's storage
         labels = new_labels
         if changed == 0:
             break

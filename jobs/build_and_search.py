@@ -33,6 +33,11 @@ def main() -> None:
     # flag/env/default priority, config.go:106-115)
     ap.add_argument("--scorer", default=None, choices=["bm25", "reference"])
     ap.add_argument("--mode", default=None, choices=["wand", "relational"])
+    ap.add_argument("--conjunctive", action="store_true",
+                    help="AND semantics: only docs containing every query term")
+    ap.add_argument("--phrase", action="append", default=[],
+                    help="positional phrase query (repeatable; analyzed-"
+                         "token-space contiguous match)")
     ap.add_argument("--preset", default=None)
     ap.add_argument("--shard-size", type=int, default=None)
     ap.add_argument("--waves", type=int, default=None)
@@ -83,7 +88,13 @@ def main() -> None:
 
     for q in args.query:
         t0 = time.monotonic()
-        rows = engine.search(q, k=args.k, hydrate=True).collect()
+        if args.conjunctive:
+            rows = engine.index.search_bm25(
+                q, k=args.k, mode=engine.options.mode, hydrate=True,
+                conjunctive=True,
+            ).collect()
+        else:
+            rows = engine.search(q, k=args.k, hydrate=True).collect()
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({
             "query": q,
@@ -91,6 +102,16 @@ def main() -> None:
             "results": [
                 {k: r[k] for k in r.asDict() if k != "html"} for r in rows
             ],
+        }, default=str))
+
+    for p in args.phrase:
+        t0 = time.monotonic()
+        rows = engine.search_phrase(docs, p, k=args.k).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "phrase": p,
+            "ms": round(ms, 1),
+            "results": [r.asDict() for r in rows],
         }, default=str))
 
     spark.stop()

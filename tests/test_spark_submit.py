@@ -48,6 +48,7 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
             "--corpus", small_corpus,
             "--index", index_dir,
             "--query", "turtle hotel",
+            "--phrase", "french hotel",
             "--k", "5",
             "--shard-size", "64",
             "--waves", "2",
@@ -66,4 +67,8 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
     result = json.loads(lines[1])
     assert result["query"] == "turtle hotel"
     assert len(result["results"]) == 5
+    phr = json.loads(lines[2])
+    assert phr["phrase"] == "french hotel"
+    assert phr["results"], "phrase must match docs in the synthetic corpus"
+    assert all(r["phrase_count"] >= 1 for r in phr["results"])
     assert os.path.exists(os.path.join(index_dir, "meta.json"))
