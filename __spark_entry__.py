@@ -37,6 +37,12 @@ Q_TERMS = ["table", "value", "fast", "data"]
 # phrase for the positional rows: ~30 matching docs at every sf
 PHRASE = ["merge", "sort"]
 Q_DUP = ["value", "value"]
+# dictionary-expansion rows: 's*' expands to {scan, small, slow, sort,
+# spark, stream} in the synthetic vocabulary; both fuzzy tokens are
+# distance-1 typos of real terms (querry->query, valu->value)
+PREFIX_QUERY = "data s*"
+FUZZY_QUERY = "querry valu"
+EXPAND_MAX = 64
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.12
 # the driver's synthetic embeddings have max pairwise cos ~0.51; 0.42 keeps
@@ -213,6 +219,30 @@ def _index_search(
     )
 
 
+def _expanded_search(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Dictionary-expanded BM25 (prefix / fuzzy multi-term rewrite) off the
+    compressed index: patterns expand against the terms table (df desc,
+    term asc, LIMIT ``EXPAND_MAX`` — the deterministic, SQL-reproducible
+    preference), then the union OR-accumulates through the same WAND
+    kernel as ``fts_index_bm25_wand``."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    if kind == "prefix":
+        out = fts.search_bm25_prefix(
+            PREFIX_QUERY, k=10, hydrate=True, max_expand=EXPAND_MAX
+        )
+    else:
+        out = fts.search_bm25_fuzzy(
+            FUZZY_QUERY, k=10, hydrate=True, max_dist=1, max_expand=EXPAND_MAX
+        )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-accelerated phrase search (operators.search.search_phrase):
     conjunctive-WAND candidates off the compressed index, positional
@@ -341,6 +371,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), PHRASE, k=0
         ),
         "fts_phrase_search": lambda s, d: _phrase_search(s, d),
+        # dictionary-expanded rewrites (Lucene-style multi-term queries):
+        # trailing-* prefix and levenshtein<=1 fuzzy, both expanded against
+        # the index's terms table and scored through the WAND kernel
+        "fts_prefix_bm25": lambda s, d: _expanded_search(s, d, "prefix"),
+        "fts_fuzzy_bm25": lambda s, d: _expanded_search(s, d, "fuzzy"),
         # k<=0 = the reference's "return all" (engine.go:136-149 truncates
         # only when k>0): EVERY matching doc scored through the WAND
         # kernel with pruning disabled — oracle is the same BM25 SQL
@@ -629,6 +664,32 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         "  HAVING count(*) = (SELECT count(*) FROM q))",
     )
     assert bm25_and != bm25  # the splice target must exist
+    # dictionary-expanded rewrites: swap the literal q CTE for an expansion
+    # over the corpus vocabulary — same bound + preference as the engine's
+    # expand_terms (df desc, term asc, LIMIT max_expand), so the oracle is
+    # faithful even when truncation kicks in
+    _q_lit = f"q(term, mult) AS (VALUES {_Q_VALUES})"
+    prefix_q = (
+        "expq AS (SELECT term, 1 AS mult FROM ("
+        "SELECT term FROM stats WHERE term LIKE 's%' "
+        f"ORDER BY df DESC, term LIMIT {EXPAND_MAX}) "
+        "UNION ALL SELECT 'data', 1), "
+        "q AS (SELECT term, sum(mult)::INT AS mult FROM expq GROUP BY term)"
+    )
+    fuzzy_q = (
+        "expq AS ("
+        "SELECT term, 1 AS mult FROM (SELECT term FROM stats "
+        "WHERE levenshtein(term, 'querry') <= 1 "
+        f"ORDER BY df DESC, term LIMIT {EXPAND_MAX}) "
+        "UNION ALL "
+        "SELECT term, 1 FROM (SELECT term FROM stats "
+        "WHERE levenshtein(term, 'valu') <= 1 "
+        f"ORDER BY df DESC, term LIMIT {EXPAND_MAX})), "
+        "q AS (SELECT term, sum(mult)::INT AS mult FROM expq GROUP BY term)"
+    )
+    bm25_prefix = bm25.replace(_q_lit, prefix_q)
+    bm25_fuzzy = bm25.replace(_q_lit, fuzzy_q)
+    assert bm25_prefix != bm25 and bm25_fuzzy != bm25
     # phrase: contiguous occurrence count over the filtered token LIST
     # (1-based DuckDB list indexing; same tokenization + stoplist as _TOKS)
     _ppred = " AND ".join(
@@ -707,6 +768,8 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_relational": bm25,
         "fts_index_bm25_wand": bm25,
         "fts_index_bm25_and": bm25_and,
+        "fts_prefix_bm25": bm25_prefix,
+        "fts_fuzzy_bm25": bm25_fuzzy,
         "fts_phrase_scan": phrase_sql,
         "fts_phrase_search": phrase_sql,
         "fts_index_bm25_all": bm25_all,

@@ -181,6 +181,38 @@ class FtsEngine:
             self.index, docs, phrase, k=self.options.k if k is None else k
         )
 
+    def search_prefix(
+        self, query: str, k: int | None = None, max_expand: int = 64
+    ) -> DataFrame:
+        """BM25 with trailing-``*`` prefix patterns (dictionary-expanded,
+        Lucene-style multi-term rewrite) — extension beyond the
+        reference's exact-term search."""
+        return self.index.search_bm25_prefix(
+            query,
+            self.options.k if k is None else k,
+            mode=self.options.mode,
+            hydrate=True,
+            max_expand=max_expand,
+        )
+
+    def search_fuzzy(
+        self,
+        query: str,
+        k: int | None = None,
+        max_dist: int = 1,
+        max_expand: int = 64,
+    ) -> DataFrame:
+        """Typo-tolerant BM25: each term expanded to dictionary terms
+        within ``max_dist`` edits — extension beyond the reference."""
+        return self.index.search_bm25_fuzzy(
+            query,
+            self.options.k if k is None else k,
+            mode=self.options.mode,
+            hydrate=True,
+            max_dist=max_dist,
+            max_expand=max_expand,
+        )
+
     # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats
     def analyze(self) -> DataFrame:
         """Per-shard metrics + global rollup of the index shape."""

@@ -47,6 +47,7 @@ from pyspark.sql.types import (
 )
 
 from .codec import decode_block, varbyte_decode
+from .textproc.gocompat import go_lower
 from .textproc.pipeline import get_pipeline
 
 K1 = 1.2
@@ -640,6 +641,150 @@ class FtsIndex:
         if mode == "relational":
             return self._bm25_relational(mult, k, hydrate, require_n)
         return self._bm25_wand(mult, k, hydrate, require_n)
+
+    # ---- dictionary-expanded queries (prefix / fuzzy) -------------------
+
+    def expand_terms(
+        self,
+        pattern: str,
+        kind: str = "prefix",
+        max_dist: int = 1,
+        max_expand: int = 64,
+    ) -> list[str]:
+        """Expand ``pattern`` against the index's term dictionary.
+
+        ``kind='prefix'``: every dictionary term starting with ``pattern``.
+        ``kind='fuzzy'``: every dictionary term within levenshtein distance
+        ``max_dist`` of ``pattern`` (the term itself included when present).
+
+        Returns at most ``max_expand`` terms, preferring highest document
+        frequency (Lucene's rewrite preference — common terms first), ties
+        broken by term ascending, so truncation is deterministic and
+        SQL-reproducible (``ORDER BY df DESC, term LIMIT n``). Matching is
+        over POST-PIPELINE dictionary terms (min-len + stopword + stemming
+        already applied at build time); callers lowercase the pattern with
+        the pipeline's Go-lower semantics before calling.
+
+        One bounded lookup job per pattern (none of the serving hot path
+        pays this): the predicate reaches the terms scan — StartsWith
+        pushes down to parquet row groups cold, and is pruned by the
+        in-memory batch stats warm; fuzzy adds a cheap length band
+        ``abs(len(term) - len(pattern)) <= max_dist`` so levenshtein runs
+        on a sliver of the vocabulary. Driver memory is bounded by
+        ``max_expand`` terms.
+        """
+        if not pattern:
+            return []
+        stats = self._read_terms()
+        if kind == "prefix":
+            cond = F.col("term").startswith(pattern)
+        elif kind == "fuzzy":
+            band = F.abs(F.length("term") - F.lit(len(pattern))) <= max_dist
+            cond = band & (
+                F.levenshtein(F.col("term"), F.lit(pattern)) <= max_dist
+            )
+        else:
+            raise ValueError(f"unknown expansion kind {kind!r}")
+        rows = (
+            stats.where(cond)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expand)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def _expanded_search(
+        self,
+        mult: dict[str, int],
+        k: int,
+        mode: str,
+        hydrate: bool,
+    ) -> DataFrame:
+        if not mult:
+            return self._empty_bm25_result()
+        if mode == "relational":
+            return self._bm25_relational(mult, k, hydrate)
+        return self._bm25_wand(mult, k, hydrate)
+
+    def search_bm25_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        mode: str = "wand",
+        hydrate: bool = False,
+        max_expand: int = 64,
+    ) -> DataFrame:
+        """BM25 with prefix (trailing ``*``) patterns — Lucene-style
+        multi-term rewrite, an extension over the reference's exact-term
+        search (``engine.go:82-158``).
+
+        Tokens ending in ``*`` are prefix patterns: lowercased (Go-lower,
+        matching the build pipeline) and expanded against the term
+        dictionary via :meth:`expand_terms`; all other tokens are
+        normalized exactly like :meth:`search_bm25`. The union of exact
+        and expanded terms OR-accumulates, each expanded term scored with
+        its own idf and multiplicity summed when patterns overlap — the
+        semantics of SQL ``term LIKE 'p%'`` against the same corpus.
+        """
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        mult: dict[str, int] = {}
+        exact_parts: list[str] = []
+        for tok in query.split():
+            if len(tok) > 1 and tok.endswith("*"):
+                for t in self.expand_terms(
+                    go_lower(tok[:-1]), "prefix", max_expand=max_expand
+                ):
+                    mult[t] = mult.get(t, 0) + 1
+            else:
+                exact_parts.append(tok)
+        if exact_parts:
+            for t, m in self._query_mult(
+                " ".join(exact_parts), preset
+            ).items():
+                mult[t] = mult.get(t, 0) + m
+        return self._expanded_search(mult, k, mode, hydrate)
+
+    def search_bm25_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        mode: str = "wand",
+        hydrate: bool = False,
+        max_dist: int = 1,
+        max_expand: int = 64,
+    ) -> DataFrame:
+        """BM25 with typo tolerance: every normalized query term is
+        expanded to dictionary terms within levenshtein distance
+        ``max_dist`` (the exact term included when present), then the
+        union OR-accumulates like :meth:`search_bm25_prefix`.
+
+        Expansion happens AFTER pipeline normalization, so for stemming
+        presets the edit distance is measured in stem space against the
+        stemmed dictionary — the consistent choice when the dictionary
+        only stores analyzed terms (Lucene lowercases-but-does-not-stem
+        fuzzy terms only because its dictionary keeps unstemmed fields).
+        """
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        # normalize WITHOUT the probabilistic term gate (_query_mult):
+        # a typo is precisely a term the gate would reject, and here its
+        # absence from the dictionary is the point, not a pruning win
+        raw: dict[str, int] = {}
+        for t in normalize_query(query, preset):
+            raw[t] = raw.get(t, 0) + 1
+        mult: dict[str, int] = {}
+        for t0, m in raw.items():
+            for t in self.expand_terms(
+                t0, "fuzzy", max_dist=max_dist, max_expand=max_expand
+            ):
+                mult[t] = mult.get(t, 0) + m
+        return self._expanded_search(mult, k, mode, hydrate)
 
     def search_bm25_batch(
         self,
