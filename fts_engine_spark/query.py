@@ -83,6 +83,36 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _levenshtein_leq(a: str, b: str, max_dist: int) -> bool:
+    """Banded levenshtein early-exit: O(len(a) * max_dist) — only the
+    diagonal band that can stay within ``max_dist`` is computed, and the
+    scan aborts the moment the whole band exceeds it. The point tier's
+    fuzzy expansion calls this once per length-band dictionary term."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > max_dist:
+        return False
+    if max_dist == 0:
+        return a == b
+    if la == 0 or lb == 0:
+        return True  # distance is max(la, lb), within band by the check above
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - max_dist)
+        hi = min(lb, i + max_dist)
+        cur = [i] + [max_dist + 1] * lb
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        if min(cur[lo : hi + 1]) > max_dist:
+            return False
+        prev = cur
+    return prev[lb] <= max_dist
+
+
 def normalize_query(query: str, preset: str) -> list[str]:
     """Driver-side query normalization — same pipeline as documents;
     duplicates KEPT (``engine.go:91``, the unique-match double-count quirk)."""
@@ -155,6 +185,9 @@ class FtsIndex:
         self._point_cache_bytes = 0
         self._point_max_bytes = 0
         self._point_lock = threading.Lock()
+        # lazily-built expansion structures over the driver dictionary
+        self._sorted_terms: list[str] | None = None
+        self._len_buckets: dict[int, list[str]] | None = None
 
     def warm(
         self,
@@ -267,6 +300,9 @@ class FtsIndex:
         self._warm = False
         self._point_cache = None
         self._point_cache_bytes = 0
+        # expansion structures are derived from _term_dict — drop together
+        self._sorted_terms = None
+        self._len_buckets = None
 
     def _read_postings(self) -> DataFrame:
         if self._postings_df is not None:
@@ -998,6 +1034,17 @@ class FtsIndex:
                     conjunctive=conjunctive,
                 ).collect()
             ]
+        return self._point_sweep(present, k, require_n)
+
+    def _point_sweep(
+        self,
+        present: dict[str, tuple[int, int]],
+        k: int,
+        require_n: int,
+    ) -> list[tuple[int, float]]:
+        """In-process sweep over the point cache for a resolved
+        term -> (mult, df) map: fetch missing terms (one pruned job),
+        run the SAME per-shard WAND kernel the executors run, merge."""
         with self._point_lock:
             protect = frozenset(present)
             missing = [t for t in present if t not in self._point_cache]
@@ -1035,6 +1082,161 @@ class FtsIndex:
         out = [(-d, s) for s, d in heap]
         out.sort(key=lambda x: (-x[1], x[0]))
         return [(int(d), float(s)) for d, s in out]
+
+    # ---- point-tier dictionary expansion (prefix / fuzzy, no Spark job)
+
+    def _point_expand(
+        self,
+        pattern: str,
+        kind: str,
+        max_dist: int,
+        max_expand: int,
+    ) -> list[str]:
+        """Driver-side :meth:`expand_terms` over the warm dictionary —
+        zero Spark jobs. Identical preference (df desc, term asc, LIMIT
+        max_expand), asserted against the distributed expansion in
+        tests/test_point_serving.py.
+
+        Prefix is a bisect over a lazily-built sorted term list
+        (O(log V + matches)). Fuzzy scans only the length band
+        ``len(pattern) ± max_dist`` of a lazily-built length bucketing —
+        at a 5M-term dictionary a dense band can still be ~1M python
+        levenshtein calls (~1 s); a production point tier would precompute
+        a deletion-neighborhood (SymSpell) index for sub-ms fuzzy, which
+        this cache structure can host but does not build by default."""
+        if not pattern:
+            return []
+        import bisect
+
+        if getattr(self, "_sorted_terms", None) is None:
+            self._sorted_terms = sorted(self._term_dict)
+            buckets: dict[int, list[str]] = {}
+            for t in self._sorted_terms:
+                buckets.setdefault(len(t), []).append(t)
+            self._len_buckets = buckets
+        if kind == "prefix":
+            lo = bisect.bisect_left(self._sorted_terms, pattern)
+            hi = bisect.bisect_left(
+                self._sorted_terms, pattern[:-1] + chr(ord(pattern[-1]) + 1)
+            ) if pattern[-1] != "\U0010ffff" else len(self._sorted_terms)
+            cands = self._sorted_terms[lo:hi]
+        elif kind == "fuzzy":
+            cands = [
+                t
+                for ln in range(
+                    max(1, len(pattern) - max_dist), len(pattern) + max_dist + 1
+                )
+                for t in self._len_buckets.get(ln, ())
+                if _levenshtein_leq(t, pattern, max_dist)
+            ]
+        else:
+            raise ValueError(f"unknown expansion kind {kind!r}")
+        cands.sort(key=lambda t: (-self._term_dict[t][0], t))
+        return cands[:max_expand]
+
+    def search_bm25_point_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        max_expand: int = 64,
+    ) -> list[tuple[int, float]]:
+        """:meth:`search_bm25_prefix` on the point tier: expansion runs
+        against the driver dictionary (bisect, no job), the sweep runs
+        in-process; results are exactly the distributed rewrite's."""
+        if self._point_cache is None or self._term_dict is None:
+            return [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self.search_bm25_prefix(
+                    query, k=k, preset=preset, max_expand=max_expand
+                ).collect()
+            ]
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        mult: dict[str, int] = {}
+        exact_parts: list[str] = []
+        for tok in query.split():
+            if len(tok) > 1 and tok.endswith("*"):
+                for t in self._point_expand(
+                    go_lower(tok[:-1]), "prefix", 0, max_expand
+                ):
+                    mult[t] = mult.get(t, 0) + 1
+            else:
+                exact_parts.append(tok)
+        if exact_parts:
+            for t, m in self._query_mult(" ".join(exact_parts), preset).items():
+                mult[t] = mult.get(t, 0) + m
+        return self._point_mult_search(
+            mult,
+            k,
+            lambda: self.search_bm25_prefix(
+                query, k=k, preset=preset, max_expand=max_expand
+            ),
+        )
+
+    def search_bm25_point_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        max_dist: int = 1,
+        max_expand: int = 64,
+    ) -> list[tuple[int, float]]:
+        """:meth:`search_bm25_fuzzy` on the point tier (see
+        :meth:`_point_expand` for the fuzzy-scan cost note)."""
+        if self._point_cache is None or self._term_dict is None:
+            return [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self.search_bm25_fuzzy(
+                    query, k=k, preset=preset,
+                    max_dist=max_dist, max_expand=max_expand,
+                ).collect()
+            ]
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        mult: dict[str, int] = {}
+        raw: dict[str, int] = {}
+        for t in normalize_query(query, preset):
+            raw[t] = raw.get(t, 0) + 1
+        for t0, m in raw.items():
+            for t in self._point_expand(t0, "fuzzy", max_dist, max_expand):
+                mult[t] = mult.get(t, 0) + m
+        return self._point_mult_search(
+            mult,
+            k,
+            lambda: self.search_bm25_fuzzy(
+                query, k=k, preset=preset,
+                max_dist=max_dist, max_expand=max_expand,
+            ),
+        )
+
+    def _point_mult_search(
+        self,
+        mult: dict[str, int],
+        k: int,
+        fallback,
+    ) -> list[tuple[int, float]]:
+        """Shared tail of the expanded point queries: df-cap check (a
+        posting list too large for the driver budget streams through the
+        distributed ``fallback`` plan instead), then the in-process
+        sweep. Expanded terms come from the dictionary by construction,
+        so ``present`` only drops exact terms absent from the corpus."""
+        present = {
+            t: (m, self._term_dict[t][0])
+            for t, m in mult.items()
+            if t in self._term_dict
+        }
+        if not present:
+            return []
+        df_cap = self._point_max_bytes // 40
+        if any(df_ > df_cap for _, df_ in present.values()):
+            return [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in fallback().collect()
+            ]
+        return self._point_sweep(present, k, 0)
 
     def point_cache_stats(self) -> dict[str, int]:
         return {

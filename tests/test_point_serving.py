@@ -209,3 +209,76 @@ def test_conjunctive_batch_matches_single(spark, point_fts):
         ]
         assert by_q.get(qid, []) == single, q
     assert 1 not in by_q  # absent term -> no rows at all
+
+
+def test_point_prefix_matches_distributed(spark, point_fts):
+    """Point-tier prefix rewrite == distributed search_bm25_prefix, scores
+    to full float64; expansion preference identical (df desc, term asc)."""
+    for q in ["s*", "data s*", "quer*"]:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in point_fts.search_bm25_prefix(q, k=10).collect()
+        ]
+        got = point_fts.search_bm25_point_prefix(q, k=10)
+        assert got == want, q
+
+
+def test_point_fuzzy_matches_distributed(spark, point_fts):
+    for q, d in [("querry", 1), ("valu", 1), ("tabel", 2)]:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in point_fts.search_bm25_fuzzy(q, k=10, max_dist=d).collect()
+        ]
+        got = point_fts.search_bm25_point_fuzzy(q, k=10, max_dist=d)
+        assert got == want, (q, d)
+
+
+def test_point_expand_equals_distributed_expand(point_fts):
+    """The driver-side expansion structures reproduce expand_terms exactly,
+    including the max_expand truncation order."""
+    for pattern, kind, dist in [("s", "prefix", 0), ("quer", "fuzzy", 1)]:
+        for cap in (3, 1000):
+            assert point_fts._point_expand(pattern, kind, dist, cap) == (
+                point_fts.expand_terms(
+                    pattern, kind, max_dist=dist, max_expand=cap
+                )
+            ), (pattern, kind, cap)
+
+
+def test_point_prefix_warm_runs_no_spark_job(spark, point_fts):
+    """Expansion (bisect over the driver dictionary) + sweep schedule zero
+    jobs once the expanded terms are cached."""
+    point_fts.search_bm25_point_prefix("s*", k=10)  # fetch expansion terms
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    out = point_fts.search_bm25_point_prefix("s*", k=10)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert out
+    assert after == before, "warm point prefix query must not schedule a job"
+
+
+def test_point_expand_no_match_empty(point_fts):
+    assert point_fts.search_bm25_point_prefix("zzzz*", k=5) == []
+    assert point_fts.search_bm25_point_fuzzy("zzzzzzzz", k=5) == []
+
+
+def test_banded_levenshtein_matches_reference():
+    from fts_engine_spark.query import _levenshtein_leq
+
+    def full(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    words = ["", "a", "ab", "query", "queri", "querry", "table", "tabel",
+             "tble", "stream", "steam", "steamer", "value", "valu"]
+    for a in words:
+        for b in words:
+            for d in (0, 1, 2):
+                assert _levenshtein_leq(a, b, d) == (full(a, b) <= d), (a, b, d)
