@@ -224,7 +224,18 @@ def ensure_corpus(n_docs: int) -> str:
     lo, hi = DOC_SENTS
     path = f"/tmp/fts_bench_corpus_{n_docs}_s{lo}_{hi}.parquet"
     if os.path.exists(path):
-        return path
+        # a killed generator leaves a torn file that would fail every
+        # subsequent bench at first read — validate the footer magic and
+        # regenerate instead of trusting existence
+        try:
+            with open(path, "rb") as f:
+                f.seek(-4, os.SEEK_END)
+                ok = f.read(4) == b"PAR1"
+        except OSError:
+            ok = False
+        if ok:
+            return path
+        os.unlink(path)
     # prefer slicing a bigger already-generated corpus (duckdb reads in file
     # order -> deterministic prefix) over the slow single-threaded generator
     import glob
@@ -241,12 +252,14 @@ def ensure_corpus(n_docs: int) -> str:
             # parallelism — throughput numbers stay comparable across runs.
             duckdb.sql(
                 f"COPY (SELECT * FROM read_parquet('{cand}') LIMIT {n_docs}) "
-                f"TO '{path}' (FORMAT parquet, ROW_GROUP_SIZE 4096)"
+                f"TO '{path}.tmp' (FORMAT parquet, ROW_GROUP_SIZE 4096)"
             )
+            os.replace(f"{path}.tmp", path)  # atomic: no torn cache file
             return path
     from tools.gen_corpus import write_corpus
 
-    write_corpus(path, n_docs, min_sents=lo, max_sents=hi)
+    write_corpus(f"{path}.tmp", n_docs, min_sents=lo, max_sents=hi)
+    os.replace(f"{path}.tmp", path)
     return path
 
 
@@ -521,6 +534,70 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
         STEAL_SERVE_TICKS, _point_storm_once,
     )
     timings["query_point_qps"] = round(point_qps, 1)
+
+    # ---- 3d2. r5 rewrite modes. Point tier: prefix (bisect over the
+    # driver dictionary) and fuzzy (banded levenshtein over length
+    # buckets) expansion + the in-process sweep — parity with the
+    # distributed rewrites asserted before timing. Distributed: the
+    # two-phase phrase plan (conjunctive-index candidates + analyzed
+    # verify over only those docs).
+    prefix_qs = ["sci*", "sch* hotel", "stu*"]
+    fuzzy_qs = ["querry", "hotl", "scince"]
+    for q in prefix_qs:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts.search_bm25_prefix(q, k=10).collect()
+        ]
+        if fts.search_bm25_point_prefix(q, k=10) != want:
+            raise RuntimeError(f"point prefix parity failure on {q!r}")
+    for q in fuzzy_qs:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts.search_bm25_fuzzy(q, k=10).collect()
+        ]
+        if fts.search_bm25_point_fuzzy(q, k=10) != want:
+            raise RuntimeError(f"point fuzzy parity failure on {q!r}")
+
+    def _rewrites_once():
+        pre, fuz = [], []
+        for _ in range(3):
+            for q in prefix_qs:
+                t0 = time.monotonic()
+                fts.search_bm25_point_prefix(q, k=10)
+                pre.append((time.monotonic() - t0) * 1000)
+            for q in fuzzy_qs:
+                t0 = time.monotonic()
+                fts.search_bm25_point_fuzzy(q, k=10)
+                fuz.append((time.monotonic() - t0) * 1000)
+        return (
+            round(statistics.median(pre), 2),
+            round(statistics.median(fuz), 2),
+        )
+
+    (pre_p50, fuz_p50), _ = gated_phase(
+        meter, contaminated, steal_log, "query_point_rewrites",
+        STEAL_SERVE_TICKS, _rewrites_once,
+    )
+    timings["query_point_prefix_p50_ms"] = pre_p50
+    timings["query_point_fuzzy_p50_ms"] = fuz_p50
+
+    from fts_engine_spark.operators.search import search_phrase
+
+    search_phrase(fts, docs, "french hotel", k=10).collect()  # warm-up
+
+    def _phrase_once():
+        lat = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            search_phrase(fts, docs, "french hotel", k=10).collect()
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    phrase_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_phrase",
+        STEAL_SERVE_TICKS, _phrase_once,
+    )
+    timings["query_phrase_ms"] = phrase_ms
 
     # ---- 3e. batch scoring: the whole reference query set in ONE Spark
     # job (shared term decode + one scheduling floor; the bulk-workload

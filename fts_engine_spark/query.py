@@ -1109,11 +1109,16 @@ class FtsIndex:
         import bisect
 
         if getattr(self, "_sorted_terms", None) is None:
-            self._sorted_terms = sorted(self._term_dict)
+            # build both structures fully before publishing either, and
+            # publish the guard attribute LAST — a concurrent point query
+            # races this lazy init (it runs outside _point_lock; the
+            # rebuild is idempotent, a torn view is not)
+            sorted_terms = sorted(self._term_dict)
             buckets: dict[int, list[str]] = {}
-            for t in self._sorted_terms:
+            for t in sorted_terms:
                 buckets.setdefault(len(t), []).append(t)
             self._len_buckets = buckets
+            self._sorted_terms = sorted_terms
         if kind == "prefix":
             lo = bisect.bisect_left(self._sorted_terms, pattern)
             hi = bisect.bisect_left(
