@@ -157,8 +157,16 @@ def phrase_count_col(
     min_len: int = 3,
 ) -> Column:
     """Occurrences of the contiguous token sequence ``terms`` in the
-    FILTERED 'simple'-pipeline token stream of ``text_col`` — pure
-    built-in higher-order functions, whole-stage codegen, no Python.
+    FILTERED 'simple'-pipeline token stream of ``text_col``.
+
+    Tokenization runs JVM-side (``tokens_array`` — regexp + filters);
+    the contiguous count runs in an Arrow-batched pandas UDF over the
+    token array. A pure-expression count (F.filter over start positions
+    with F.get probes) was 13-30× slower measured: higher-order
+    functions are CodegenFallback, and predicate pushdown inlines the
+    aliased expression below the Project so the tokenizer re-evaluates
+    up to 6× per row. The UDF is marked non-deterministic precisely to
+    stop that inlining — a ``where(pc > 0)`` above it stays above it.
 
     Phrase positions are defined over the post-pipeline stream (min-len +
     stopword filtering applied), the standard semantics of
@@ -168,21 +176,29 @@ def phrase_count_col(
     """
     if not terms:
         return F.lit(0).cast("long")
-    ts = tokens_array(text_col, stopwords, min_len)
-    n = len(terms)
-    # 0-based start positions; guard the descending-sequence trap when
-    # the doc has fewer than n tokens (sequence(0, negative) descends)
-    starts = F.when(
-        F.size(ts) >= n, F.sequence(F.lit(0), F.size(ts) - F.lit(n))
-    ).otherwise(F.array().cast("array<int>"))
+    return _phrase_count_tokens_udf(terms)(
+        tokens_array(text_col, stopwords, min_len)
+    )
 
-    def is_match(i: Column) -> Column:
-        cond = F.get(ts, i) == terms[0]
-        for j in range(1, n):
-            cond = cond & (F.get(ts, i + F.lit(j)) == terms[j])
-        return cond
 
-    return F.size(F.filter(starts, is_match)).cast("long")
+def _phrase_count_tokens_udf(terms: list[str]):
+    """Contiguous-occurrence counter over a pre-tokenized array column.
+    Non-deterministic flag blocks filter-pushdown alias inlining (see
+    phrase_count_col); the function itself is pure."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def pcount(toks):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                _count_contiguous(list(a), terms) if a is not None else 0
+                for a in toks
+            ]
+        )
+
+    return pcount.asNondeterministic()
 
 
 def search_phrase_direct(
@@ -340,7 +356,8 @@ def _count_contiguous(toks: list[str], terms: list[str]) -> int:
 def _phrase_count_udf(terms: list[str], preset: str):
     """Arrow-batched phrase counter through the full (stemming) pipeline —
     the verify path for presets the JVM expression can't express. Runs
-    only over candidate docs, never the corpus."""
+    only over candidate docs, never the corpus. Non-deterministic flag
+    blocks filter-pushdown double evaluation (see phrase_count_col)."""
     from pyspark.sql.functions import pandas_udf
 
     from ..textproc.pipeline import get_pipeline
@@ -357,7 +374,7 @@ def _phrase_count_udf(terms: list[str], preset: str):
             ]
         )
 
-    return pcount
+    return pcount.asNondeterministic()
 
 
 def _phrase_count_by_lang_udf(
@@ -386,4 +403,4 @@ def _phrase_count_by_lang_udf(
             )
         return pd.Series(out)
 
-    return pcount
+    return pcount.asNondeterministic()
