@@ -65,6 +65,20 @@ class FtsEngine:
         self._index = None
         return meta
 
+    def index_pages(
+        self, location: str, fmt: str | None = None, resume: bool = True
+    ) -> dict:
+        """Index the web-pages input table directly (north-star entry:
+        an Iceberg/parquet table of ``(url, warc_ts, html, text, lang)``
+        pages — ``sources.pages.read_pages`` resolves the format and
+        conforms the schema, backfilling ``text`` from ``html`` via the
+        byte-identical extract UDF where needed)."""
+        from .sources.pages import read_pages
+
+        return self.index_documents(
+            read_pages(self.spark, location, fmt=fmt), resume=resume
+        )
+
     # ---- load (Entry point D: snapshot restore)
     @property
     def index(self) -> FtsIndex:
