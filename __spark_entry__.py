@@ -86,14 +86,19 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_index(
+    spark: SparkSession, sf_dir: str, positions: bool = False
+) -> str:
     import hashlib
 
     from fts_engine_spark.build import META_VERSION
 
     # version in the key: a format bump must not resume a stale on-disk
     # cache from a previous build (meta version check would refuse it)
-    key = hashlib.md5(f"{sf_dir}:v{META_VERSION}".encode()).hexdigest()[:10]
+    variant = ":pos" if positions else ""
+    key = hashlib.md5(
+        f"{sf_dir}:v{META_VERSION}{variant}".encode()
+    ).hexdigest()[:10]
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     from fts_engine_spark.build import BuildConfig, build_index
@@ -104,7 +109,10 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
         "text",
         "lang",
     )
-    cfg = BuildConfig(preset="simple", shard_size=4096, id_buckets=16, n_waves=1)
+    cfg = BuildConfig(
+        preset="simple", shard_size=4096, id_buckets=16, n_waves=1,
+        store_positions=positions,
+    )
     build_index(spark, docs, index_dir, cfg, resume=True)
     _INDEX_CACHE[key] = index_dir
     return index_dir
@@ -264,6 +272,22 @@ def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-only phrase search (positions.py): the opt-in positional
+    table resolves the phrase with NO source-table scan — pruned scan of
+    the phrase terms' position rows, per-shard intersection kernel, docs
+    join for the id map. Same oracle as the scan/verify paths."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir, positions=True)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_phrase_positional(" ".join(PHRASE), k=0)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        "phrase_count",
+    )
+
+
 def _point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver-side point-serving tier under the hash gate: the query is
     answered IN-PROCESS (no Spark job for the sweep — ``search_bm25_point``
@@ -371,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), PHRASE, k=0
         ),
         "fts_phrase_search": lambda s, d: _phrase_search(s, d),
+        # phrase resolved ENTIRELY from the positional table (opt-in
+        # store_positions build) — no source-table scan at query time
+        "fts_phrase_positional": lambda s, d: _phrase_positional(s, d),
         # dictionary-expanded rewrites (Lucene-style multi-term queries):
         # trailing-* prefix and levenshtein<=1 fuzzy, both expanded against
         # the index's terms table and scored through the WAND kernel
@@ -772,6 +799,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_fuzzy_bm25": bm25_fuzzy,
         "fts_phrase_scan": phrase_sql,
         "fts_phrase_search": phrase_sql,
+        "fts_phrase_positional": phrase_sql,
         "fts_index_bm25_all": bm25_all,
         "fts_incremental_bm25": bm25,
         "fts_index_bm25_batch": bm25_batch,

@@ -111,6 +111,9 @@ class BuildConfig:
     # on `term` (~1.2 bytes/ndv at 1% fpp); production shards (1M docs)
     # want ~1M, bench shards (2-4k docs) a few 10k
     bloom_ndv: int = 1 << 16
+    # opt-in positional table for index-only phrase queries (positions.py);
+    # costs one extra tokenize pass + ~cf varbyte-encoded positions
+    store_positions: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -743,6 +746,17 @@ def build_index(
         _log_event("wave_done", wave=wave_key, shard_lo=lo, shard_hi=hi)
     t_phase = _lap("postings", t_phase)
 
+    # ---- optional positional table (index-only phrase queries)
+    if cfg.store_positions and not (resume and manifest.is_done("positions")):
+        from .positions import build_positions_table
+
+        build_positions_table(
+            spark, with_ids, index_dir, cfg.preset, cfg.shard_size,
+            cfg.bloom_ndv,
+        )
+        manifest.mark_done("positions", {"n_docs": n_docs})
+        t_phase = _lap("positions", t_phase)
+
     # ---- global term stats (df/cf) merged across shards
     terms_path = os.path.join(index_dir, "terms")
     if not (resume and manifest.is_done("terms")):
@@ -814,6 +828,10 @@ def build_index(
         "build_seconds": time.monotonic() - t_start,
         "build_phases": phases,
     }
+    if cfg.store_positions:
+        # snapshot identity for the positional table: phrase-from-positions
+        # refuses to serve when the index has grown past it (positions.py)
+        meta["positions"] = {"version": 1, "n_docs": n_docs}
     atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
     manifest.mark_done("meta", {})
     _log_event(

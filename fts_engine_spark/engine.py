@@ -39,6 +39,8 @@ class EngineOptions:
     pruning: str = "dict"  # 'dict' | 'storage' | 'none' (operators.pruning)
     bloom_ndv: int = 1 << 16
     k: int = 10
+    # build the positional table (index-only phrase queries, positions.py)
+    store_positions: bool = False
 
 
 class FtsEngine:
@@ -60,6 +62,7 @@ class FtsEngine:
             id_buckets=o.id_buckets,
             n_waves=o.n_waves,
             bloom_ndv=o.bloom_ndv,
+            store_positions=o.store_positions,
         )
         meta = build_index(self.spark, docs, self.index_dir, cfg, resume=resume)
         self._index = None
@@ -193,6 +196,14 @@ class FtsEngine:
 
         return search_phrase(
             self.index, docs, phrase, k=self.options.k if k is None else k
+        )
+
+    def search_phrase_indexed(self, phrase: str, k: int | None = None) -> DataFrame:
+        """Phrase search from the positional table alone (no source-table
+        scan; requires ``store_positions=True`` at build). Same output
+        contract as ``search_phrase``."""
+        return self.index.search_phrase_positional(
+            phrase, self.options.k if k is None else k
         )
 
     def search_prefix(

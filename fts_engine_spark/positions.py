@@ -1,0 +1,381 @@
+"""Opt-in positional postings: build + index-only phrase queries.
+
+The default phrase plan (``operators/search.py:search_phrase``) answers a
+phrase from the term-level index (conjunctive WAND candidates) plus a
+verify pass that re-tokenizes the candidate docs from the SOURCE table.
+That is the right default — no index growth, candidates are tiny — but it
+re-reads source text at query time, and at 10^12 docs a phrase-heavy
+workload wants the classic alternative: store token positions in the
+index and resolve phrases entirely from posting data. This module is that
+option (``BuildConfig.store_positions=True``), an extension beyond the
+reference's term-level engine (``engine.go:82-158`` has no positional
+queries).
+
+Layout: a ``positions`` table beside ``postings``, partitioned by
+``shard_id`` with a parquet bloom filter on ``term`` (same row-group
+pruning story as the postings table), one row per (shard, term):
+
+    term        string   -- analyzed term
+    shard_id    long     -- partition column
+    n_docs      long     -- postings in this (shard, term)
+    doc_blob    binary   -- varbyte doc-id deltas (base = shard*shard_size)
+    cnt_blob    binary   -- varbyte positions-per-doc counts (== tf)
+    pos_blob    binary   -- varbyte positions, per-doc delta-encoded
+                            (first absolute, rest diffs), docs concatenated
+
+``cnt_blob`` is stored SEPARATELY from ``pos_blob`` so the query kernel
+can locate a candidate doc's position slice by prefix-sum + searchsorted
+without sequentially walking every doc's positions — only candidate docs
+(the conjunction of all phrase terms, typically a handful) ever have
+their positions materialized.
+
+Positions are 0-based indices into the ANALYZED token stream (the same
+post-pipeline stream the verify UDFs match), so results are identical to
+``search_phrase`` / ``search_phrase_direct`` by construction (asserted in
+tests/test_positions.py). Under ``by_lang`` a doc's positions live in its
+OWN language pipeline's stream; the query analyzes the phrase once per
+pipeline and keeps, per doc, the sequence of the doc's pipeline.
+
+Scale shape: the build is one extra tokenize pass (opt-in cost) feeding
+the same shard-hash shuffle as the postings wave; the query is a pruned
+scan of ONLY the phrase terms' rows (bloom + min/max on ``term``,
+partition pruning on ``shard_id``) → one ``applyInPandas`` per shard →
+a docs-table join for url/lang. No source-table scan at any query.
+
+Current limitation (documented, enforced): the positional table is
+written by the batch build only — incremental appends/compaction do not
+maintain it, and ``search_phrase_positional`` fails loudly when the
+index has grown past the positions snapshot instead of silently missing
+newer docs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from .codec import varbyte_decode, varbyte_encode
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .query import FtsIndex
+
+POSITIONS_TABLE = "positions"
+
+_POS_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("doc_blob", T.BinaryType(), False),
+        T.StructField("cnt_blob", T.BinaryType(), False),
+        T.StructField("pos_blob", T.BinaryType(), False),
+    ]
+)
+
+
+# ------------------------------------------------------------------ codec
+
+
+def encode_position_group(
+    doc_ids: np.ndarray, pos_lists: list[np.ndarray], base_doc: int
+) -> tuple[bytes, bytes, bytes]:
+    """Encode one (shard, term) group: sorted ``doc_ids`` and, per doc,
+    its ascending position array. Returns (doc_blob, cnt_blob, pos_blob)."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    deltas = np.empty_like(d)
+    deltas[0] = d[0] - base_doc
+    deltas[1:] = np.diff(d)
+    cnts = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    if cnts.sum():
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pos_lists]
+        )
+        dpos = flat.copy()
+        dpos[1:] -= flat[:-1]
+        starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        dpos[starts] = flat[starts]  # first position per doc is absolute
+    else:  # degenerate: every list empty (never produced by the build)
+        dpos = np.empty(0, dtype=np.int64)
+    return (
+        varbyte_encode(deltas),
+        varbyte_encode(cnts),
+        varbyte_encode(dpos),
+    )
+
+
+def decode_position_group(
+    doc_blob: bytes, cnt_blob: bytes, base_doc: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode (doc_ids, value_offsets) WITHOUT touching ``pos_blob`` —
+    offsets index into the decoded pos stream for on-demand slicing."""
+    doc_ids = np.cumsum(varbyte_decode(doc_blob).astype(np.int64)) + base_doc
+    cnts = varbyte_decode(cnt_blob).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(cnts)))
+    return doc_ids, offsets
+
+
+def positions_for(
+    pos_vals: np.ndarray, offsets: np.ndarray, idx: int
+) -> np.ndarray:
+    """Absolute positions of doc at posting index ``idx`` given the fully
+    varbyte-decoded ``pos_vals`` stream."""
+    seg = pos_vals[offsets[idx] : offsets[idx + 1]]
+    return np.cumsum(seg.astype(np.int64))
+
+
+# ------------------------------------------------------------------ build
+
+
+def _positions_pairs_col(preset: str):
+    from .functions.udfs import (
+        make_term_positions_by_lang_udf,
+        make_term_positions_udf,
+    )
+
+    if preset == "by_lang":
+        udf = make_term_positions_by_lang_udf()
+        return udf(F.col("text"), F.col("lang"))
+    udf = make_term_positions_udf(preset)
+    return udf(F.col("text"))
+
+
+def build_positions_table(
+    spark: SparkSession,
+    with_ids: DataFrame,
+    index_dir: str,
+    preset: str,
+    shard_size: int,
+    bloom_ndv: int,
+) -> None:
+    """Write the positional table from the id-assigned docs
+    (``with_ids``: url, text, lang, doc_id — the same ids the postings
+    build assigned, so (shard, doc) coordinates line up exactly).
+
+    One extra tokenize pass (cost of the option), then the same
+    one-wide-shuffle shape as the postings wave: pairs stay PACKED per
+    document across the exchange, explode happens after the shard hash.
+    Per-shard encoding runs in one ``applyInPandas`` group (memory bound:
+    a shard's positional rows, same bound as the main build's doc-packed
+    kernel)."""
+    pairs = with_ids.select(
+        (F.col("doc_id") / shard_size).cast("long").alias("shard_id"),
+        "doc_id",
+        _positions_pairs_col(preset).alias("pairs_pos"),
+    )
+    exploded = (
+        pairs.repartition("shard_id")
+        .select(
+            "shard_id",
+            "doc_id",
+            F.explode("pairs_pos").alias("tp"),
+        )
+        .select(
+            "shard_id",
+            F.col("tp.term").alias("term"),
+            "doc_id",
+            F.col("tp.pos").alias("pos"),
+        )
+    )
+
+    def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                columns=[f.name for f in _POS_ROW_SCHEMA.fields]
+            )
+        shard_id = int(pdf["shard_id"].iloc[0])
+        base = shard_id * shard_size
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        pos = pdf["pos"].to_numpy()
+        change = np.concatenate(([True], terms[1:] != terms[:-1]))
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(terms))
+        rows = []
+        for lo, hi in zip(starts, ends):
+            doc_blob, cnt_blob, pos_blob = encode_position_group(
+                docs[lo:hi], list(pos[lo:hi]), base
+            )
+            rows.append(
+                (
+                    terms[lo],
+                    shard_id,
+                    int(hi - lo),
+                    doc_blob,
+                    cnt_blob,
+                    pos_blob,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[f.name for f in _POS_ROW_SCHEMA.fields]
+        )
+
+    out = exploded.groupBy("shard_id").applyInPandas(
+        encode_shard, schema=_POS_ROW_SCHEMA
+    )
+    (
+        out.write.mode("overwrite")
+        .partitionBy("shard_id")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .option("parquet.bloom.filter.expected.ndv#term", str(bloom_ndv))
+        .parquet(os.path.join(index_dir, POSITIONS_TABLE))
+    )
+
+
+# ------------------------------------------------------------------ query
+
+
+class PositionsUnavailableError(RuntimeError):
+    """No positional table, or it is stale relative to the index."""
+
+
+def _phrase_sequences(index: "FtsIndex", phrase: str) -> dict[str, list[str]]:
+    """pipeline-name -> analyzed phrase-term sequence (empty sequences
+    dropped). Single-preset indexes get one entry keyed by the preset."""
+    from .query import normalize_query
+
+    if index.preset == "by_lang":
+        from .functions.udfs import _LANG_PRESETS
+
+        presets = sorted({*_LANG_PRESETS.values(), "multilingual"})
+        return {
+            p: terms
+            for p in presets
+            if (terms := normalize_query(phrase, p))
+        }
+    terms = normalize_query(phrase, index.preset)
+    return {index.preset: terms} if terms else {}
+
+
+def _doc_pipeline_col(index: "FtsIndex") -> F.Column:
+    """The pipeline that analyzed each doc at build time."""
+    if index.preset != "by_lang":
+        return F.lit(index.preset)
+    from .functions.udfs import _LANG_PRESETS
+
+    col = F.lit("multilingual")
+    for lang, preset in sorted(_LANG_PRESETS.items()):
+        col = F.when(F.col("lang") == lang, F.lit(preset)).otherwise(col)
+    return col
+
+
+def search_phrase_positional(
+    index: "FtsIndex", phrase: str, k: int = 10
+) -> DataFrame:
+    """(doc_id, url, phrase_count) for docs containing the contiguous
+    analyzed-token sequence, count desc / doc_id asc, LIMIT k (k<=0 =
+    all) — identical output contract to ``operators.search.search_phrase``
+    but resolved ENTIRELY from the positional table: pruned scan of the
+    phrase terms' rows → per-shard intersection kernel → docs join for
+    url (and, under by_lang, the doc-pipeline filter)."""
+    spark = index.spark
+    meta = index.meta
+    pos_meta = meta.get("positions")
+    pos_path = os.path.join(index.index_dir, POSITIONS_TABLE)
+    if not pos_meta or not os.path.isdir(pos_path):
+        raise PositionsUnavailableError(
+            "index has no positional table; rebuild with "
+            "store_positions=True or use search_phrase (verify-scan path)"
+        )
+    if int(pos_meta["n_docs"]) != int(meta["n_docs"]):
+        raise PositionsUnavailableError(
+            f"positional table is stale: built at n_docs="
+            f"{pos_meta['n_docs']}, index now has {meta['n_docs']} "
+            "(incremental appends/compaction do not maintain positions); "
+            "rebuild with store_positions=True"
+        )
+
+    sequences = _phrase_sequences(index, phrase)
+    empty = spark.createDataFrame(
+        [], "doc_id long, url string, phrase_count long"
+    )
+    if not sequences:
+        return empty
+    all_terms = sorted({t for seq in sequences.values() for t in seq})
+    shard_size = int(meta["shard_size"])
+
+    scan = spark.read.parquet(pos_path).where(F.col("term").isin(all_terms))
+
+    seq_items = sorted(sequences.items())
+
+    def match_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_docs: list[int] = []
+        out_pipes: list[str] = []
+        out_counts: list[int] = []
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_docs, dtype="int64"),
+                    "pipeline": pd.Series(out_pipes, dtype="object"),
+                    "phrase_count": pd.Series(out_counts, dtype="int64"),
+                }
+            )
+        base = int(pdf["shard_id"].iloc[0]) * shard_size
+        # term -> (doc_ids, offsets, lazy pos values)
+        decoded: dict[str, tuple[np.ndarray, np.ndarray, bytes]] = {}
+        for r in pdf.itertuples(index=False):
+            doc_ids, offsets = decode_position_group(
+                bytes(r.doc_blob), bytes(r.cnt_blob), base
+            )
+            decoded[r.term] = (doc_ids, offsets, bytes(r.pos_blob))
+        pos_cache: dict[str, np.ndarray] = {}
+
+        def pos_vals(term: str) -> np.ndarray:
+            v = pos_cache.get(term)
+            if v is None:
+                v = varbyte_decode(decoded[term][2]).astype(np.int64)
+                pos_cache[term] = v
+            return v
+
+        for pipe, seq in seq_items:
+            if any(t not in decoded for t in set(seq)):
+                continue
+            # candidates: docs containing every DISTINCT phrase term
+            cand = decoded[seq[0]][0]
+            for t in set(seq[1:]):
+                cand = cand[np.isin(cand, decoded[t][0], assume_unique=True)]
+                if cand.size == 0:
+                    break
+            for doc in cand:
+                # start positions surviving every (term, offset) constraint
+                starts: np.ndarray | None = None
+                for j, t in enumerate(seq):
+                    docs_t, offs_t, _ = decoded[t]
+                    i = int(np.searchsorted(docs_t, doc))
+                    seg = pos_vals(t)[offs_t[i] : offs_t[i + 1]]
+                    p = np.cumsum(seg) - j
+                    starts = (
+                        p
+                        if starts is None
+                        else starts[np.isin(starts, p, assume_unique=True)]
+                    )
+                    if starts.size == 0:
+                        break
+                if starts is not None and starts.size:
+                    out_docs.append(int(doc))
+                    out_pipes.append(pipe)
+                    out_counts.append(int(starts.size))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_docs, dtype="int64"),
+                "pipeline": pd.Series(out_pipes, dtype="object"),
+                "phrase_count": pd.Series(out_counts, dtype="int64"),
+            }
+        )
+
+    matched = scan.groupBy("shard_id").applyInPandas(
+        match_shard, schema="doc_id long, pipeline string, phrase_count long"
+    )
+    docs = index.docs().select("doc_id", "url", "lang")
+    out = (
+        matched.join(docs, "doc_id")
+        .where(F.col("pipeline") == _doc_pipeline_col(index))
+        .select("doc_id", "url", "phrase_count")
+        .orderBy(F.desc("phrase_count"), F.asc("doc_id"))
+    )
+    return out.limit(k) if k > 0 else out

@@ -458,6 +458,27 @@ class FtsIndex:
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(self._docs_path)
 
+    # ---- positional phrase (opt-in table, positions.py)
+    @property
+    def has_positions(self) -> bool:
+        import os as _os
+
+        from .positions import POSITIONS_TABLE
+
+        return bool(self.meta.get("positions")) and _os.path.isdir(
+            _os.path.join(self.index_dir, POSITIONS_TABLE)
+        )
+
+    def search_phrase_positional(self, phrase: str, k: int = 10) -> DataFrame:
+        """Phrase search resolved entirely from the positional table
+        (build with ``store_positions=True``); identical output contract
+        to ``operators.search.search_phrase`` without any source-table
+        scan. Raises ``PositionsUnavailableError`` when the table is
+        absent or stale."""
+        from .positions import search_phrase_positional
+
+        return search_phrase_positional(self, phrase, k)
+
     # ---- decode to relational rows
     def decoded_postings(
         self, terms: list[str], mult: dict[str, int] | None = None

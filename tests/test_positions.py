@@ -1,0 +1,234 @@
+"""Positional postings (positions.py): codec round-trip, positional
+phrase == verify-scan phrase == direct scan on 'simple' and 'by_lang'
+indexes, top-k order, duplicate-term phrases, staleness fail-loud."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fts_engine_spark.operators import search
+from fts_engine_spark.positions import (
+    PositionsUnavailableError,
+    decode_position_group,
+    encode_position_group,
+    positions_for,
+)
+from fts_engine_spark.codec import varbyte_decode
+from fts_engine_spark.query import FtsIndex
+
+
+# ---------------------------------------------------------------- codec
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5000),  # doc offset (made strictly increasing)
+            st.lists(st.integers(0, 10_000), min_size=1, max_size=30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(0, 1 << 40),
+)
+def test_position_group_roundtrip(items, base):
+    doc_ids, pos_lists = [], []
+    prev = base - 1
+    for off, ps in items:
+        d = prev + 1 + off
+        doc_ids.append(d)
+        prev = d
+        pos_lists.append(np.array(sorted(set(ps)), dtype=np.int64))
+    doc_ids = np.array(doc_ids, dtype=np.int64)
+    doc_blob, cnt_blob, pos_blob = encode_position_group(
+        doc_ids, pos_lists, base
+    )
+    got_docs, offsets = decode_position_group(doc_blob, cnt_blob, base)
+    assert np.array_equal(got_docs, doc_ids)
+    vals = varbyte_decode(pos_blob).astype(np.int64)
+    for i, want in enumerate(pos_lists):
+        assert np.array_equal(positions_for(vals, offsets, i), want)
+
+
+# ---------------------------------------------------------------- fixtures
+
+
+@pytest.fixture(scope="module")
+def pos_docs(spark):
+    rows = [
+        (0, "merge sort is a classic merge sort algorithm", "en"),
+        (1, "the merge of the sort", "en"),
+        (2, "sort merge join beats hash join", "en"),
+        (3, "merge then sorting data", "en"),
+        (4, "big merge sort merge sort merge sort run", "en"),
+        (5, "nothing relevant here", "en"),
+        (6, "merge", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _idx_docs(docs):
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        "lang",
+    )
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, pos_docs, tmp_path_factory):
+    from fts_engine_spark.build import BuildConfig, build_index
+
+    d = str(tmp_path_factory.mktemp("posix") / "ix")
+    build_index(
+        spark,
+        _idx_docs(pos_docs),
+        d,
+        BuildConfig(
+            preset="simple", shard_size=3, id_buckets=4, n_waves=1,
+            store_positions=True,
+        ),
+        resume=False,
+    )
+    return d
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _by_doc(rows):
+    return {int(r["url"][6:]): int(r["phrase_count"]) for r in rows}
+
+
+def test_positional_matches_direct(spark, pos_docs, pos_index):
+    fts = FtsIndex(spark, pos_index)
+    assert fts.has_positions
+    got = _by_doc(fts.search_phrase_positional("merge sort", k=0).collect())
+    want = {
+        int(r["doc_id"]): int(r["phrase_count"])
+        for r in search.search_phrase_direct(
+            pos_docs, ["merge", "sort"], k=0
+        ).collect()
+    }
+    assert got == want and got  # incl. doc 1 via stopword bridge
+
+
+def test_positional_matches_verify_path(spark, pos_docs, pos_index):
+    fts = FtsIndex(spark, pos_index)
+    for phrase in ("merge sort", "merge", "sort merge join", "merge zzz"):
+        pos = _by_doc(fts.search_phrase_positional(phrase, k=0).collect())
+        ver = _by_doc(
+            search.search_phrase(fts, _idx_docs(pos_docs), phrase, k=0).collect()
+        )
+        assert pos == ver, phrase
+
+
+def test_positional_duplicate_term_phrase(spark, pos_index):
+    fts = FtsIndex(spark, pos_index)
+    got = _by_doc(
+        fts.search_phrase_positional("merge sort merge", k=0).collect()
+    )
+    # doc 0: merge sort ... merge sort -> one "merge sort merge"? stream is
+    # (merge,sort,classic,merge,sort,algorithm): not adjacent -> 0
+    # doc 4: (big,merge,sort,merge,sort,merge,sort,run) -> starts at 1 and 3
+    assert got == {4: 2}
+
+
+def test_positional_topk_order(spark, pos_index):
+    fts = FtsIndex(spark, pos_index)
+    top = fts.search_phrase_positional("merge sort", k=2).collect()
+    assert [int(r["url"][6:]) for r in top] == [4, 0]
+    assert [int(r["phrase_count"]) for r in top] == [3, 2]
+
+
+def test_positional_empty_and_absent(spark, pos_index):
+    fts = FtsIndex(spark, pos_index)
+    assert fts.search_phrase_positional("zzzznothere", k=0).count() == 0
+    assert fts.search_phrase_positional("the of", k=0).count() == 0
+
+
+def test_positional_by_lang_routing(spark, tmp_path_factory):
+    """by_lang: positions live in each doc's own pipeline stream; an
+    English phrase must match via the english pipeline's stemmed sequence
+    and never leak across pipelines."""
+    from fts_engine_spark.build import BuildConfig, build_index
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the french hotels were quiet", "en"),
+            (1, "a french hotel by the sea", "en"),
+            (2, "hotels in france", "en"),
+            (3, "hotel french food only", "en"),
+            (4, "французские отели у моря", "ru"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    d = str(tmp_path_factory.mktemp("posbl") / "ix")
+    build_index(
+        spark,
+        _idx_docs(corpus),
+        d,
+        BuildConfig(
+            preset="by_lang", shard_size=4, id_buckets=4, n_waves=1,
+            store_positions=True,
+        ),
+        resume=False,
+    )
+    fts = FtsIndex(spark, d)
+    got = _by_doc(fts.search_phrase_positional("french hotels", k=0).collect())
+    ver = _by_doc(
+        search.search_phrase(fts, _idx_docs(corpus), "french hotels", k=0).collect()
+    )
+    assert got == ver == {0: 1, 1: 1}
+    got_ru = _by_doc(
+        fts.search_phrase_positional("французские отели", k=0).collect()
+    )
+    ver_ru = _by_doc(
+        search.search_phrase(
+            fts, _idx_docs(corpus), "французские отели", k=0
+        ).collect()
+    )
+    assert got_ru == ver_ru == {4: 1}
+
+
+def test_positional_unavailable_and_stale(spark, pos_docs, pos_index, tmp_path):
+    from fts_engine_spark.build import BuildConfig, build_index
+
+    # no positions table at all
+    d = str(tmp_path / "noix")
+    build_index(
+        spark, _idx_docs(pos_docs), d,
+        BuildConfig(preset="simple", shard_size=4, id_buckets=4),
+        resume=False,
+    )
+    fts = FtsIndex(spark, d)
+    assert not fts.has_positions
+    with pytest.raises(PositionsUnavailableError, match="no positional"):
+        fts.search_phrase_positional("merge sort")
+    # stale: index grew past the positions snapshot
+    fts2 = FtsIndex(spark, pos_index)
+    fts2.meta = dict(fts2.meta, n_docs=fts2.meta["n_docs"] + 1)
+    with pytest.raises(PositionsUnavailableError, match="stale"):
+        fts2.search_phrase_positional("merge sort")
+
+
+def test_engine_facade_indexed_phrase(spark, pos_index):
+    from fts_engine_spark.engine import EngineOptions, FtsEngine
+
+    eng = FtsEngine(spark, pos_index, EngineOptions(preset="simple"))
+    out = eng.search_phrase_indexed("merge sort", k=1).collect()
+    assert len(out) == 1 and int(out[0]["url"][6:]) == 4
+
+
+def test_positions_scan_is_pruned(spark, pos_index):
+    """The positional query's scan must push the term predicate into the
+    parquet source (bloom + min/max row-group pruning at scale)."""
+    fts = FtsIndex(spark, pos_index)
+    df = fts.search_phrase_positional("merge sort", k=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "term" in plan
