@@ -599,6 +599,50 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_phrase_ms"] = phrase_ms
 
+    # ---- 3d3. positional phrase: retrofit the positions table onto the
+    # bench index (timed as its own build-cost row — one extra tokenize
+    # pass + per-shard encode), assert parity with the verify path, then
+    # time the index-only query (no source-table scan).
+    from fts_engine_spark.positions import add_positions_to_index
+
+    def _pos_build_once():
+        t0 = time.monotonic()
+        add_positions_to_index(spark, index_dir, docs)
+        return round(time.monotonic() - t0, 2)
+
+    pos_build_secs, _ = gated_phase(
+        meter, contaminated, steal_log, "positions_build",
+        STEAL_BUILD_TICKS, _pos_build_once, retries=0,
+    )
+    timings["positions_build"] = pos_build_secs
+
+    fts_pos = FtsIndex(spark, index_dir)
+    want = sorted(
+        (int(r["doc_id"]), int(r["phrase_count"]))
+        for r in search_phrase(fts, docs, "french hotel", k=0).collect()
+    )
+    got = sorted(
+        (int(r["doc_id"]), int(r["phrase_count"]))
+        for r in fts_pos.search_phrase_positional("french hotel", k=0).collect()
+    )
+    if got != want:
+        raise RuntimeError("positional phrase parity failure")
+    fts_pos.search_phrase_positional("french hotel", k=10).collect()  # warm
+
+    def _phrase_pos_once():
+        lat = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fts_pos.search_phrase_positional("french hotel", k=10).collect()
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    phrase_pos_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_phrase_positional",
+        STEAL_SERVE_TICKS, _phrase_pos_once,
+    )
+    timings["query_phrase_positional_ms"] = phrase_pos_ms
+
     # ---- 3e. batch scoring: the whole reference query set in ONE Spark
     # job (shared term decode + one scheduling floor; the bulk-workload
     # counterpart of the per-query latency above)

@@ -227,6 +227,46 @@ def build_positions_table(
     )
 
 
+def add_positions_to_index(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> None:
+    """Retrofit the positional table onto an EXISTING index without a
+    rebuild: join the source ``docs`` (url, text [, lang]) to the index's
+    docs table for the assigned ids, write the positions table, then
+    commit the ``positions`` meta entry atomically. ``docs`` must be the
+    same corpus the index was built from (checked by doc count)."""
+    import json
+
+    from .checkpoint import atomic_write_json
+    from .layout import table_path
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    ids = spark.read.parquet(table_path(index_dir, meta, "docs")).select(
+        "doc_id", "url"
+    )
+    cols = ["url", "text"] + (["lang"] if "lang" in docs.columns else [])
+    with_ids = docs.select(*cols).join(ids, "url")
+    if "lang" not in with_ids.columns:
+        with_ids = with_ids.withColumn("lang", F.lit(None).cast("string"))
+    n = with_ids.count()
+    if n != int(meta["n_docs"]):
+        raise ValueError(
+            f"docs joined to {n} of {meta['n_docs']} index ids — pass the "
+            "exact corpus the index was built from"
+        )
+    build_positions_table(
+        spark,
+        with_ids,
+        index_dir,
+        meta["preset"],
+        int(meta["shard_size"]),
+        int(meta.get("bloom_ndv", 1 << 16)),
+    )
+    meta["positions"] = {"version": 1, "n_docs": int(meta["n_docs"])}
+    atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
+
+
 # ------------------------------------------------------------------ query
 
 

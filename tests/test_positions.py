@@ -217,6 +217,35 @@ def test_positional_unavailable_and_stale(spark, pos_docs, pos_index, tmp_path):
         fts2.search_phrase_positional("merge sort")
 
 
+def test_retrofit_positions(spark, pos_docs, tmp_path):
+    """add_positions_to_index: retrofit onto an index built WITHOUT
+    store_positions; results identical to a positions-at-build index."""
+    from fts_engine_spark.build import BuildConfig, build_index
+    from fts_engine_spark.positions import add_positions_to_index
+
+    d = str(tmp_path / "retro")
+    idx_docs = _idx_docs(pos_docs)
+    build_index(
+        spark, idx_docs, d,
+        BuildConfig(preset="simple", shard_size=3, id_buckets=4),
+        resume=False,
+    )
+    add_positions_to_index(spark, d, idx_docs)
+    fts = FtsIndex(spark, d)
+    assert fts.has_positions
+    got = _by_doc(fts.search_phrase_positional("merge sort", k=0).collect())
+    want = {
+        int(r["doc_id"]): int(r["phrase_count"])
+        for r in search.search_phrase_direct(
+            pos_docs, ["merge", "sort"], k=0
+        ).collect()
+    }
+    assert got == want
+    # wrong corpus (subset) fails loudly instead of writing partial data
+    with pytest.raises(ValueError, match="exact corpus"):
+        add_positions_to_index(spark, d, idx_docs.limit(3))
+
+
 def test_engine_facade_indexed_phrase(spark, pos_index):
     from fts_engine_spark.engine import EngineOptions, FtsEngine
 
