@@ -43,6 +43,9 @@ Q_DUP = ["value", "value"]
 PREFIX_QUERY = "data s*"
 FUZZY_QUERY = "querry valu"
 EXPAND_MAX = 64
+# boolean NOT row: both exclusion terms overlap ~80% of the Q_TERMS match
+# set at every sf, so the exclusion genuinely reshapes the top-k
+NOT_EXCLUDE = ["merge", "sort"]
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.12
 # the driver's synthetic embeddings have max pairwise cos ~0.51; 0.42 keeps
@@ -212,6 +215,7 @@ def _index_search(
     k: int = 10,
     terms: list[str] | None = None,
     conjunctive: bool = False,
+    exclude: str | None = None,
 ) -> DataFrame:
     from fts_engine_spark.query import FtsIndex
 
@@ -219,7 +223,7 @@ def _index_search(
     fts = FtsIndex(spark, index_dir)
     out = fts.search_bm25(
         " ".join(terms or Q_TERMS), k=k, mode=mode, hydrate=True,
-        conjunctive=conjunctive,
+        conjunctive=conjunctive, exclude=exclude,
     )
     return out.select(
         F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
@@ -388,6 +392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the WAND kernel skips segments where any term has no postings
         "fts_index_bm25_and": lambda s, d: _index_search(
             s, d, "wand", conjunctive=True
+        ),
+        # boolean NOT — docs matching the excluded terms are dropped
+        # shard-locally inside the kernel (doc-blob-only decode)
+        "fts_index_bm25_not": lambda s, d: _index_search(
+            s, d, "wand", exclude=" ".join(NOT_EXCLUDE)
         ),
         # positional (phrase) search: direct scan baseline + the
         # two-phase index plan, both against the same list-position oracle
@@ -691,6 +700,15 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         "  HAVING count(*) = (SELECT count(*) FROM q))",
     )
     assert bm25_and != bm25  # the splice target must exist
+    # boolean NOT: drop every doc matching an excluded term (tf is the
+    # full corpus TF table, so the subquery is exactly the match set)
+    _not_in = ", ".join(f"'{t}'" for t in NOT_EXCLUDE)
+    bm25_not = bm25.replace(
+        "SELECT doc_id, round(raw, 4) AS score FROM scored",
+        "SELECT doc_id, round(raw, 4) AS score FROM scored "
+        f"WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({_not_in}))",
+    )
+    assert bm25_not != bm25
     # dictionary-expanded rewrites: swap the literal q CTE for an expansion
     # over the corpus vocabulary — same bound + preference as the engine's
     # expand_terms (df desc, term asc, LIMIT max_expand), so the oracle is
@@ -795,6 +813,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_relational": bm25,
         "fts_index_bm25_wand": bm25,
         "fts_index_bm25_and": bm25_and,
+        "fts_index_bm25_not": bm25_not,
         "fts_prefix_bm25": bm25_prefix,
         "fts_fuzzy_bm25": bm25_fuzzy,
         "fts_phrase_scan": phrase_sql,

@@ -149,14 +149,24 @@ class FtsEngine:
         scorer: str | None = None,
         mode: str | None = None,
         hydrate: bool = False,
+        conjunctive: bool = False,
+        exclude: str | None = None,
     ) -> DataFrame:
+        """``conjunctive`` (AND) and ``exclude`` (NOT) extend the
+        reference's OR-accumulate; bm25 scorer only (the reference scorer
+        keeps its exact ``engine.go:82-158`` surface)."""
         k = self.options.k if k is None else k
         scorer = scorer or self.options.scorer
         if scorer == "reference":
+            if conjunctive or exclude:
+                raise ValueError(
+                    "conjunctive/exclude require scorer='bm25'"
+                )
             return self.index.search_reference(query, k, hydrate=hydrate)
         if scorer == "bm25":
             return self.index.search_bm25(
-                query, k, mode=mode or self.options.mode, hydrate=hydrate
+                query, k, mode=mode or self.options.mode, hydrate=hydrate,
+                conjunctive=conjunctive, exclude=exclude,
             )
         raise ValueError(f"unknown scorer {scorer!r}")
 

@@ -678,6 +678,7 @@ class FtsIndex:
         mode: str = "wand",
         hydrate: bool = False,
         conjunctive: bool = False,
+        exclude: str | None = None,
     ) -> DataFrame:
         """Top-k BM25 (k1=1.2, b=0.75), deterministic (score desc, doc_id
         asc). ``mode='relational'`` is the declarative plan; ``mode='wand'``
@@ -690,14 +691,35 @@ class FtsIndex:
         the pruning (see :func:`_wand_sweep`); a query term absent from
         the corpus makes the result empty, matching SQL
         ``HAVING count(matched terms) = count(query terms)``.
+
+        ``exclude`` is boolean NOT: a second query string, normalized
+        through the same pipeline, whose matching documents are dropped —
+        SQL ``doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN (...))``.
+        In wand mode the exclusion set is built shard-locally inside the
+        kernel from the doc blobs alone (no tf/dl decode, no extra
+        shuffle); relational mode anti-joins the doc-blob-only match set.
+        A term both queried and excluded can never contribute (its docs
+        are all dropped), so it scores nothing; under ``conjunctive`` it
+        makes the result empty.
         """
         mult = self._query_mult(query, preset)
         if not mult:
             return self._empty_bm25_result()
+        excl = self._query_mult(exclude, preset) if exclude else {}
         require_n = len(mult) if conjunctive else 0
+        if excl:
+            if conjunctive and set(mult) & set(excl):
+                return self._maybe_hydrate(
+                    self._empty_bm25_result(), hydrate, bounded=True
+                )
+            mult = {t: m for t, m in mult.items() if t not in excl}
+            if not mult:
+                return self._maybe_hydrate(
+                    self._empty_bm25_result(), hydrate, bounded=True
+                )
         if mode == "relational":
-            return self._bm25_relational(mult, k, hydrate, require_n)
-        return self._bm25_wand(mult, k, hydrate, require_n)
+            return self._bm25_relational(mult, k, hydrate, require_n, excl)
+        return self._bm25_wand(mult, k, hydrate, require_n, excl)
 
     # ---- dictionary-expanded queries (prefix / fuzzy) -------------------
 
@@ -849,12 +871,18 @@ class FtsIndex:
         k: int = 10,
         preset: str | None = None,
         conjunctive: bool = False,
+        excludes: list[str | None] | None = None,
     ) -> DataFrame:
         """Score a BATCH of queries in ONE Spark job.
 
         Returns (query_id, doc_id, score): per query, the deterministic
         top-k (score desc, doc_id asc; k <= 0 returns all matches),
         identical to running :meth:`search_bm25` per query.
+
+        ``excludes`` (optional, parallel to ``queries``): per-query NOT
+        strings (see :meth:`search_bm25`). An exclusion term shared with
+        another query's scoring set is still decoded only once — the
+        exclusion path reuses the kernel's per-term cache.
 
         Why it exists: a warm single query is one small Spark job whose
         wall time is dominated by the scheduling + Python-stage floor
@@ -870,13 +898,28 @@ class FtsIndex:
         no exchange before the kernel) -> per-query top-k via a window
         over the tiny (shards x queries x k) local-result relation.
         """
+        if excludes is not None and len(excludes) != len(queries):
+            raise ValueError("excludes must be parallel to queries")
         per_query: dict[int, dict[str, tuple[int, int]]] = {}
         union_mult: dict[int, dict[str, int]] = {}
+        union_excl: dict[int, dict[str, int]] = {}
         all_terms: set[str] = set()
         for i, q in enumerate(queries):
             m = self._query_mult(q, preset)
+            e = (
+                self._query_mult(excludes[i], preset)
+                if excludes is not None and excludes[i]
+                else {}
+            )
+            if e:
+                if conjunctive and set(m) & set(e):
+                    m = {}  # NOT of a required term: provably empty
+                else:
+                    m = {t: mu for t, mu in m.items() if t not in e}
             union_mult[i] = m
+            union_excl[i] = e
             all_terms.update(m)
+            all_terms.update(e)
         if not all_terms:
             return self.spark.range(0).select(
                 F.col("id").cast("int").alias("query_id"),
@@ -895,19 +938,28 @@ class FtsIndex:
                 continue
             if pq:
                 per_query[i] = pq
+        per_query_excl = {
+            i: fs
+            for i, e in union_excl.items()
+            if i in per_query
+            and (fs := frozenset(t for t in e if t in stats))
+        }
         if not per_query:
             return self.spark.range(0).select(
                 F.col("id").cast("int").alias("query_id"),
                 F.col("id").alias("doc_id"),
                 F.col("id").cast("double").alias("score"),
             )
-        live_terms = sorted({t for pq in per_query.values() for t in pq})
+        live_terms = sorted(
+            {t for pq in per_query.values() for t in pq}
+            | {t for fs in per_query_excl.values() for t in fs}
+        )
         posts = self._pruner(self._read_postings(), live_terms)
         if dict(posts.dtypes).get("shard_id") != "bigint":
             posts = posts.withColumn("shard_id", F.col("shard_id").cast("long"))
         kernel = make_wand_batch_kernel(
             self.n_docs, self.shard_size, self.avgdl, k, per_query,
-            conjunctive=conjunctive,
+            conjunctive=conjunctive, per_query_excl=per_query_excl or None,
         )
         local = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_BATCH_SCHEMA
@@ -1016,6 +1068,7 @@ class FtsIndex:
         k: int = 10,
         preset: str | None = None,
         conjunctive: bool = False,
+        exclude: str | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 for ONE query, served from the driver when possible.
 
@@ -1025,54 +1078,77 @@ class FtsIndex:
         (doc_id, score) — a serving tier wants the rows, not a DataFrame.
         Falls back to the distributed WAND path when the tier is not
         enabled, the driver dictionary is absent, or a query term's
-        posting list is too large for the point budget.
+        posting list is too large for the point budget. ``exclude`` is
+        boolean NOT (see :meth:`search_bm25`); excluded terms are cached
+        and budgeted exactly like scoring terms.
         """
         if self._point_cache is None or self._term_dict is None:
             return [
                 (int(r["doc_id"]), float(r["score"]))
                 for r in self.search_bm25(
                     query, k=k, preset=preset, mode="wand",
-                    conjunctive=conjunctive,
+                    conjunctive=conjunctive, exclude=exclude,
                 ).collect()
             ]
         mult = self._query_mult(query, preset)
+        excl = self._query_mult(exclude, preset) if exclude else {}
+        require_n = len(mult) if conjunctive else 0
+        if excl:
+            if conjunctive and set(mult) & set(excl):
+                return []
+            mult = {t: m for t, m in mult.items() if t not in excl}
         present = {
             t: (m, self._term_dict[t][0])
             for t, m in mult.items()
             if t in self._term_dict
         }
-        require_n = len(mult) if conjunctive else 0
+        excl_present = {
+            t: (0, self._term_dict[t][0])
+            for t in excl
+            if t in self._term_dict
+        }
         if not present or (require_n > 0 and len(present) < require_n):
             return []
         # a term with df * 20 bytes > budget/2 cannot be point-cached;
         # stream it through the distributed path instead of the driver
         df_cap = self._point_max_bytes // 40
-        if any(df_ > df_cap for _, df_ in present.values()):
+        if any(
+            df_ > df_cap
+            for _, df_ in list(present.values()) + list(excl_present.values())
+        ):
             return [
                 (int(r["doc_id"]), float(r["score"]))
                 for r in self.search_bm25(
                     query, k=k, preset=preset, mode="wand",
-                    conjunctive=conjunctive,
+                    conjunctive=conjunctive, exclude=exclude,
                 ).collect()
             ]
-        return self._point_sweep(present, k, require_n)
+        return self._point_sweep(
+            present, k, require_n, frozenset(excl_present) or None
+        )
 
     def _point_sweep(
         self,
         present: dict[str, tuple[int, int]],
         k: int,
         require_n: int,
+        excl_terms: frozenset[str] | None = None,
     ) -> list[tuple[int, float]]:
         """In-process sweep over the point cache for a resolved
         term -> (mult, df) map: fetch missing terms (one pruned job),
-        run the SAME per-shard WAND kernel the executors run, merge."""
+        run the SAME per-shard WAND kernel the executors run, merge.
+        ``excl_terms`` are cached/fetched like scoring terms; their doc
+        ids (doc blob only) form per-shard exclusion sets."""
         with self._point_lock:
-            protect = frozenset(present)
-            missing = [t for t in present if t not in self._point_cache]
+            all_terms = dict.fromkeys(
+                list(present) + sorted(excl_terms or ())
+            )
+            protect = frozenset(all_terms)
+            missing = [t for t in all_terms if t not in self._point_cache]
             if missing:
                 self._point_fetch(missing, protect)
             else:
-                for t in present:
+                for t in all_terms:
                     self._point_cache.move_to_end(t)
             # per-shard sweep, exactly the distributed kernel's unit of
             # work; global merge = top-k of the union of shard top-ks
@@ -1085,11 +1161,24 @@ class FtsIndex:
                 w = m * bm25_idf(self.n_docs, df_)
                 for shard, table in self._point_cache[term].items():
                     shards.setdefault(shard, []).append((w, table))
+            excl_by_shard: dict[int, np.ndarray] = {}
+            if excl_terms:
+                parts: dict[int, list[np.ndarray]] = {}
+                for term in sorted(excl_terms):
+                    for shard, table in self._point_cache[term].items():
+                        parts.setdefault(shard, []).append(
+                            _decode_doc_ids(
+                                table, shard * self.shard_size, None
+                            )
+                        )
+                excl_by_shard = {
+                    s: np.unique(np.concatenate(a)) for s, a in parts.items()
+                }
             heap: list[tuple[float, int]] = []
             for shard, weighted in shards.items():
                 docs, scores = _wand_sweep(
                     weighted, k, shard * self.shard_size, self.avgdl, None,
-                    require_n,
+                    require_n, excl_by_shard.get(shard),
                 )
                 for doc, sc in zip(docs.tolist(), scores.tolist()):
                     if k <= 0 or len(heap) < k:
@@ -1309,9 +1398,21 @@ class FtsIndex:
         return scored.drop("_matched")
 
     def _bm25_relational(
-        self, mult: dict[str, int], k: int, hydrate: bool, require_n: int = 0
+        self,
+        mult: dict[str, int],
+        k: int,
+        hydrate: bool,
+        require_n: int = 0,
+        excl_mult: dict[str, int] | None = None,
     ) -> DataFrame:
-        scored = self._bm25_scored(mult, require_n).orderBy(
+        scored = self._bm25_scored(mult, require_n)
+        if excl_mult:
+            # NOT: anti-join the doc-blob-only match set of the excluded
+            # terms (same decode path as the pre-truncation count)
+            scored = scored.join(
+                self._match_count_df(excl_mult), "doc_id", "left_anti"
+            )
+        scored = scored.orderBy(
             F.desc("score"), F.asc("doc_id")
         )
         if k > 0:
@@ -1319,7 +1420,12 @@ class FtsIndex:
         return self._maybe_hydrate(scored, hydrate, bounded=k > 0)
 
     def _bm25_wand(
-        self, mult: dict[str, int], k: int, hydrate: bool, require_n: int = 0
+        self,
+        mult: dict[str, int],
+        k: int,
+        hydrate: bool,
+        require_n: int = 0,
+        excl_mult: dict[str, int] | None = None,
     ) -> DataFrame:
         """Document-partitioned block-max WAND: each shard's posting rows for
         the query terms are processed by one kernel that decodes only the
@@ -1331,6 +1437,7 @@ class FtsIndex:
         just cache-scan → filter → applyInPandas → TakeOrdered — zero
         broadcast stages and zero exchanges per query (the cache is
         pre-partitioned by shard_id)."""
+        excl_mult = excl_mult or {}
         if self._term_dict is not None:
             present = {
                 t: (m, self._term_dict[t][0])
@@ -1343,7 +1450,10 @@ class FtsIndex:
                 return self._maybe_hydrate(
                     self._empty_bm25_result(), hydrate, bounded=True
                 )
-            posts = self._pruner(self._read_postings(), list(present))
+            excl_present = [t for t in excl_mult if t in self._term_dict]
+            posts = self._pruner(
+                self._read_postings(), list(present) + excl_present
+            )
             if dict(posts.dtypes).get("shard_id") != "bigint":
                 posts = posts.withColumn(
                     "shard_id", F.col("shard_id").cast("long")
@@ -1351,12 +1461,19 @@ class FtsIndex:
             kernel = make_wand_kernel(
                 self.n_docs, self.shard_size, self.avgdl, k,
                 term_stats=present, require_n=require_n,
+                exclude_terms=frozenset(excl_present) or None,
             )
         else:
-            posts = self._stats_joined_postings(mult)
+            # exclusion terms ride the same stats-joined scan at mult=0;
+            # the kernel separates them from scoring terms by name
+            combined = dict(mult)
+            for t in excl_mult:
+                combined.setdefault(t, 0)
+            posts = self._stats_joined_postings(combined)
             kernel = make_wand_kernel(
                 self.n_docs, self.shard_size, self.avgdl, k,
                 require_n=require_n,
+                exclude_terms=frozenset(excl_mult) or None,
             )
         local_topk = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_SCHEMA
@@ -1486,6 +1603,23 @@ def _decode_term_full(t: dict, base: int, avgdl: float, counters):
     return t["decoded"]
 
 
+def _decode_doc_ids(t: dict, base: int, counters) -> np.ndarray:
+    """Doc ids ONLY of one term's shard postings — the exclusion (NOT)
+    path: touches just the doc blob (~1/3 of the posting bytes; tf/dl
+    never decoded). Reuses the full-decode cache when a scoring query
+    already paid for it; otherwise decodes fresh each call — an exclusion
+    list is consumed once per sweep, so caching would only grow the
+    point-cache footprint past its charged bound."""
+    if t["decoded"] is not None:
+        return t["decoded"][0]
+    deltas = varbyte_decode(t["doc_blob"])
+    if counters is not None:
+        counters["excl_bytes_decoded"] = counters.get(
+            "excl_bytes_decoded", 0
+        ) + len(t["doc_blob"])
+    return np.cumsum(deltas.astype(np.int64)) + base
+
+
 def _decode_term_block(t: dict, j: int, base: int, avgdl: float, counters):
     """(doc_ids, base_scores) of skip block j only — decoded via the
     stored byte offsets, touching no other bytes; cached per block."""
@@ -1525,6 +1659,7 @@ def _wand_sweep(
     avgdl: float,
     counters,
     require_n: int = 0,
+    excl_docs: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over weighted term tables -> (doc_ids, scores).
 
@@ -1544,6 +1679,10 @@ def _wand_sweep(
     nearly every block of the common terms. Counting is segment-complete
     because segments partition doc space and every posting of a doc lies
     in the doc's segment.
+
+    ``excl_docs`` (sorted int64 array) is boolean NOT: documents in it are
+    dropped after accumulation. Theta pruning stays safe — exclusion only
+    removes candidates, so block upper bounds remain conservative.
     """
     bounds = np.unique(
         np.concatenate(
@@ -1599,6 +1738,14 @@ def _wand_sweep(
             if not keep.any():
                 continue
             uniq, acc = uniq[keep], acc[keep]
+        if excl_docs is not None and excl_docs.size and uniq.size:
+            pos = np.minimum(
+                np.searchsorted(excl_docs, uniq), excl_docs.size - 1
+            )
+            keep = excl_docs[pos] != uniq
+            if not keep.any():
+                continue
+            uniq, acc = uniq[keep], acc[keep]
         for doc, sc in zip(uniq.tolist(), acc.tolist()):
             if k <= 0 or len(heap) < k:
                 heapq.heappush(heap, (sc, -doc))
@@ -1623,8 +1770,15 @@ def make_wand_kernel(
     term_stats: dict[str, tuple[int, int]] | None = None,
     counters: dict[str, int] | None = None,
     require_n: int = 0,
+    exclude_terms: frozenset[str] | None = None,
 ):
     """Build the per-shard block-max WAND applyInPandas kernel.
+
+    ``exclude_terms``: boolean NOT — posting rows whose term is in the set
+    never score; their doc ids (doc blob only, tf/dl untouched) form a
+    per-shard exclusion set applied inside :func:`_wand_sweep`. Exclusion
+    is shard-local (postings are doc-sharded), so NOT costs zero extra
+    shuffles.
 
     ``term_stats`` ({term: (mult, df)}) rides in the closure when the
     driver holds the dictionary (warm serving mode) — the input rows then
@@ -1650,6 +1804,16 @@ def make_wand_kernel(
         base = shard_id * shard_size
         term_map = _parse_term_rows(pdf, base, counters)
 
+        excl_docs = None
+        if exclude_terms:
+            arrs = [
+                _decode_doc_ids(t, base, counters)
+                for term in sorted(exclude_terms)
+                if (t := term_map.pop(term, None)) is not None
+            ]
+            if arrs:
+                excl_docs = np.unique(np.concatenate(arrs))
+
         weighted = []
         for term, t in term_map.items():
             if term_stats is not None:
@@ -1667,7 +1831,7 @@ def make_wand_kernel(
             # no postings in this shard rules out every doc in it
             return pd.DataFrame({"doc_id": [], "score": []})
         docs, scores = _wand_sweep(
-            weighted, k, base, avgdl, counters, require_n
+            weighted, k, base, avgdl, counters, require_n, excl_docs
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -1685,6 +1849,7 @@ def make_wand_batch_kernel(
     per_query: dict[int, dict[str, tuple[int, int]]],
     counters: dict[str, int] | None = None,
     conjunctive: bool = False,
+    per_query_excl: dict[int, frozenset[str]] | None = None,
 ):
     """Batch variant: score MANY queries in one per-shard kernel pass.
 
@@ -1718,8 +1883,20 @@ def make_wand_batch_kernel(
             ]
             if not weighted or (require_n > 0 and len(weighted) < require_n):
                 continue
+            excl_docs = None
+            if per_query_excl and qid in per_query_excl:
+                # get, not pop: an exclusion term here may be another
+                # query's scoring term; doc-id decode reuses the shared
+                # per-term cache either way
+                arrs = [
+                    _decode_doc_ids(t, base, counters)
+                    for term in sorted(per_query_excl[qid])
+                    if (t := term_map.get(term)) is not None
+                ]
+                if arrs:
+                    excl_docs = np.unique(np.concatenate(arrs))
             docs, scores = _wand_sweep(
-                weighted, k, base, avgdl, counters, require_n
+                weighted, k, base, avgdl, counters, require_n, excl_docs
             )
             if len(docs):
                 qids.append(np.full(len(docs), qid, dtype=np.int32))
