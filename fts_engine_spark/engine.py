@@ -249,6 +249,36 @@ class FtsEngine:
         )
 
     # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats
+    def delete_documents(self, urls: "list[str] | DataFrame") -> dict:
+        """Tombstone documents by url (list, or a DataFrame with a ``url``
+        column — e.g. ``operators.curation.decontaminate`` output). Results
+        exclude them immediately; stats stay stale (Lucene semantics) until
+        ``compact()`` purges them physically. See
+        :mod:`fts_engine_spark.mutate`."""
+        from .mutate import delete_documents
+
+        out = delete_documents(self.spark, self.index_dir, urls)
+        self._index = None  # reopen to observe the new tombstone snapshot
+        return out
+
+    def compact(self, remove_old: bool = True) -> dict:
+        """Merge delta shards and physically purge tombstones (atomic
+        meta-pointer commit; see :mod:`fts_engine_spark.streaming.compact`)."""
+        from .streaming.compact import compact_index
+
+        cfg = BuildConfig(
+            preset=self.options.preset,
+            shard_size=self.options.shard_size,
+            skip_block=self.options.skip_block,
+            id_buckets=self.options.id_buckets,
+            bloom_ndv=self.options.bloom_ndv,
+        )
+        meta = compact_index(
+            self.spark, self.index_dir, cfg, remove_old=remove_old
+        )
+        self._index = None
+        return meta
+
     def analyze(self) -> DataFrame:
         """Per-shard metrics + global rollup of the index shape."""
         from .layout import table_path
@@ -280,6 +310,9 @@ class FtsEngine:
             "n_postings": row["n_postings"],
             "total_tokens": row["total_tokens"],
             "max_df": row["max_df"],
+            # pending logical deletes (counted in the stats above until
+            # compaction purges them — Lucene's deleted-doc semantics)
+            "n_deleted": int(meta.get("n_deleted", 0)),
         }
 
     # ---- ContainsNormalized (filter_normalize.go:31-52): ALL keys present

@@ -263,7 +263,11 @@ def add_positions_to_index(
         int(meta["shard_size"]),
         int(meta.get("bloom_ndv", 1 << 16)),
     )
-    meta["positions"] = {"version": 1, "n_docs": int(meta["n_docs"])}
+    meta["positions"] = {
+        "version": 1,
+        "n_docs": int(meta["n_docs"]),
+        "table_version": int(meta.get("table_version", 0)),
+    }
     atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
 
 
@@ -322,10 +326,17 @@ def search_phrase_positional(
             "index has no positional table; rebuild with "
             "store_positions=True or use search_phrase (verify-scan path)"
         )
-    if int(pos_meta["n_docs"]) != int(meta["n_docs"]):
+    if int(pos_meta["n_docs"]) != int(meta["n_docs"]) or int(
+        pos_meta.get("table_version", 0)
+    ) != int(meta.get("table_version", 0)):
+        # table_version catches the n_docs-preserving mutations too: a
+        # pure delta-merge compaction renumbers tail doc ids without
+        # changing n_docs, which would otherwise serve silently-wrong
+        # positional matches
         raise PositionsUnavailableError(
             f"positional table is stale: built at n_docs="
-            f"{pos_meta['n_docs']}, index now has {meta['n_docs']} "
+            f"{pos_meta['n_docs']}/v{pos_meta.get('table_version', 0)}, "
+            f"index now has {meta['n_docs']}/v{meta.get('table_version', 0)} "
             "(incremental appends/compaction do not maintain positions); "
             "rebuild with store_positions=True"
         )
@@ -413,7 +424,10 @@ def search_phrase_positional(
     )
     docs = index.docs().select("doc_id", "url", "lang")
     out = (
-        matched.join(docs, "doc_id")
+        # tombstoned docs (mutate.delete_documents) are excluded before
+        # the top-k; their positional rows purge at compaction (which
+        # staleness-checks this table via n_docs + table_version anyway)
+        index._exclude_dead(matched.join(docs, "doc_id"))
         .where(F.col("pipeline") == _doc_pipeline_col(index))
         .select("doc_id", "url", "phrase_count")
         .orderBy(F.desc("phrase_count"), F.asc("doc_id"))

@@ -188,6 +188,21 @@ class FtsIndex:
         # lazily-built expansion structures over the driver dictionary
         self._sorted_terms: list[str] | None = None
         self._len_buckets: dict[int, list[str]] | None = None
+        # tombstones (mutate.delete_documents): logical deletes pending
+        # physical purge at compaction. n_deleted rides in meta so the
+        # no-tombstones fast path costs nothing.
+        self.n_deleted = int(self.meta.get("n_deleted", 0))
+        self._tombstones_path = (
+            table_path(index_dir, self.meta, "tombstones")
+            if self.meta.get("tombstones_dir")
+            else None
+        )
+        self._dead_arr: np.ndarray | None = None
+        self._dead_bc = None
+        # above this many pending deletes the sorted-id broadcast (8 B/id)
+        # stops being the right vehicle (~800 MB at 100M); WAND falls back
+        # to the relational anti-join plan and the operator should compact
+        self.dead_broadcast_max = 100_000_000
 
     def warm(
         self,
@@ -458,6 +473,54 @@ class FtsIndex:
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(self._docs_path)
 
+    # ---- tombstones (mutate.delete_documents) ---------------------------
+    def tombstones(self) -> DataFrame | None:
+        """Pending logical deletes (doc_id, url), or None. Stats (df/cf/
+        n_docs/avgdl) intentionally still count these docs until
+        ``compact_index`` purges them — Lucene's deleted-but-unmerged
+        semantics; results never contain them (every serving path excludes
+        inside its pruning boundary)."""
+        if self._tombstones_path is None:
+            return None
+        return self.spark.read.parquet(self._tombstones_path)
+
+    def _dead_ids(self) -> np.ndarray | None:
+        """Sorted int64 array of tombstoned doc ids on the driver (lazy,
+        cached). Bounded by the deletes-between-compactions discipline;
+        8 B/id."""
+        if self.n_deleted == 0:
+            return None
+        if self._dead_arr is None:
+            rows = self.tombstones().select("doc_id").collect()
+            self._dead_arr = np.sort(
+                np.array([r["doc_id"] for r in rows], dtype=np.int64)
+            )
+        return self._dead_arr
+
+    def _dead_broadcast(self):
+        """The dead-id array as a Spark broadcast variable — shipped once
+        per executor (torrent), NOT per task closure; the WAND kernels
+        slice it per shard via searchsorted."""
+        if self.n_deleted == 0:
+            return None
+        if self._dead_bc is None:
+            self._dead_bc = self.spark.sparkContext.broadcast(
+                self._dead_ids()
+            )
+        return self._dead_bc
+
+    def _exclude_dead(self, df: DataFrame, col: str = "doc_id") -> DataFrame:
+        """Anti-join ``df`` against the tombstone table — the fully
+        distributed exclusion used by relational plans (no driver array).
+        No-op without tombstones."""
+        ts = self.tombstones()
+        if ts is None:
+            return df
+        ts = ts.select(F.col("doc_id").alias(col))
+        # tombstones are small between compactions; broadcast keeps the
+        # anti-join shuffle-free on the big side
+        return df.join(F.broadcast(ts), col, "left_anti")
+
     # ---- positional phrase (opt-in table, positions.py)
     @property
     def has_positions(self) -> bool:
@@ -539,7 +602,7 @@ class FtsIndex:
                     yield pd.concat(outs, ignore_index=True)
 
         src = self._query_postings(mult).select("shard_id", "doc_blob")
-        return (
+        return self._exclude_dead(
             src.mapInPandas(decode, schema="doc_id long")
             .select("doc_id")
             .distinct()
@@ -574,7 +637,7 @@ class FtsIndex:
     def _reference_scored(self, mult: dict[str, int]) -> DataFrame:
         """Pre-truncation coordinate-match aggregation (no sort/limit)."""
         decoded = self.decoded_postings(list(mult), mult)
-        return (
+        return self._exclude_dead(
             decoded.join(F.broadcast(self._mult_df(mult)), "term")
             .groupBy("doc_id")
             .agg(
@@ -960,6 +1023,7 @@ class FtsIndex:
         kernel = make_wand_batch_kernel(
             self.n_docs, self.shard_size, self.avgdl, k, per_query,
             conjunctive=conjunctive, per_query_excl=per_query_excl or None,
+            dead_bcast=self._dead_broadcast(),
         )
         local = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_BATCH_SCHEMA
@@ -1174,11 +1238,18 @@ class FtsIndex:
                 excl_by_shard = {
                     s: np.unique(np.concatenate(a)) for s, a in parts.items()
                 }
+            dead = self._dead_ids()
             heap: list[tuple[float, int]] = []
             for shard, weighted in shards.items():
+                # same slice+union the distributed kernel applies, so the
+                # tiers stay bit-identical under pending deletes
+                excl = _merge_dead(
+                    excl_by_shard.get(shard), dead,
+                    shard * self.shard_size, self.shard_size,
+                )
                 docs, scores = _wand_sweep(
                     weighted, k, shard * self.shard_size, self.avgdl, None,
-                    require_n, excl_by_shard.get(shard),
+                    require_n, excl,
                 )
                 for doc, sc in zip(docs.tolist(), scores.tolist()):
                     if k <= 0 or len(heap) < k:
@@ -1395,7 +1466,7 @@ class FtsIndex:
         )
         if require_n > 0:
             scored = scored.where(F.col("_matched") >= require_n)
-        return scored.drop("_matched")
+        return self._exclude_dead(scored.drop("_matched"))
 
     def _bm25_relational(
         self,
@@ -1438,6 +1509,20 @@ class FtsIndex:
         broadcast stages and zero exchanges per query (the cache is
         pre-partitioned by shard_id)."""
         excl_mult = excl_mult or {}
+        if self.n_deleted > self.dead_broadcast_max:
+            # too many pending deletes for the sorted-id broadcast; the
+            # relational plan anti-joins the tombstone TABLE instead
+            # (identical results, hash-proven) — and compact_index is due
+            import warnings
+
+            warnings.warn(
+                f"{self.n_deleted} pending deletes exceed "
+                f"dead_broadcast_max={self.dead_broadcast_max}; serving "
+                "via the relational plan — run compact_index",
+                stacklevel=3,
+            )
+            return self._bm25_relational(mult, k, hydrate, require_n, excl_mult)
+        dead_bc = self._dead_broadcast()
         if self._term_dict is not None:
             present = {
                 t: (m, self._term_dict[t][0])
@@ -1462,6 +1547,7 @@ class FtsIndex:
                 self.n_docs, self.shard_size, self.avgdl, k,
                 term_stats=present, require_n=require_n,
                 exclude_terms=frozenset(excl_present) or None,
+                dead_bcast=dead_bc,
             )
         else:
             # exclusion terms ride the same stats-joined scan at mult=0;
@@ -1474,6 +1560,7 @@ class FtsIndex:
                 self.n_docs, self.shard_size, self.avgdl, k,
                 require_n=require_n,
                 exclude_terms=frozenset(excl_mult) or None,
+                dead_bcast=dead_bc,
             )
         local_topk = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_SCHEMA
@@ -1762,6 +1849,29 @@ def _wand_sweep(
     )
 
 
+def _merge_dead(
+    excl_docs: np.ndarray | None,
+    dead: np.ndarray | None,
+    base: int,
+    shard_size: int,
+) -> np.ndarray | None:
+    """Union a query's NOT-exclusion set with this shard's slice of the
+    sorted tombstone array (mutate.delete_documents). Both are sorted; the
+    slice is two searchsorteds on the global dead array. Exclusion happens
+    pre-theta inside _wand_sweep, so top-k truncation can never resurrect
+    a deleted doc."""
+    if dead is None or not dead.size:
+        return excl_docs
+    lo = int(np.searchsorted(dead, base))
+    hi = int(np.searchsorted(dead, base + shard_size))
+    if hi <= lo:
+        return excl_docs
+    shard_dead = dead[lo:hi]
+    if excl_docs is None or not excl_docs.size:
+        return shard_dead
+    return np.union1d(excl_docs, shard_dead)
+
+
 def make_wand_kernel(
     n_docs: int,
     shard_size: int,
@@ -1771,6 +1881,7 @@ def make_wand_kernel(
     counters: dict[str, int] | None = None,
     require_n: int = 0,
     exclude_terms: frozenset[str] | None = None,
+    dead_bcast=None,
 ):
     """Build the per-shard block-max WAND applyInPandas kernel.
 
@@ -1813,6 +1924,10 @@ def make_wand_kernel(
             ]
             if arrs:
                 excl_docs = np.unique(np.concatenate(arrs))
+        if dead_bcast is not None:
+            excl_docs = _merge_dead(
+                excl_docs, dead_bcast.value, base, shard_size
+            )
 
         weighted = []
         for term, t in term_map.items():
@@ -1850,6 +1965,7 @@ def make_wand_batch_kernel(
     counters: dict[str, int] | None = None,
     conjunctive: bool = False,
     per_query_excl: dict[int, frozenset[str]] | None = None,
+    dead_bcast=None,
 ):
     """Batch variant: score MANY queries in one per-shard kernel pass.
 
@@ -1895,6 +2011,10 @@ def make_wand_batch_kernel(
                 ]
                 if arrs:
                     excl_docs = np.unique(np.concatenate(arrs))
+            if dead_bcast is not None:
+                excl_docs = _merge_dead(
+                    excl_docs, dead_bcast.value, base, shard_size
+                )
             docs, scores = _wand_sweep(
                 weighted, k, base, avgdl, counters, require_n, excl_docs
             )

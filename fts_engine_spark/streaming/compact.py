@@ -115,17 +115,48 @@ def compact_index(
     docs = spark.read.parquet(docs_path)
     occ = _occupancy(docs, shard_size)
 
-    # P = first shard that is not full; everything before it is untouched
+    # tombstones (mutate.delete_documents): compaction is where logical
+    # deletes become physical — dead docs drop out of the re-encoded tail,
+    # ids close ranks (still monotone), and df/cf/avgdl/n_docs are
+    # corrected exactly. The sorted dead-id array is bounded by the
+    # deletes-between-compactions discipline (same posture as serving's
+    # broadcast; see mutate.py docstring).
+    from ..mutate import read_tombstones
+
+    dead_df = read_tombstones(spark, index_dir, meta)
+    dead = (
+        np.sort(
+            np.array(
+                [r["doc_id"] for r in dead_df.select("doc_id").collect()],
+                dtype=np.int64,
+            )
+        )
+        if dead_df is not None
+        else np.zeros(0, dtype=np.int64)
+    )
+    have_dead = dead.size > 0
+
+    # P = first shard that is not full; everything before it is untouched.
+    # A tombstone inside the full prefix forces that shard (and everything
+    # after) into the re-encoded tail — the file-copy fast path only ever
+    # carries shards with zero pending mutations.
     P = 0
     while P < n_shards and occ.get(P, 0) == shard_size:
         P += 1
+    if have_dead:
+        P = min(P, int(dead[0]) // shard_size)
     tail_shards = sorted(s for s in occ if s >= P)
-    if len(tail_shards) <= 1:
+    if len(tail_shards) <= 1 and not have_dead:
         return meta  # already compact
 
     # dense monotone renumbering of the tail: new ids continue from
-    # P*shard_size in old-doc-id order; per old shard the remap is a
-    # single scalar shift (ids within a shard are contiguous from base)
+    # P*shard_size in old-doc-id order; per old shard the occupancy part
+    # of the remap is a single scalar shift (ids within a shard are
+    # contiguous from base), and pending deletes subtract each id's rank
+    # in the sorted dead array — still monotone, so posting lists never
+    # need re-sorting. The combined remap equals a fresh build's id
+    # assignment over the surviving corpus (assign_doc_ids ranks by a
+    # subset-stable order), asserted in tests/test_delete.py.
     base = P * shard_size
     # shift indexed by (s - P): a flat int64 array (not a dict) so the
     # kernel closure stays ~8 B/tail-shard when pickled to executors
@@ -134,15 +165,17 @@ def compact_index(
     for s in tail_shards:
         shift_arr[s - P] = acc - s * shard_size
         acc += occ[s]
-    n_new_docs = acc
-    if n_new_docs != n_docs:
+    if acc != n_docs:
         raise RuntimeError(
-            f"compaction occupancy mismatch: docs table holds {n_new_docs} "
+            f"compaction occupancy mismatch: docs table holds {acc} "
             f"ids but meta.n_docs={n_docs}"
         )
-    n_new_shards = max(1, -(-n_docs // shard_size))
+    n_live = n_docs - int(dead.size)
+    n_new_shards = max(1, -(-n_live // shard_size))
+    dead_bc = spark.sparkContext.broadcast(dead)
 
     def explode_tail(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dead_l = dead_bc.value
         for pdf in batches:
             outs = []
             for row in pdf.itertuples(index=False):
@@ -153,13 +186,25 @@ def compact_index(
                     base_doc=s * shard_size,
                 )
                 dl = varbyte_decode(bytes(row.dl_blob)).astype(np.int32)
-                sh = int(shift_arr[s - P])
+                if dead_l.size:
+                    pos = np.searchsorted(dead_l, d)
+                    np.minimum(pos, dead_l.size - 1, out=pos)
+                    keep = dead_l[pos] != d
+                    if not keep.all():
+                        d, tf, dl = d[keep], tf[keep], dl[keep]
+                    if d.size == 0:
+                        continue
+                    new_ids = (
+                        d + int(shift_arr[s - P]) - np.searchsorted(dead_l, d)
+                    )
+                else:
+                    new_ids = d + int(shift_arr[s - P])
                 outs.append(
                     pd.DataFrame(
                         {
-                            "shard_id": (d + sh) // shard_size,
+                            "shard_id": new_ids // shard_size,
                             "term": row.term,
-                            "doc_id": d + sh,
+                            "doc_id": new_ids,
                             "tf": tf.astype(np.int32),
                             "dl": dl,
                         }
@@ -214,19 +259,39 @@ def compact_index(
             dirs_exist_ok=True,
         )
 
-    # docs: renumber the tail ids; one broadcast join on shard
+    # docs: drop tombstoned rows, renumber the tail ids; one broadcast
+    # join on shard plus (under deletes) a vectorized dead-rank subtraction
+    # — every dead id is >= P*shard_size, so prefix ids subtract rank 0
     shift_df = spark.createDataFrame(
         [(s, int(shift_arr[s - P])) for s in tail_shards],
         "shard long, shift long",
     )
     new_docs_dir, _, docs_ptr = next_version_dir(index_dir, meta, "docs")
+    live_docs = docs
+    if have_dead:
+        from pyspark.sql.functions import pandas_udf
+
+        live_docs = docs.join(
+            F.broadcast(dead_df.select("doc_id")), "doc_id", "left_anti"
+        )
+
+        @pandas_udf("long")
+        def dead_rank(ids: pd.Series) -> pd.Series:
+            return pd.Series(
+                np.searchsorted(dead_bc.value, ids.to_numpy()),
+                dtype="int64",
+            )
+
     (
-        docs.withColumn(
+        live_docs.withColumn(
             "shard", (F.col("doc_id") / shard_size).cast("long")
         )
         .join(F.broadcast(shift_df), "shard", "left")
         .withColumn(
-            "doc_id", F.col("doc_id") + F.coalesce(F.col("shift"), F.lit(0))
+            "doc_id",
+            F.col("doc_id")
+            + F.coalesce(F.col("shift"), F.lit(0))
+            - (dead_rank(F.col("doc_id")) if have_dead else F.lit(0)),
         )
         .drop("shard", "shift")
         .write.mode("overwrite")
@@ -264,20 +329,99 @@ def compact_index(
         .parquet(new_metrics)
     )
 
+    # under deletes: correct the global dictionary by the dead docs' EXACT
+    # contributions — one extra O(tail) doc+tf decode restricted to dead
+    # rows (dead docs live in the tail by P's construction), then an
+    # O(vocab) dictionary rewrite. avgdl is re-derived the way the batch
+    # build derives it (sum(cf)/n_docs, exact integer division), so a
+    # compacted index's scores are hash-identical to a fresh build of the
+    # surviving corpus (tests/test_delete.py).
+    pointer_updates = {**post_ptr, **docs_ptr, **metr_ptr}
+    meta_updates: dict = {}
+    drop_keys: list[str] = []
+    old_dirs = (
+        [postings_path, docs_path, table_path(index_dir, meta, "metrics")]
+        if remove_old
+        else []
+    )
+    if have_dead:
+        def dead_deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            dead_l = dead_bc.value
+            for pdf in batches:
+                terms_out, ddf_out, dcf_out = [], [], []
+                for row in pdf.itertuples(index=False):
+                    s = int(row.shard_id)
+                    d, tf = decode_postings(
+                        bytes(row.doc_blob),
+                        bytes(row.tf_blob),
+                        base_doc=s * shard_size,
+                    )
+                    pos = np.searchsorted(dead_l, d)
+                    np.minimum(pos, dead_l.size - 1, out=pos)
+                    is_dead = dead_l[pos] == d
+                    n = int(is_dead.sum())
+                    if n:
+                        terms_out.append(row.term)
+                        ddf_out.append(n)
+                        dcf_out.append(int(tf[is_dead].sum()))
+                if terms_out:
+                    yield pd.DataFrame(
+                        {"term": terms_out, "ddf": ddf_out, "dcf": dcf_out}
+                    )
+
+        delta = (
+            _tail_postings(spark, postings_path, P)
+            .select("shard_id", "term", "doc_blob", "tf_blob")
+            .mapInPandas(dead_deltas, schema="term string, ddf long, dcf long")
+            .groupBy("term")
+            .agg(F.sum("ddf").alias("ddf"), F.sum("dcf").alias("dcf"))
+        )
+        terms_path = table_path(index_dir, meta, "terms")
+        old_terms = spark.read.parquet(terms_path)
+        new_terms_df = (
+            old_terms.join(F.broadcast(delta), "term", "left")
+            .select(
+                "term",
+                (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0))).alias("df"),
+                (F.col("cf") - F.coalesce(F.col("dcf"), F.lit(0))).alias("cf"),
+            )
+            .where(F.col("df") > 0)
+        )
+        new_terms_dir, _, terms_ptr = next_version_dir(index_dir, meta, "terms")
+        dict_buckets = max(1, spark.sparkContext.defaultParallelism // 2)
+        (
+            new_terms_df.repartitionByRange(dict_buckets, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#term", str(cfg.bloom_ndv)
+            )
+            .parquet(new_terms_dir)
+        )
+        pointer_updates.update(terms_ptr)
+        total_tokens = int(
+            spark.read.parquet(new_terms_dir).agg(F.sum("cf")).first()[0] or 0
+        )
+        meta_updates["n_docs"] = n_live
+        meta_updates["avgdl"] = float(total_tokens) / max(1, n_live)
+        meta_updates["n_deleted"] = 0
+        drop_keys.append("tombstones_dir")
+        if remove_old:
+            old_dirs.append(terms_path)
+            old_dirs.append(table_path(index_dir, meta, "tombstones"))
+
     _commit_compaction(
         index_dir, meta_path, meta,
-        {**post_ptr, **docs_ptr, **metr_ptr,
+        {**pointer_updates,
          # pointer updates above each bumped table_version; keep the max
          "table_version": max(
-             post_ptr["table_version"], docs_ptr["table_version"],
-             metr_ptr["table_version"],
-         )},
+             p["table_version"] for p in (post_ptr, docs_ptr, metr_ptr)
+         ),
+         **meta_updates},
         n_new_shards,
-        old_dirs=(
-            [postings_path, docs_path, table_path(index_dir, meta, "metrics")]
-            if remove_old
-            else []
-        ),
+        old_dirs=old_dirs,
+        drop_keys=drop_keys,
     )
     with open(meta_path) as f:
         return json.load(f)
@@ -290,12 +434,17 @@ def _commit_compaction(
     pointer_updates: dict,
     n_new_shards: int,
     old_dirs: list[str],
+    drop_keys: list[str] | None = None,
 ) -> None:
     """The single commit point: one atomic meta write flips every table
-    pointer + n_shards together; old directories are removed only after.
-    Split out so kill-injection tests can fail exactly here."""
+    pointer + n_shards together (and, when tombstones were purged, the
+    corrected n_docs/avgdl and the cleared tombstone pointer); old
+    directories are removed only after. Split out so kill-injection tests
+    can fail exactly here."""
     meta = dict(meta)
     meta.update(pointer_updates)
+    for key in drop_keys or ():
+        meta.pop(key, None)
     meta["n_shards"] = n_new_shards
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     meta["delta_batches"] = 0
