@@ -191,6 +191,70 @@ def _incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deletion rows: docs with source doc_id % 7 == 3 (~14%) are tombstoned.
+# Pending (uncompacted) semantics: dead docs excluded, stats stale
+# (Lucene deleted-but-unmerged) — the oracle scores over the FULL corpus
+# and filters afterwards. Compacted semantics: physically purged, stats
+# recomputed — the oracle restricts every CTE to the surviving corpus.
+DELETE_MOD, DELETE_REM = 7, 3
+
+
+def _ensure_deleted_index(
+    spark: SparkSession, sf_dir: str, compacted: bool
+) -> str:
+    import hashlib
+    import shutil
+
+    from fts_engine_spark.build import META_VERSION, BuildConfig, build_index
+    from fts_engine_spark.mutate import delete_documents
+    from fts_engine_spark.streaming.compact import compact_index
+
+    key = hashlib.md5(
+        f"del:{sf_dir}:v{META_VERSION}:{compacted}".encode()
+    ).hexdigest()[:10]
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    index_dir = f"/tmp/fts_del_cache_{key}"
+    marker = os.path.join(index_dir, "_contract_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+            "lang",
+            (F.col("doc_id") % DELETE_MOD).alias("_rem"),
+        )
+        cfg = BuildConfig(
+            preset="simple", shard_size=2048, id_buckets=16, n_waves=1
+        )
+        build_index(spark, docs.drop("_rem"), index_dir, cfg, resume=False)
+        # DataFrame deletion path (the decontamination-sweep shape)
+        delete_documents(
+            spark, index_dir,
+            docs.where(F.col("_rem") == DELETE_REM).select("url"),
+        )
+        if compacted:
+            compact_index(spark, index_dir, cfg)
+        with open(marker, "w") as f:
+            f.write("ok")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _deleted_search(
+    spark: SparkSession, sf_dir: str, compacted: bool
+) -> DataFrame:
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_deleted_index(spark, sf_dir, compacted)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25(" ".join(Q_TERMS), k=10, mode="wand", hydrate=True)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 BATCH_QUERIES = ["table value fast data", "value fast", "data table"]
 
 
@@ -421,6 +485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-batch appends + delta-shard compaction, then the same BM25
         # search — oracle is the same SQL over the union corpus
         "fts_incremental_bm25": lambda s, d: _incremental_search(s, d),
+        "fts_delete_bm25": lambda s, d: _deleted_search(s, d, compacted=False),
+        "fts_delete_compact_bm25": lambda s, d: _deleted_search(
+            s, d, compacted=True
+        ),
         # batch serving surface: THREE queries scored in ONE Spark job
         # (shared term decode inside the kernel); per-query top-10 must
         # equal the per-query oracle
@@ -709,6 +777,23 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         f"WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({_not_in}))",
     )
     assert bm25_not != bm25
+    # pending deletes (tombstoned, uncompacted): scores use FULL-corpus
+    # stats (stale, Lucene deleted-but-unmerged), dead docs filtered after
+    bm25_del = bm25.replace(
+        "SELECT doc_id, round(raw, 4) AS score FROM scored",
+        "SELECT doc_id, round(raw, 4) AS score FROM scored "
+        f"WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}",
+    )
+    assert bm25_del != bm25
+    # compacted deletes: physically purged — every CTE sees only survivors
+    bm25_del_compact = (
+        "WITH livedocs AS (SELECT * FROM documents "
+        f"WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}),"
+        + bm25.replace("FROM documents", "FROM livedocs").replace(
+            "WITH ", "", 1
+        )
+    )
+    assert bm25_del_compact.count("FROM livedocs") >= 3  # toks, dl, params
     # dictionary-expanded rewrites: swap the literal q CTE for an expansion
     # over the corpus vocabulary — same bound + preference as the engine's
     # expand_terms (df desc, term asc, LIMIT max_expand), so the oracle is
@@ -821,6 +906,8 @@ ORDER BY query_id, score DESC, doc_id
         "fts_phrase_positional": phrase_sql,
         "fts_index_bm25_all": bm25_all,
         "fts_incremental_bm25": bm25,
+        "fts_delete_bm25": bm25_del,
+        "fts_delete_compact_bm25": bm25_del_compact,
         "fts_index_bm25_batch": bm25_batch,
         "fts_point_bm25": bm25,
         "dedup_exact": (
