@@ -241,6 +241,64 @@ def _ensure_deleted_index(
     return index_dir
 
 
+def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two segment indexes built independently over halves of the corpus
+    (source doc_id parity), merged into one global index via
+    ``merge_indexes`` (blob-carrying splice + dictionary delta-merge +
+    compaction) — BM25 over the union corpus is split-invariant, so the
+    same oracle as the batch build applies."""
+    import hashlib
+    import shutil
+
+    from fts_engine_spark.build import META_VERSION, BuildConfig, build_index
+    from fts_engine_spark.mutate import merge_indexes
+
+    key = hashlib.md5(f"merge:{sf_dir}:v{META_VERSION}".encode()).hexdigest()[:10]
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    index_dir = f"/tmp/fts_merge_cache_{key}"
+    marker = os.path.join(index_dir, "_contract_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        src_dir = index_dir + "_src"
+        shutil.rmtree(src_dir, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+            "lang",
+            (F.col("doc_id") % 2).alias("_half"),
+        )
+        cfg = BuildConfig(
+            preset="simple", shard_size=2048, id_buckets=16, n_waves=1
+        )
+        build_index(
+            spark, docs.where(F.col("_half") == 0).drop("_half"),
+            index_dir, cfg, resume=False,
+        )
+        build_index(
+            spark, docs.where(F.col("_half") == 1).drop("_half"),
+            src_dir, cfg, resume=False,
+        )
+        merge_indexes(spark, index_dir, src_dir)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_merged_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25(" ".join(Q_TERMS), k=10, mode="wand", hydrate=True)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _deleted_search(
     spark: SparkSession, sf_dir: str, compacted: bool
 ) -> DataFrame:
@@ -485,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-batch appends + delta-shard compaction, then the same BM25
         # search — oracle is the same SQL over the union corpus
         "fts_incremental_bm25": lambda s, d: _incremental_search(s, d),
+        "fts_merge_bm25": lambda s, d: _merged_search(s, d),
         "fts_delete_bm25": lambda s, d: _deleted_search(s, d, compacted=False),
         "fts_delete_compact_bm25": lambda s, d: _deleted_search(
             s, d, compacted=True
@@ -906,6 +965,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_phrase_positional": phrase_sql,
         "fts_index_bm25_all": bm25_all,
         "fts_incremental_bm25": bm25,
+        "fts_merge_bm25": bm25,
         "fts_delete_bm25": bm25_del,
         "fts_delete_compact_bm25": bm25_del_compact,
         "fts_index_bm25_batch": bm25_batch,

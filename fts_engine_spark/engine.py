@@ -261,6 +261,20 @@ class FtsEngine:
         self._index = None  # reopen to observe the new tombstone snapshot
         return out
 
+    def merge_from(self, src_index_dir: str, compact_after: bool = True) -> dict:
+        """Merge another index (same preset/shard_size) into this one —
+        segment indexes built independently (per-lang, per-crawl) unified
+        without re-tokenizing; O(src) cost. See
+        :func:`fts_engine_spark.mutate.merge_indexes`."""
+        from .mutate import merge_indexes
+
+        meta = merge_indexes(
+            self.spark, self.index_dir, src_index_dir,
+            compact_after=compact_after,
+        )
+        self._index = None
+        return meta
+
     def compact(self, remove_old: bool = True) -> dict:
         """Merge delta shards and physically purge tombstones (atomic
         meta-pointer commit; see :mod:`fts_engine_spark.streaming.compact`)."""

@@ -135,3 +135,211 @@ def delete_documents(
     if old_dir and os.path.abspath(old_dir) != os.path.abspath(new_dir):
         shutil.rmtree(old_dir, ignore_errors=True)
     return {"matched": int(n_matched), "n_deleted": int(n_total), "meta": meta}
+
+
+def merge_indexes(
+    spark: SparkSession,
+    dst_dir: str,
+    src_dir: str,
+    compact_after: bool = True,
+) -> dict:
+    """Merge the index at ``src_dir`` INTO the index at ``dst_dir`` —
+    the user-facing "merge partial segment indexes into a global index"
+    operation (per-lang or per-crawl segment indexes built independently,
+    unified without re-tokenizing anything).
+
+    The splice never decodes a posting: src doc ids shift by
+    ``dst.n_shards * shard_size`` — a multiple of the shard size, so every
+    delta-compressed blob stays byte-valid at its new shard id (blobs
+    store shard-relative deltas) and only the absolute ``skip_last_doc``
+    arrays shift, a pure JVM ``transform`` over the src postings scan.
+    Dictionaries delta-merge (df/cf add), docs/metrics splice in with
+    shifted ids, avgdl is the exactly-weighted mean, and src tombstones
+    (pending deletes) carry over at their shifted ids. Cost is O(src),
+    independent of dst's size.
+
+    Both indexes must share META_VERSION, preset and shard_size (compact
+    or rebuild the src otherwise). Commit is the single atomic meta write
+    after every table write lands (same discipline as incremental
+    ``_append_batch``: pre-commit orphans above the old shard high-water
+    mark are cleaned on retry). ``compact_after`` (default) runs
+    ``compact_index`` to close the id gap the src's partial last shard
+    leaves — skip it when chaining several merges and compact once at the
+    end. Returns the committed meta.
+    """
+    import glob
+
+    from .layout import gate_tag
+    from .streaming.incremental import _move_in_tagged
+
+    dst_meta_path = os.path.join(dst_dir, "meta.json")
+    with open(dst_meta_path) as f:
+        dst = json.load(f)
+    with open(os.path.join(src_dir, "meta.json")) as f:
+        src = json.load(f)
+    from .build import META_VERSION
+
+    for name, m in (("dst", dst), ("src", src)):
+        if int(m.get("version", -1)) != META_VERSION:
+            from .query import IndexVersionError
+
+            raise IndexVersionError(
+                f"{name} index has meta version {m.get('version')}, "
+                f"this build merges version {META_VERSION}"
+            )
+    for key in ("preset", "shard_size"):
+        if dst.get(key) != src.get(key):
+            raise ValueError(
+                f"merge_indexes requires equal {key}: dst={dst.get(key)!r} "
+                f"src={src.get(key)!r} — compact/rebuild the src to match"
+            )
+
+    shard_size = int(dst["shard_size"])
+    next_shard = int(dst["n_shards"])
+    offset_docs = next_shard * shard_size
+    tag = f"m{next_shard}_"
+
+    # pre-commit crash cleanup (same as incremental._append_batch): shard
+    # dirs above the committed high-water mark and tagged files are
+    # orphans of a failed earlier attempt
+    dst_postings = table_path(dst_dir, dst, "postings")
+    for d in glob.glob(os.path.join(dst_postings, "shard_id=*")):
+        try:
+            if int(d.rsplit("=", 1)[1]) >= next_shard:
+                shutil.rmtree(d, ignore_errors=True)
+        except ValueError:
+            pass
+    shutil.rmtree(os.path.join(dst_postings, "_temporary"), ignore_errors=True)
+    for base in ("docs", "metrics"):
+        for f_ in glob.glob(
+            os.path.join(table_path(dst_dir, dst, base), tag + "*")
+        ):
+            os.remove(f_)
+
+    # postings: shard ids += next_shard, absolute skip docids += offset;
+    # blobs untouched (no Python stage at all)
+    (
+        spark.read.parquet(table_path(src_dir, src, "postings"))
+        .withColumn("shard_id", F.col("shard_id").cast("long") + next_shard)
+        .withColumn(
+            "skip_last_doc",
+            F.expr(
+                f"transform(skip_last_doc, d -> d + cast({offset_docs} as bigint))"
+            ),
+        )
+        .write.mode("append")
+        .partitionBy("shard_id")
+        .parquet(dst_postings)
+    )
+
+    staging = os.path.join(dst_dir, "_staging_merge")
+    shutil.rmtree(staging, ignore_errors=True)
+    src_docs = spark.read.parquet(table_path(src_dir, src, "docs"))
+    docs_delta = os.path.join(staging, "_docs_delta")
+    (
+        src_docs.withColumn("doc_id", F.col("doc_id") + offset_docs)
+        .write.mode("overwrite")
+        .parquet(docs_delta)
+    )
+    _move_in_tagged(docs_delta, table_path(dst_dir, dst, "docs"), tag)
+
+    metrics_delta = os.path.join(staging, "_metrics_delta")
+    (
+        spark.read.parquet(table_path(src_dir, src, "metrics"))
+        .withColumn("shard_id", F.col("shard_id").cast("long") + next_shard)
+        .write.mode("overwrite")
+        .parquet(metrics_delta)
+    )
+    _move_in_tagged(metrics_delta, table_path(dst_dir, dst, "metrics"), tag)
+
+    # dictionary delta-merge, atomic via versioned dir + pointer flip
+    old_terms = table_path(dst_dir, dst, "terms")
+    merged_terms = (
+        spark.read.parquet(old_terms)
+        .unionByName(spark.read.parquet(table_path(src_dir, src, "terms")))
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+        )
+    )
+    new_terms, _, terms_ptr = next_version_dir(dst_dir, dst, "terms")
+    dict_buckets = max(1, spark.sparkContext.defaultParallelism // 2)
+    (
+        merged_terms.repartitionByRange(dict_buckets, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .option(
+            "parquet.bloom.filter.expected.ndv#term",
+            str(dst.get("bloom_ndv", 1 << 16)),
+        )
+        .parquet(new_terms)
+    )
+
+    # pending deletes on either side survive the merge at shifted ids
+    ptr_updates = dict(terms_ptr)
+    n_deleted = int(dst.get("n_deleted", 0)) + int(src.get("n_deleted", 0))
+    old_tomb = (
+        table_path(dst_dir, dst, "tombstones")
+        if dst.get("tombstones_dir")
+        else None
+    )
+    if n_deleted:
+        parts = []
+        if dst.get("tombstones_dir"):
+            parts.append(spark.read.parquet(old_tomb))
+        if src.get("tombstones_dir"):
+            parts.append(
+                spark.read.parquet(table_path(src_dir, src, "tombstones"))
+                .withColumn("doc_id", F.col("doc_id") + offset_docs)
+            )
+        combined = parts[0]
+        for p in parts[1:]:
+            combined = combined.unionByName(p)
+        # allocate AFTER the terms pointer so the version numbers differ
+        meta_after_terms = {**dst, **terms_ptr}
+        new_tomb, _, tomb_ptr = next_version_dir(
+            dst_dir, meta_after_terms, "tombstones"
+        )
+        shutil.rmtree(new_tomb, ignore_errors=True)
+        combined.write.mode("overwrite").parquet(new_tomb)
+        ptr_updates.update(tomb_ptr)
+
+    n_total = int(dst["n_docs"]) + int(src["n_docs"])
+    meta = dict(dst)
+    meta["avgdl"] = (
+        dst["avgdl"] * dst["n_docs"] + src["avgdl"] * src["n_docs"]
+    ) / max(1, n_total)
+    meta["n_docs"] = n_total
+    meta["n_shards"] = next_shard + int(src["n_shards"])
+    meta["n_deleted"] = n_deleted
+    meta["delta_batches"] = int(meta.get("delta_batches", 0)) + 1
+    meta.update(ptr_updates)
+    # a merge invalidates any positional table (ids past the splice point
+    # are new); the staleness check keys on n_docs + table_version
+    atomic_write_json(dst_meta_path, meta)
+    if os.path.exists(old_terms):
+        shutil.rmtree(old_terms, ignore_errors=True)
+    if old_tomb and meta.get("tombstones_dir") != dst.get("tombstones_dir"):
+        shutil.rmtree(old_tomb, ignore_errors=True)
+    new_tag = gate_tag(meta)
+    for g in glob.glob(os.path.join(dst_dir, "_term_gate_*")):
+        if not g.endswith(new_tag):
+            shutil.rmtree(g, ignore_errors=True)
+    Manifest(dst_dir).mark_done(
+        f"merge_{tag}", {"src": src_dir, "n_docs": int(src["n_docs"])}
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    if compact_after:
+        from .build import BuildConfig
+        from .streaming.compact import compact_index
+
+        cfg = BuildConfig(
+            preset=meta["preset"],
+            shard_size=shard_size,
+            skip_block=int(meta.get("skip_block", BuildConfig().skip_block)),
+        )
+        return compact_index(spark, dst_dir, cfg)
+    return meta
