@@ -287,6 +287,63 @@ def _ensure_merged_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+UPDATE_MOD = 5  # docs with source doc_id % 5 == 0 get re-crawled
+
+
+def _ensure_updated_index(spark: SparkSession, sf_dir: str) -> str:
+    """Upsert path under the hash gate: full batch build, then every
+    doc_id % UPDATE_MOD == 0 url is re-crawled with DOUBLED text
+    (tokens, tf and dl all double — reshaping scores in an
+    SQL-mirrorable way), then compaction purges the replaced rows."""
+    import hashlib
+    import shutil
+
+    from fts_engine_spark.build import META_VERSION, BuildConfig, build_index
+    from fts_engine_spark.mutate import update_documents
+    from fts_engine_spark.streaming.compact import compact_index
+
+    key = hashlib.md5(f"upd:{sf_dir}:v{META_VERSION}".encode()).hexdigest()[:10]
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    index_dir = f"/tmp/fts_upd_cache_{key}"
+    marker = os.path.join(index_dir, "_contract_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+            "lang",
+            (F.col("doc_id") % UPDATE_MOD).alias("_rem"),
+        )
+        cfg = BuildConfig(
+            preset="simple", shard_size=2048, id_buckets=16, n_waves=1
+        )
+        build_index(spark, docs.drop("_rem"), index_dir, cfg, resume=False)
+        recrawled = docs.where(F.col("_rem") == 0).select(
+            "url",
+            F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+            "lang",
+        )
+        update_documents(spark, index_dir, recrawled, cfg)
+        compact_index(spark, index_dir, cfg)
+        with open(marker, "w") as f:
+            f.write("ok")
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _updated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_updated_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25(" ".join(Q_TERMS), k=10, mode="wand", hydrate=True)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fts_engine_spark.query import FtsIndex
 
@@ -544,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search — oracle is the same SQL over the union corpus
         "fts_incremental_bm25": lambda s, d: _incremental_search(s, d),
         "fts_merge_bm25": lambda s, d: _merged_search(s, d),
+        "fts_update_bm25": lambda s, d: _updated_search(s, d),
         "fts_delete_bm25": lambda s, d: _deleted_search(s, d, compacted=False),
         "fts_delete_compact_bm25": lambda s, d: _deleted_search(
             s, d, compacted=True
@@ -853,6 +911,17 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         )
     )
     assert bm25_del_compact.count("FROM livedocs") >= 3  # toks, dl, params
+    # upserted corpus: re-crawled docs (doc_id % UPDATE_MOD == 0) carry
+    # doubled text; scored like a fresh build over the updated corpus
+    bm25_update = (
+        "WITH upddocs AS (SELECT doc_id, CASE WHEN doc_id % "
+        f"{UPDATE_MOD} = 0 THEN text || ' ' || text ELSE text END AS text "
+        "FROM documents),"
+        + bm25.replace("FROM documents", "FROM upddocs").replace(
+            "WITH ", "", 1
+        )
+    )
+    assert bm25_update.count("FROM upddocs") >= 3
     # dictionary-expanded rewrites: swap the literal q CTE for an expansion
     # over the corpus vocabulary — same bound + preference as the engine's
     # expand_terms (df desc, term asc, LIMIT max_expand), so the oracle is
@@ -966,6 +1035,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_all": bm25_all,
         "fts_incremental_bm25": bm25,
         "fts_merge_bm25": bm25,
+        "fts_update_bm25": bm25_update,
         "fts_delete_bm25": bm25_del,
         "fts_delete_compact_bm25": bm25_del_compact,
         "fts_index_bm25_batch": bm25_batch,

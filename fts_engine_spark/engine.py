@@ -261,6 +261,21 @@ class FtsEngine:
         self._index = None  # reopen to observe the new tombstone snapshot
         return out
 
+    def update_documents(self, docs: DataFrame) -> dict:
+        """Upsert by url (re-crawl): tombstone existing versions, append
+        the new ones as a delta batch; compact() purges the old rows. See
+        :func:`fts_engine_spark.mutate.update_documents`."""
+        from .mutate import update_documents
+
+        o = self.options
+        cfg = BuildConfig(
+            preset=o.preset, shard_size=o.shard_size, skip_block=o.skip_block,
+            id_buckets=o.id_buckets, n_waves=1, bloom_ndv=o.bloom_ndv,
+        )
+        out = update_documents(self.spark, self.index_dir, docs, cfg)
+        self._index = None
+        return out
+
     def merge_from(self, src_index_dir: str, compact_after: bool = True) -> dict:
         """Merge another index (same preset/shard_size) into this one —
         segment indexes built independently (per-lang, per-crawl) unified

@@ -137,6 +137,40 @@ def delete_documents(
     return {"matched": int(n_matched), "n_deleted": int(n_total), "meta": meta}
 
 
+def update_documents(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    cfg=None,
+) -> dict:
+    """Upsert (re-crawl): replace any already-indexed url in ``docs`` with
+    its new content and insert the rest.
+
+    Composition of the two verified mutation primitives — tombstone the
+    incoming urls (:func:`delete_documents`; unknown urls are a no-op,
+    making this a plain insert for them), then append the new versions as
+    a delta batch (the exactly-once incremental splice). Between the two
+    commits a reader sees the delete-only state — never both versions of
+    a url. Old rows purge physically at the next compaction, after which
+    the index is hash-identical to a fresh build of the updated corpus
+    (tests/test_update.py). ``docs``: (url, text, lang) like every build
+    entry point; cost O(updates), never touching unrelated postings.
+    """
+    from .build import BuildConfig
+    from .streaming.incremental import _append_batch
+
+    cfg = cfg or BuildConfig()
+    deleted = delete_documents(spark, index_dir, docs.select("url"))
+    _append_batch(spark, docs, index_dir, cfg)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return {
+        "replaced": deleted["matched"],
+        "n_deleted": int(meta.get("n_deleted", 0)),
+        "meta": meta,
+    }
+
+
 def merge_indexes(
     spark: SparkSession,
     dst_dir: str,
