@@ -49,6 +49,32 @@ _EXPLODED_SCHEMA = (
 )
 
 
+def remap_ids(
+    ids: np.ndarray,
+    P: int,
+    shard_size: int,
+    shift_arr: np.ndarray,
+    dead: np.ndarray,
+) -> np.ndarray:
+    """The compaction renumbering, as one pure vectorized function (shared
+    by the postings re-encode and the docs-table rewrite; property-tested
+    in tests/test_delete_property.py): prefix ids (< P*shard_size) are
+    unchanged; a live tail id maps to ``P*shard_size + (live tail ids
+    before it)`` — occupancy gaps via the per-shard scalar shift, pending
+    deletes via the id's rank in the sorted dead array. Monotone by
+    construction; callers must have dropped dead ids already."""
+    ids = np.asarray(ids, dtype=np.int64)
+    out = ids.copy()
+    tail = ids >= P * shard_size
+    if tail.any():
+        t = ids[tail]
+        shifted = t + shift_arr[(t // shard_size) - P]
+        if dead.size:
+            shifted = shifted - np.searchsorted(dead, t)
+        out[tail] = shifted
+    return out
+
+
 def _tail_postings(spark: SparkSession, postings_path: str, P: int) -> DataFrame:
     """Postings rows of shards >= P. The predicate is on the PARTITION
     column, so the scan prunes whole shard directories — compaction reads
@@ -194,11 +220,7 @@ def compact_index(
                         d, tf, dl = d[keep], tf[keep], dl[keep]
                     if d.size == 0:
                         continue
-                    new_ids = (
-                        d + int(shift_arr[s - P]) - np.searchsorted(dead_l, d)
-                    )
-                else:
-                    new_ids = d + int(shift_arr[s - P])
+                new_ids = remap_ids(d, P, shard_size, shift_arr, dead_l)
                 outs.append(
                     pd.DataFrame(
                         {
@@ -267,36 +289,46 @@ def compact_index(
         "shard long, shift long",
     )
     new_docs_dir, _, docs_ptr = next_version_dir(index_dir, meta, "docs")
-    live_docs = docs
     if have_dead:
+        # one vectorized pandas UDF applying the SAME pure remap the
+        # postings re-encode uses (shift_arr + dead ride the broadcast)
         from pyspark.sql.functions import pandas_udf
 
-        live_docs = docs.join(
-            F.broadcast(dead_df.select("doc_id")), "doc_id", "left_anti"
-        )
+        shift_bc = spark.sparkContext.broadcast(shift_arr)
 
         @pandas_udf("long")
-        def dead_rank(ids: pd.Series) -> pd.Series:
+        def remap_udf(ids: pd.Series) -> pd.Series:
             return pd.Series(
-                np.searchsorted(dead_bc.value, ids.to_numpy()),
+                remap_ids(
+                    ids.to_numpy(), P, shard_size,
+                    shift_bc.value, dead_bc.value,
+                ),
                 dtype="int64",
             )
 
-    (
-        live_docs.withColumn(
-            "shard", (F.col("doc_id") / shard_size).cast("long")
+        (
+            docs.join(
+                F.broadcast(dead_df.select("doc_id")), "doc_id", "left_anti"
+            )
+            .withColumn("doc_id", remap_udf(F.col("doc_id")))
+            .write.mode("overwrite")
+            .parquet(new_docs_dir)
         )
-        .join(F.broadcast(shift_df), "shard", "left")
-        .withColumn(
-            "doc_id",
-            F.col("doc_id")
-            + F.coalesce(F.col("shift"), F.lit(0))
-            - (dead_rank(F.col("doc_id")) if have_dead else F.lit(0)),
+    else:
+        # no deletes: the remap is a per-shard scalar shift — stay JVM-side
+        (
+            docs.withColumn(
+                "shard", (F.col("doc_id") / shard_size).cast("long")
+            )
+            .join(F.broadcast(shift_df), "shard", "left")
+            .withColumn(
+                "doc_id",
+                F.col("doc_id") + F.coalesce(F.col("shift"), F.lit(0)),
+            )
+            .drop("shard", "shift")
+            .write.mode("overwrite")
+            .parquet(new_docs_dir)
         )
-        .drop("shard", "shift")
-        .write.mode("overwrite")
-        .parquet(new_docs_dir)
-    )
 
     # metrics: carry the prefix rows (shard < P) unchanged and recompute
     # only the re-encoded tail — rescanning every prefix shard's blob
