@@ -672,6 +672,15 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
                                      meter, contaminated, steal_log)
     timings.update(compact_rows)
 
+    # ---- 3g. segment-merge splice cost: merge a small freshly-built
+    # segment index into a clone of the serving index WITHOUT the trailing
+    # compaction — the splice is the O(src) part (blob-carrying postings
+    # rewrite + dictionary delta-merge); its cost must track the src's
+    # 2k docs, not the dst's 30k (compaction cost is the 3f rows).
+    merge_rows = _merge_bench(spark, index_dir, docs, cfg,
+                              meter, contaminated, steal_log)
+    timings.update(merge_rows)
+
     # ---- 4. sf0.1 index-oracle gate: the sf0.1 session is already paid for,
     # so record the 10x-scale correctness check in the bench of record
     # (VERDICT r2 next #9); compares both BM25 modes to the DuckDB oracle.
@@ -755,6 +764,45 @@ def _compaction_bench(spark, index_dir, docs, cfg, meter, contaminated,
         out[f"compact_tail_{tail_docs}_docs"] = reencoded
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def _merge_bench(spark, index_dir, docs, cfg, meter, contaminated,
+                 steal_log) -> dict:
+    """Time merge_indexes splicing a 2,000-doc segment index into a clone
+    of the 30k serving index (compact_after=False: the splice IS the
+    O(src) claim — posting blobs carried byte-for-byte, only skip arrays
+    and shard ids shift, plus the dictionary delta-merge). Row:
+    merge_src_2000 (seconds)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fts_engine_spark.build import build_index
+    from fts_engine_spark.mutate import merge_indexes
+
+    src_docs = 2000
+    src_dir = f"{index_dir}_mergebench_src"
+    dst_dir = f"{index_dir}_mergebench_dst"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    # distinct urls so the merged docs table stays url-unique
+    src = docs.limit(src_docs).withColumn(
+        "url", F.concat(F.lit("m-"), F.col("url"))
+    )
+    build_index(spark, src, src_dir, cfg, resume=False)
+    shutil.copytree(index_dir, dst_dir)
+
+    def _merge_once():
+        merge_indexes(spark, dst_dir, src_dir, compact_after=False)
+
+    # one-shot like the compaction rows (a retry would splice twice)
+    _, secs = gated_phase(
+        meter, contaminated, steal_log, "merge_src_2000",
+        STEAL_BUILD_TICKS, _merge_once, retries=0,
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    return {"merge_src_2000": round(secs, 3)}
 
 
 def _sessionize_stream_bench(spark, sf_dir: str) -> float:
