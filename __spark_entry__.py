@@ -387,6 +387,9 @@ def _index_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WITHIN_MOD = 3  # restriction filter: only docs with source doc_id % 3 == 0
+
+
 def _index_search(
     spark: SparkSession,
     sf_dir: str,
@@ -395,14 +398,27 @@ def _index_search(
     terms: list[str] | None = None,
     conjunctive: bool = False,
     exclude: str | None = None,
+    filtered: bool = False,
 ) -> DataFrame:
     from fts_engine_spark.query import FtsIndex
 
     index_dir = _ensure_index(spark, sf_dir)
     fts = FtsIndex(spark, index_dir)
+    within = None
+    if filtered:
+        # url-DataFrame shape (the site:/sub-corpus filter)
+        within = (
+            _docs(spark, sf_dir)
+            .where(F.col("doc_id") % WITHIN_MOD == 0)
+            .select(
+                F.concat(
+                    F.lit("doc://"), F.col("doc_id").cast("string")
+                ).alias("url")
+            )
+        )
     out = fts.search_bm25(
         " ".join(terms or Q_TERMS), k=k, mode=mode, hydrate=True,
-        conjunctive=conjunctive, exclude=exclude,
+        conjunctive=conjunctive, exclude=exclude, within=within,
     )
     return out.select(
         F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
@@ -602,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_incremental_bm25": lambda s, d: _incremental_search(s, d),
         "fts_merge_bm25": lambda s, d: _merged_search(s, d),
         "fts_update_bm25": lambda s, d: _updated_search(s, d),
+        "fts_filtered_bm25": lambda s, d: _index_search(
+            s, d, "wand", filtered=True
+        ),
         "fts_delete_bm25": lambda s, d: _deleted_search(s, d, compacted=False),
         "fts_delete_compact_bm25": lambda s, d: _deleted_search(
             s, d, compacted=True
@@ -922,6 +941,15 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         )
     )
     assert bm25_update.count("FROM upddocs") >= 3
+    # restriction filter (`within=`): candidacy gated AFTER scoring —
+    # full-corpus stats, scores unchanged, standard filtered-search
+    # semantics (tests/test_filtered_search.py)
+    bm25_within = bm25.replace(
+        "SELECT doc_id, round(raw, 4) AS score FROM scored",
+        "SELECT doc_id, round(raw, 4) AS score FROM scored "
+        f"WHERE doc_id % {WITHIN_MOD} = 0",
+    )
+    assert bm25_within != bm25
     # dictionary-expanded rewrites: swap the literal q CTE for an expansion
     # over the corpus vocabulary — same bound + preference as the engine's
     # expand_terms (df desc, term asc, LIMIT max_expand), so the oracle is
@@ -1036,6 +1064,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_incremental_bm25": bm25,
         "fts_merge_bm25": bm25,
         "fts_update_bm25": bm25_update,
+        "fts_filtered_bm25": bm25_within,
         "fts_delete_bm25": bm25_del,
         "fts_delete_compact_bm25": bm25_del_compact,
         "fts_index_bm25_batch": bm25_batch,

@@ -151,22 +151,25 @@ class FtsEngine:
         hydrate: bool = False,
         conjunctive: bool = False,
         exclude: str | None = None,
+        within=None,
     ) -> DataFrame:
-        """``conjunctive`` (AND) and ``exclude`` (NOT) extend the
-        reference's OR-accumulate; bm25 scorer only (the reference scorer
-        keeps its exact ``engine.go:82-158`` surface)."""
+        """``conjunctive`` (AND), ``exclude`` (NOT) and ``within``
+        (restriction filter: url list/DataFrame, the ``site:``/sub-corpus
+        search) extend the reference's OR-accumulate; bm25 scorer only
+        (the reference scorer keeps its exact ``engine.go:82-158``
+        surface)."""
         k = self.options.k if k is None else k
         scorer = scorer or self.options.scorer
         if scorer == "reference":
-            if conjunctive or exclude:
+            if conjunctive or exclude or within is not None:
                 raise ValueError(
-                    "conjunctive/exclude require scorer='bm25'"
+                    "conjunctive/exclude/within require scorer='bm25'"
                 )
             return self.index.search_reference(query, k, hydrate=hydrate)
         if scorer == "bm25":
             return self.index.search_bm25(
                 query, k, mode=mode or self.options.mode, hydrate=hydrate,
-                conjunctive=conjunctive, exclude=exclude,
+                conjunctive=conjunctive, exclude=exclude, within=within,
             )
         raise ValueError(f"unknown scorer {scorer!r}")
 

@@ -141,6 +141,13 @@ class SearchResult:
     timings: dict[str, float]
 
 
+class _IncludeTooBig:
+    """Sentinel: the `within` set exceeds include_broadcast_max."""
+
+
+_INCLUDE_TOO_BIG = _IncludeTooBig()
+
+
 class IndexVersionError(RuntimeError):
     """Snapshot envelope mismatch — the reference refuses to load snapshots
     whose version differs (``snapshot.go:135-163``); so do we."""
@@ -203,6 +210,8 @@ class FtsIndex:
         # stops being the right vehicle (~800 MB at 100M); WAND falls back
         # to the relational anti-join plan and the operator should compact
         self.dead_broadcast_max = 100_000_000
+        # same bound for the `within` restriction filter's include set
+        self.include_broadcast_max = 100_000_000
 
     def warm(
         self,
@@ -521,6 +530,31 @@ class FtsIndex:
         # anti-join shuffle-free on the big side
         return df.join(F.broadcast(ts), col, "left_anti")
 
+    # ---- restriction filter (`within=` filtered search) ----------------
+    def _within_df(self, within) -> DataFrame | None:
+        """Resolve a url list / url-DataFrame to a (doc_id) DataFrame."""
+        if within is None:
+            return None
+        if isinstance(within, DataFrame):
+            rel = within.select(F.col("url").cast("string")).distinct()
+            return self.docs().join(rel, "url", "left_semi").select("doc_id")
+        return (
+            self.docs()
+            .where(F.col("url").isin(list(within)))
+            .select("doc_id")
+        )
+
+    def _within_ids(self, incl_df: DataFrame | None):
+        """Sorted include-id array for the WAND broadcast, or the
+        _INCLUDE_TOO_BIG sentinel when the set exceeds the driver/broadcast
+        bound (the relational semi-join plan serves those)."""
+        if incl_df is None:
+            return None
+        rows = incl_df.limit(self.include_broadcast_max + 1).collect()
+        if len(rows) > self.include_broadcast_max:
+            return _INCLUDE_TOO_BIG
+        return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+
     # ---- positional phrase (opt-in table, positions.py)
     @property
     def has_positions(self) -> bool:
@@ -742,6 +776,7 @@ class FtsIndex:
         hydrate: bool = False,
         conjunctive: bool = False,
         exclude: str | None = None,
+        within: "DataFrame | list[str] | None" = None,
     ) -> DataFrame:
         """Top-k BM25 (k1=1.2, b=0.75), deterministic (score desc, doc_id
         asc). ``mode='relational'`` is the declarative plan; ``mode='wand'``
@@ -764,6 +799,15 @@ class FtsIndex:
         A term both queried and excluded can never contribute (its docs
         are all dropped), so it scores nothing; under ``conjunctive`` it
         makes the result empty.
+
+        ``within`` is the restriction filter (a ``site:``/sub-corpus
+        search): a url list or a DataFrame with a ``url`` column; only
+        matching documents can appear in results. Standard search-engine
+        semantics — scoring is unchanged (full-corpus stats), the filter
+        gates candidacy. In wand mode the resolved doc ids ride a sorted
+        broadcast and whole segments/shards with no included doc are
+        skipped before any decode; above ``include_broadcast_max`` ids the
+        relational plan (a semi-join) serves instead.
         """
         mult = self._query_mult(query, preset)
         if not mult:
@@ -780,9 +824,16 @@ class FtsIndex:
                 return self._maybe_hydrate(
                     self._empty_bm25_result(), hydrate, bounded=True
                 )
-        if mode == "relational":
-            return self._bm25_relational(mult, k, hydrate, require_n, excl)
-        return self._bm25_wand(mult, k, hydrate, require_n, excl)
+        incl_df = self._within_df(within)
+        if mode != "relational":
+            incl_ids = self._within_ids(incl_df)
+            if incl_ids is None or incl_ids is not _INCLUDE_TOO_BIG:
+                return self._bm25_wand(
+                    mult, k, hydrate, require_n, excl, incl_ids
+                )
+            # fall through: include set too large for a driver array —
+            # the relational semi-join handles it distributed
+        return self._bm25_relational(mult, k, hydrate, require_n, excl, incl_df)
 
     # ---- dictionary-expanded queries (prefix / fuzzy) -------------------
 
@@ -1133,6 +1184,7 @@ class FtsIndex:
         preset: str | None = None,
         conjunctive: bool = False,
         exclude: str | None = None,
+        within=None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 for ONE query, served from the driver when possible.
 
@@ -1144,14 +1196,21 @@ class FtsIndex:
         enabled, the driver dictionary is absent, or a query term's
         posting list is too large for the point budget. ``exclude`` is
         boolean NOT (see :meth:`search_bm25`); excluded terms are cached
-        and budgeted exactly like scoring terms.
+        and budgeted exactly like scoring terms. ``within`` (restriction
+        filter) always serves via the distributed path — resolving a url
+        set to doc ids is a Spark job, which defeats the point tier's
+        no-job premise.
         """
-        if self._point_cache is None or self._term_dict is None:
+        if (
+            self._point_cache is None
+            or self._term_dict is None
+            or within is not None
+        ):
             return [
                 (int(r["doc_id"]), float(r["score"]))
                 for r in self.search_bm25(
                     query, k=k, preset=preset, mode="wand",
-                    conjunctive=conjunctive, exclude=exclude,
+                    conjunctive=conjunctive, exclude=exclude, within=within,
                 ).collect()
             ]
         mult = self._query_mult(query, preset)
@@ -1475,6 +1534,7 @@ class FtsIndex:
         hydrate: bool,
         require_n: int = 0,
         excl_mult: dict[str, int] | None = None,
+        incl_df: DataFrame | None = None,
     ) -> DataFrame:
         scored = self._bm25_scored(mult, require_n)
         if excl_mult:
@@ -1483,6 +1543,10 @@ class FtsIndex:
             scored = scored.join(
                 self._match_count_df(excl_mult), "doc_id", "left_anti"
             )
+        if incl_df is not None:
+            # restriction filter, fully distributed (no driver id array):
+            # a semi-join gates candidacy without touching scores
+            scored = scored.join(incl_df, "doc_id", "left_semi")
         scored = scored.orderBy(
             F.desc("score"), F.asc("doc_id")
         )
@@ -1497,6 +1561,7 @@ class FtsIndex:
         hydrate: bool,
         require_n: int = 0,
         excl_mult: dict[str, int] | None = None,
+        incl_ids: np.ndarray | None = None,
     ) -> DataFrame:
         """Document-partitioned block-max WAND: each shard's posting rows for
         the query terms are processed by one kernel that decodes only the
@@ -1523,6 +1588,11 @@ class FtsIndex:
             )
             return self._bm25_relational(mult, k, hydrate, require_n, excl_mult)
         dead_bc = self._dead_broadcast()
+        incl_bc = (
+            self.spark.sparkContext.broadcast(incl_ids)
+            if incl_ids is not None
+            else None
+        )
         if self._term_dict is not None:
             present = {
                 t: (m, self._term_dict[t][0])
@@ -1547,7 +1617,7 @@ class FtsIndex:
                 self.n_docs, self.shard_size, self.avgdl, k,
                 term_stats=present, require_n=require_n,
                 exclude_terms=frozenset(excl_present) or None,
-                dead_bcast=dead_bc,
+                dead_bcast=dead_bc, include_bcast=incl_bc,
             )
         else:
             # exclusion terms ride the same stats-joined scan at mult=0;
@@ -1560,7 +1630,7 @@ class FtsIndex:
                 self.n_docs, self.shard_size, self.avgdl, k,
                 require_n=require_n,
                 exclude_terms=frozenset(excl_mult) or None,
-                dead_bcast=dead_bc,
+                dead_bcast=dead_bc, include_bcast=incl_bc,
             )
         local_topk = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_SCHEMA
@@ -1747,6 +1817,7 @@ def _wand_sweep(
     counters,
     require_n: int = 0,
     excl_docs: np.ndarray | None = None,
+    incl_docs: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over weighted term tables -> (doc_ids, scores).
 
@@ -1770,6 +1841,13 @@ def _wand_sweep(
     ``excl_docs`` (sorted int64 array) is boolean NOT: documents in it are
     dropped after accumulation. Theta pruning stays safe — exclusion only
     removes candidates, so block upper bounds remain conservative.
+
+    ``incl_docs`` (sorted int64 array) is the restriction filter (filtered
+    search: ``within=`` a url set): only documents IN it survive. Standard
+    search-engine semantics — the filter does not reshape scoring (stats
+    and per-doc scores unchanged), it gates candidacy. Same safety
+    argument as exclusion: a filter only removes candidates. Segments
+    wholly outside the include set are skipped before any decode.
     """
     bounds = np.unique(
         np.concatenate(
@@ -1782,6 +1860,15 @@ def _wand_sweep(
     for si in range(len(bounds)):
         seg_lo = int(bounds[si])
         seg_hi = int(bounds[si + 1]) - 1 if si + 1 < len(bounds) else None
+
+        if incl_docs is not None:
+            # restriction filter: a segment with no included doc can never
+            # contribute — skipped before any UB work or block decode
+            j_inc = int(np.searchsorted(incl_docs, seg_lo))
+            if j_inc >= incl_docs.size or (
+                seg_hi is not None and int(incl_docs[j_inc]) > seg_hi
+            ):
+                continue
 
         ub_sum = 0.0
         active = []
@@ -1830,6 +1917,17 @@ def _wand_sweep(
                 np.searchsorted(excl_docs, uniq), excl_docs.size - 1
             )
             keep = excl_docs[pos] != uniq
+            if not keep.any():
+                continue
+            uniq, acc = uniq[keep], acc[keep]
+        if incl_docs is not None and uniq.size:
+            if incl_docs.size:
+                pos = np.minimum(
+                    np.searchsorted(incl_docs, uniq), incl_docs.size - 1
+                )
+                keep = incl_docs[pos] == uniq
+            else:
+                keep = np.zeros(len(uniq), dtype=bool)
             if not keep.any():
                 continue
             uniq, acc = uniq[keep], acc[keep]
@@ -1882,6 +1980,7 @@ def make_wand_kernel(
     require_n: int = 0,
     exclude_terms: frozenset[str] | None = None,
     dead_bcast=None,
+    include_bcast=None,
 ):
     """Build the per-shard block-max WAND applyInPandas kernel.
 
@@ -1928,6 +2027,16 @@ def make_wand_kernel(
             excl_docs = _merge_dead(
                 excl_docs, dead_bcast.value, base, shard_size
             )
+        incl_docs = None
+        if include_bcast is not None:
+            incl = include_bcast.value
+            lo = int(np.searchsorted(incl, base))
+            hi = int(np.searchsorted(incl, base + shard_size))
+            if hi <= lo:
+                # restriction filter has no doc in this shard: nothing to
+                # decode or sweep at all
+                return pd.DataFrame({"doc_id": [], "score": []})
+            incl_docs = incl[lo:hi]
 
         weighted = []
         for term, t in term_map.items():
@@ -1946,7 +2055,8 @@ def make_wand_kernel(
             # no postings in this shard rules out every doc in it
             return pd.DataFrame({"doc_id": [], "score": []})
         docs, scores = _wand_sweep(
-            weighted, k, base, avgdl, counters, require_n, excl_docs
+            weighted, k, base, avgdl, counters, require_n, excl_docs,
+            incl_docs,
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
