@@ -1,0 +1,101 @@
+"""spark-submit job: mutate a live index — delete / upsert / merge.
+
+    # tombstone urls (a file with one url per line, or a parquet/csv of urls)
+    spark-submit --py-files dist/fts_engine_spark.zip jobs/mutate.py \
+        delete --index /path/to/index --urls urls.txt
+    spark-submit ... jobs/mutate.py delete --index IX --urls-table urls.parquet
+
+    # upsert re-crawled pages (same (url, text, lang) table as the build)
+    spark-submit ... jobs/mutate.py update --index IX --docs recrawl.parquet
+
+    # merge a segment index into a global one
+    spark-submit ... jobs/mutate.py merge --index IX --src /path/to/segment \
+        [--no-compact]
+
+Deletes tombstone immediately (excluded on every serving path) and purge
+physically at the next compaction (jobs/compact.py or --compact here);
+see fts_engine_spark/mutate.py for semantics and crash-safety.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+from fts_engine_spark.build import BuildConfig
+from fts_engine_spark.mutate import (
+    delete_documents,
+    merge_indexes,
+    update_documents,
+)
+from fts_engine_spark.streaming.compact import compact_index
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--urls", help="text file, one url per line")
+    d.add_argument("--urls-table", help="parquet/csv table with a url column")
+    d.add_argument("--compact", action="store_true",
+                   help="purge physically right after tombstoning")
+
+    u = sub.add_parser("update")
+    u.add_argument("--index", required=True)
+    u.add_argument("--docs", required=True,
+                   help="parquet table of (url, text, lang) re-crawls")
+    u.add_argument("--compact", action="store_true")
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True, help="destination (grows)")
+    m.add_argument("--src", required=True, help="segment index to merge in")
+    m.add_argument("--no-compact", action="store_true")
+
+    args = ap.parse_args()
+    spark = SparkSession.builder.appName(f"fts-{args.cmd}").getOrCreate()
+
+    if args.cmd == "delete":
+        if bool(args.urls) == bool(args.urls_table):
+            ap.error("delete needs exactly one of --urls / --urls-table")
+        if args.urls:
+            with open(args.urls) as f:
+                urls = [line.strip() for line in f if line.strip()]
+            out = delete_documents(spark, args.index, urls)
+        else:
+            fmt = "csv" if args.urls_table.endswith(".csv") else "parquet"
+            tbl = (
+                spark.read.option("header", "true").csv(args.urls_table)
+                if fmt == "csv"
+                else spark.read.parquet(args.urls_table)
+            )
+            out = delete_documents(spark, args.index, tbl)
+        if args.compact:
+            compact_index(spark, args.index, BuildConfig())
+        print(json.dumps(
+            {"matched": out["matched"], "n_deleted": out["n_deleted"],
+             "compacted": bool(args.compact)}
+        ))
+    elif args.cmd == "update":
+        docs = spark.read.parquet(args.docs)
+        out = update_documents(spark, args.index, docs)
+        if args.compact:
+            compact_index(spark, args.index, BuildConfig())
+        print(json.dumps(
+            {"replaced": out["replaced"], "compacted": bool(args.compact)}
+        ))
+    else:
+        meta = merge_indexes(
+            spark, args.index, args.src,
+            compact_after=not args.no_compact,
+        )
+        print(json.dumps(
+            {"n_docs": meta["n_docs"], "n_shards": meta["n_shards"]}
+        ))
+
+
+if __name__ == "__main__":
+    main()
