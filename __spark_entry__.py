@@ -399,6 +399,7 @@ def _index_search(
     conjunctive: bool = False,
     exclude: str | None = None,
     filtered: bool = False,
+    min_match: int | None = None,
 ) -> DataFrame:
     from fts_engine_spark.query import FtsIndex
 
@@ -419,6 +420,7 @@ def _index_search(
     out = fts.search_bm25(
         " ".join(terms or Q_TERMS), k=k, mode=mode, hydrate=True,
         conjunctive=conjunctive, exclude=exclude, within=within,
+        min_match=min_match,
     )
     return out.select(
         F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
@@ -620,6 +622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_update_bm25": lambda s, d: _updated_search(s, d),
         "fts_filtered_bm25": lambda s, d: _index_search(
             s, d, "wand", filtered=True
+        ),
+        "fts_index_bm25_msm": lambda s, d: _index_search(
+            s, d, "wand", min_match=3
         ),
         "fts_delete_bm25": lambda s, d: _deleted_search(s, d, compacted=False),
         "fts_delete_compact_bm25": lambda s, d: _deleted_search(
@@ -904,6 +909,12 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
         "  HAVING count(*) = (SELECT count(*) FROM q))",
     )
     assert bm25_and != bm25  # the splice target must exist
+    # minimum-should-match: >= 3 of the 4 distinct query terms
+    bm25_msm = bm25.replace(
+        "  GROUP BY tf.doc_id)",
+        "  GROUP BY tf.doc_id\n  HAVING count(*) >= 3)",
+    )
+    assert bm25_msm != bm25
     # boolean NOT: drop every doc matching an excluded term (tf is the
     # full corpus TF table, so the subquery is exactly the match set)
     _not_in = ", ".join(f"'{t}'" for t in NOT_EXCLUDE)
@@ -1065,6 +1076,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_merge_bm25": bm25,
         "fts_update_bm25": bm25_update,
         "fts_filtered_bm25": bm25_within,
+        "fts_index_bm25_msm": bm25_msm,
         "fts_delete_bm25": bm25_del,
         "fts_delete_compact_bm25": bm25_del_compact,
         "fts_index_bm25_batch": bm25_batch,

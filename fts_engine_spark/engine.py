@@ -152,24 +152,27 @@ class FtsEngine:
         conjunctive: bool = False,
         exclude: str | None = None,
         within=None,
+        min_match: int | None = None,
     ) -> DataFrame:
-        """``conjunctive`` (AND), ``exclude`` (NOT) and ``within``
+        """``conjunctive`` (AND), ``exclude`` (NOT), ``within``
         (restriction filter: url list/DataFrame, the ``site:``/sub-corpus
-        search) extend the reference's OR-accumulate; bm25 scorer only
-        (the reference scorer keeps its exact ``engine.go:82-158``
-        surface)."""
+        search) and ``min_match`` (minimum-should-match) extend the
+        reference's OR-accumulate; bm25 scorer only (the reference scorer
+        keeps its exact ``engine.go:82-158`` surface)."""
         k = self.options.k if k is None else k
         scorer = scorer or self.options.scorer
         if scorer == "reference":
-            if conjunctive or exclude or within is not None:
+            if conjunctive or exclude or within is not None or min_match:
                 raise ValueError(
-                    "conjunctive/exclude/within require scorer='bm25'"
+                    "conjunctive/exclude/within/min_match require "
+                    "scorer='bm25'"
                 )
             return self.index.search_reference(query, k, hydrate=hydrate)
         if scorer == "bm25":
             return self.index.search_bm25(
                 query, k, mode=mode or self.options.mode, hydrate=hydrate,
                 conjunctive=conjunctive, exclude=exclude, within=within,
+                min_match=min_match,
             )
         raise ValueError(f"unknown scorer {scorer!r}")
 

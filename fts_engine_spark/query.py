@@ -777,6 +777,7 @@ class FtsIndex:
         conjunctive: bool = False,
         exclude: str | None = None,
         within: "DataFrame | list[str] | None" = None,
+        min_match: int | None = None,
     ) -> DataFrame:
         """Top-k BM25 (k1=1.2, b=0.75), deterministic (score desc, doc_id
         asc). ``mode='relational'`` is the declarative plan; ``mode='wand'``
@@ -808,12 +809,27 @@ class FtsIndex:
         broadcast and whole segments/shards with no included doc are
         skipped before any decode; above ``include_broadcast_max`` ids the
         relational plan (a semi-join) serves instead.
+
+        ``min_match`` is Lucene's minimum-should-match: only documents
+        matching at least that many DISTINCT query terms are scored — the
+        middle ground between OR (1) and AND (all); ``conjunctive`` is
+        exactly ``min_match = len(distinct terms)``. The same WAND segment
+        skip applies: a segment where fewer than ``min_match`` terms have
+        postings is never decoded. Terms removed by ``exclude`` do not
+        count toward the requirement.
         """
+        if min_match is not None and conjunctive:
+            raise ValueError("pass either conjunctive or min_match, not both")
         mult = self._query_mult(query, preset)
         if not mult:
             return self._empty_bm25_result()
         excl = self._query_mult(exclude, preset) if exclude else {}
-        require_n = len(mult) if conjunctive else 0
+        require_n = len(mult) if conjunctive else max(0, int(min_match or 0))
+        if require_n > len(mult):
+            # more distinct matches required than the query has terms
+            return self._maybe_hydrate(
+                self._empty_bm25_result(), hydrate, bounded=True
+            )
         if excl:
             if conjunctive and set(mult) & set(excl):
                 return self._maybe_hydrate(
@@ -1185,6 +1201,7 @@ class FtsIndex:
         conjunctive: bool = False,
         exclude: str | None = None,
         within=None,
+        min_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 for ONE query, served from the driver when possible.
 
@@ -1211,11 +1228,16 @@ class FtsIndex:
                 for r in self.search_bm25(
                     query, k=k, preset=preset, mode="wand",
                     conjunctive=conjunctive, exclude=exclude, within=within,
+                    min_match=min_match,
                 ).collect()
             ]
+        if min_match is not None and conjunctive:
+            raise ValueError("pass either conjunctive or min_match, not both")
         mult = self._query_mult(query, preset)
         excl = self._query_mult(exclude, preset) if exclude else {}
-        require_n = len(mult) if conjunctive else 0
+        require_n = len(mult) if conjunctive else max(0, int(min_match or 0))
+        if mult and require_n > len(mult):
+            return []
         if excl:
             if conjunctive and set(mult) & set(excl):
                 return []
@@ -1244,6 +1266,7 @@ class FtsIndex:
                 for r in self.search_bm25(
                     query, k=k, preset=preset, mode="wand",
                     conjunctive=conjunctive, exclude=exclude,
+                    min_match=min_match,
                 ).collect()
             ]
         return self._point_sweep(
