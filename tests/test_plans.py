@@ -188,6 +188,50 @@ def test_warm_serving_plan_has_no_query_literals(spark, small_index):
         fts._terms_df.unpersist()
 
 
+def test_tombstones_and_within_keep_wand_plan_shape(
+    spark, small_index, tmp_path
+):
+    """Pending deletes and the `within` restriction filter ride BROADCAST
+    VARIABLES into the WAND kernel, not plan nodes: the warm serving plan
+    stays literally identical (zero exchanges, no extra joins) with and
+    without them — the serving-floor story survives mutations."""
+    import re
+    import shutil
+
+    from fts_engine_spark.mutate import delete_documents
+    from fts_engine_spark.plans.review import formatted_plan
+
+    index_dir, _ = small_index
+    work = str(tmp_path / "ix")
+    shutil.copytree(index_dir, work)
+
+    def warm_wand_plan(d, **kw):
+        fts = FtsIndex(spark, d).warm()
+        try:
+            df = fts.search_bm25("turtle hotel", k=5, **kw)
+            plan = re.sub(r"#\d+L?", "#N", formatted_plan(df))
+            return re.sub(r"plan_id=\d+", "plan_id=N", plan)
+        finally:
+            fts._postings_df.unpersist()
+            if fts._terms_df is not None:
+                fts._terms_df.unpersist()
+
+    base = warm_wand_plan(work)
+    url0 = spark.read.parquet(f"{work}/docs").select("url").first()["url"]
+    delete_documents(spark, work, [url0])
+    with_dead = warm_wand_plan(work)
+    assert with_dead == base
+    with_within = warm_wand_plan(work, within=[url0])
+    assert with_within == base
+    for plan in (base, with_dead, with_within):
+        # Zero exchanges in the per-query plan: the only Exchange sits
+        # inside the InMemoryRelation subtree (cache population, runs once
+        # at warm()), never above the InMemoryTableScan that serves queries.
+        tree = plan.split("\n\n", 1)[0]
+        above_cache = tree.split("InMemoryRelation", 1)[0]
+        assert "Exchange" not in above_cache, tree
+
+
 def test_build_postings_wave_plan_has_no_jvm_sort(spark, docs):
     """The r3 postings plan ships packed doc rows through ONE exchange into
     the encode kernel — the (shard, term, doc) sort lives inside the kernel
