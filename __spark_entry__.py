@@ -400,6 +400,7 @@ def _index_search(
     exclude: str | None = None,
     filtered: bool = False,
     min_match: int | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     from fts_engine_spark.query import FtsIndex
 
@@ -420,12 +421,22 @@ def _index_search(
     out = fts.search_bm25(
         " ".join(terms or Q_TERMS), k=k, mode=mode, hydrate=True,
         conjunctive=conjunctive, exclude=exclude, within=within,
-        min_match=min_match,
+        min_match=min_match, offset=offset,
     )
     return out.select(
         F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
         F.round(F.col("score"), 4).alias("score"),
     )
+
+
+def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet panel over the compressed index: distinct matching docs per
+    lang, full OR match set (doc-blob-only decode, no scoring)."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    return fts.facet_counts(" ".join(Q_TERMS), facet="lang")
 
 
 def _expanded_search(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
@@ -595,6 +606,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_index_bm25_not": lambda s, d: _index_search(
             s, d, "wand", exclude=" ".join(NOT_EXCLUDE)
         ),
+        # pagination: page 2 (ranks 11-20) — the kernel fetches top
+        # k+offset and the page is sliced after the global merge
+        "fts_index_bm25_page2": lambda s, d: _index_search(
+            s, d, "wand", k=10, offset=10
+        ),
+        # facet panel: distinct matching docs per lang over the FULL
+        # match set (doc-blob-only decode, no tf/dl bytes, no scoring)
+        "fts_facet_counts": _facet_counts,
         # positional (phrase) search: direct scan baseline + the
         # two-phase index plan, both against the same list-position oracle
         "fts_phrase_scan": lambda s, d: search.search_phrase_direct(
@@ -901,6 +920,18 @@ SELECT doc_id, round(raw, 4) AS score FROM scored
 ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
 """
     bm25_all = bm25.replace(" LIMIT 10", "")
+    # pagination: page 2 = ranks 11-20 of the same deterministic order
+    bm25_page2 = bm25.replace(" LIMIT 10", " LIMIT 10 OFFSET 10")
+    # facet panel: distinct matching docs (OR semantics) per lang
+    facet_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+matches AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term))
+SELECT d.lang AS lang, count(*)::BIGINT AS n_docs
+FROM matches m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1 ORDER BY n_docs DESC, lang
+"""
     # conjunctive: every distinct query term must match; tf is unique per
     # (term, doc), so the group's row count is the distinct-match count
     bm25_and = bm25.replace(
@@ -1072,6 +1103,8 @@ ORDER BY query_id, score DESC, doc_id
         "fts_phrase_search": phrase_sql,
         "fts_phrase_positional": phrase_sql,
         "fts_index_bm25_all": bm25_all,
+        "fts_index_bm25_page2": bm25_page2,
+        "fts_facet_counts": facet_sql,
         "fts_incremental_bm25": bm25,
         "fts_merge_bm25": bm25,
         "fts_update_bm25": bm25_update,

@@ -642,6 +642,39 @@ class FtsIndex:
             .distinct()
         )
 
+    def facet_counts(
+        self, query: str, facet: str = "lang", preset: str | None = None
+    ) -> DataFrame:
+        """Search-UI facet panel: distinct matching documents per value of
+        a docs-table column, over the FULL match set (OR semantics, same
+        normalization as :meth:`search_bm25`) — not just the top-k page.
+
+        One job, no scoring: the match set comes from a doc-blob-ONLY
+        decode (the same ~1/3-of-the-bytes projection as the
+        pre-truncation count; tf/dl blobs are never read), tombstones are
+        anti-joined, and the distinct doc ids join the docs table on
+        doc_id to pick up the facet column. At scale the matches⋈docs
+        join is the only wide shuffle (both sides hash-partition on the
+        key; AQE picks the strategy) and the groupBy collapses map-side
+        into at most |distinct facet values| rows per partition.
+
+        Returns (facet, n_docs) ordered by n_docs desc, facet asc.
+        """
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self.spark.range(0).select(
+                F.col("id").cast("string").alias(facet),
+                F.col("id").alias("n_docs"),
+            )
+        matches = self._match_count_df(mult)
+        docs = self.docs().select("doc_id", facet)
+        return (
+            matches.join(docs, "doc_id")
+            .groupBy(facet)
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(facet))
+        )
+
     # ---- searches ------------------------------------------------------
     def search_reference(
         self, query: str, k: int = 10, preset: str | None = None, hydrate: bool = False
@@ -778,10 +811,20 @@ class FtsIndex:
         exclude: str | None = None,
         within: "DataFrame | list[str] | None" = None,
         min_match: int | None = None,
+        offset: int = 0,
     ) -> DataFrame:
         """Top-k BM25 (k1=1.2, b=0.75), deterministic (score desc, doc_id
         asc). ``mode='relational'`` is the declarative plan; ``mode='wand'``
         runs per-shard block-max WAND and merges local top-k globally.
+
+        ``offset`` is result pagination (page N = ``k=page_size,
+        offset=N*page_size``): the first ``offset`` rows of the global
+        order are dropped. Internally the engine fetches the top
+        ``k+offset`` — per-shard WAND prunes against the deeper threshold,
+        so page 2 costs marginally more decode than page 1, never a
+        rescore — and slices on the driver side of the global merge.
+        Deterministic ordering (doc_id tiebreak) makes pages stable and
+        non-overlapping across requests.
 
         ``conjunctive=True`` is AND semantics (the default mode of most
         web search boxes): only documents containing EVERY distinct query
@@ -820,6 +863,8 @@ class FtsIndex:
         """
         if min_match is not None and conjunctive:
             raise ValueError("pass either conjunctive or min_match, not both")
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
         mult = self._query_mult(query, preset)
         if not mult:
             return self._empty_bm25_result()
@@ -841,15 +886,44 @@ class FtsIndex:
                     self._empty_bm25_result(), hydrate, bounded=True
                 )
         incl_df = self._within_df(within)
+        # pagination: fetch the top k+offset, slice after the global merge
+        # (hydration waits until after the slice so it joins one page)
+        k_eff = k + offset if (offset and k > 0) else k
+        hyd_inner = hydrate and not offset
+        out = None
         if mode != "relational":
             incl_ids = self._within_ids(incl_df)
             if incl_ids is None or incl_ids is not _INCLUDE_TOO_BIG:
-                return self._bm25_wand(
-                    mult, k, hydrate, require_n, excl, incl_ids
+                out = self._bm25_wand(
+                    mult, k_eff, hyd_inner, require_n, excl, incl_ids
                 )
-            # fall through: include set too large for a driver array —
-            # the relational semi-join handles it distributed
-        return self._bm25_relational(mult, k, hydrate, require_n, excl, incl_df)
+        if out is None:
+            # include set too large for a driver array — the relational
+            # semi-join handles it distributed
+            out = self._bm25_relational(
+                mult, k_eff, hyd_inner, require_n, excl, incl_df
+            )
+        if offset:
+            out = self._apply_offset(out, k, offset)
+            out = self._maybe_hydrate(out, hydrate, bounded=k > 0)
+        return out
+
+    def _apply_offset(self, scored: DataFrame, k: int, offset: int) -> DataFrame:
+        """Drop the first ``offset`` rows of the global (score desc, doc_id
+        asc) order. With k>0 the input is already truncated to k+offset
+        rows, so the single-partition row_number window ranks one page,
+        not the corpus; with k<=0 ("return all") the window globally sorts
+        the full match set — pagination there costs what the query costs,
+        which is what unbounded pagination means."""
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = scored.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") > offset
+        )
+        if k > 0:
+            out = out.where(F.col("_rn") <= offset + k)
+        return out.drop("_rn").orderBy(F.desc("score"), F.asc("doc_id"))
 
     # ---- dictionary-expanded queries (prefix / fuzzy) -------------------
 
@@ -1202,8 +1276,12 @@ class FtsIndex:
         exclude: str | None = None,
         within=None,
         min_match: int | None = None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 for ONE query, served from the driver when possible.
+
+        ``offset`` paginates exactly like :meth:`search_bm25` (the sweep
+        keeps k+offset candidates, the page is sliced in-process).
 
         Results are EXACTLY :meth:`search_bm25`'s (same kernel, same
         float64 arithmetic, same (score desc, doc_id asc) order; asserted
@@ -1228,11 +1306,13 @@ class FtsIndex:
                 for r in self.search_bm25(
                     query, k=k, preset=preset, mode="wand",
                     conjunctive=conjunctive, exclude=exclude, within=within,
-                    min_match=min_match,
+                    min_match=min_match, offset=offset,
                 ).collect()
             ]
         if min_match is not None and conjunctive:
             raise ValueError("pass either conjunctive or min_match, not both")
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
         mult = self._query_mult(query, preset)
         excl = self._query_mult(exclude, preset) if exclude else {}
         require_n = len(mult) if conjunctive else max(0, int(min_match or 0))
@@ -1266,12 +1346,14 @@ class FtsIndex:
                 for r in self.search_bm25(
                     query, k=k, preset=preset, mode="wand",
                     conjunctive=conjunctive, exclude=exclude,
-                    min_match=min_match,
+                    min_match=min_match, offset=offset,
                 ).collect()
             ]
-        return self._point_sweep(
-            present, k, require_n, frozenset(excl_present) or None
+        k_eff = k + offset if (offset and k > 0) else k
+        rows = self._point_sweep(
+            present, k_eff, require_n, frozenset(excl_present) or None
         )
+        return rows[offset:] if offset else rows
 
     def _point_sweep(
         self,

@@ -1,0 +1,121 @@
+"""Result pagination (offset=) and the facet panel (facet_counts).
+
+Pagination invariants: pages tile the deep top-k exactly (page1+page2 ==
+top-20, element-wise), every serving path agrees (wand, relational, point
+tier), and hydration applies after the slice. Facets: counts equal a
+hand-built relational ground truth over the same normalization.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fts_engine_spark.query import FtsIndex
+
+QUERY = "turtle hotel data"
+
+
+def _rows(df):
+    return [(int(r["doc_id"]), round(float(r["score"]), 9)) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def fts(spark, small_index):
+    index_dir, _ = small_index
+    return FtsIndex(spark, index_dir)
+
+
+def test_pages_tile_the_deep_topk(fts):
+    deep = _rows(fts.search_bm25(QUERY, k=20))
+    assert len(deep) == 20
+    page1 = _rows(fts.search_bm25(QUERY, k=10))
+    page2 = _rows(fts.search_bm25(QUERY, k=10, offset=10))
+    assert page1 + page2 == deep
+    # pages never overlap and ordering is deterministic
+    assert len({d for d, _ in page1} & {d for d, _ in page2}) == 0
+
+
+def test_offset_modes_agree(fts):
+    wand = _rows(fts.search_bm25(QUERY, k=5, offset=7, mode="wand"))
+    rel = _rows(fts.search_bm25(QUERY, k=5, offset=7, mode="relational"))
+    assert wand == rel and len(wand) == 5
+
+
+def test_offset_point_tier_matches_distributed(fts):
+    fts.warm().enable_point_serving()
+    try:
+        dist = _rows(fts.search_bm25(QUERY, k=10, offset=10))
+        point = [
+            (d, round(s, 9))
+            for d, s in fts.search_bm25_point(QUERY, k=10, offset=10)
+        ]
+        assert point == dist
+    finally:
+        fts._postings_df.unpersist()
+        if fts._terms_df is not None:
+            fts._terms_df.unpersist()
+
+
+def test_offset_past_end_and_validation(fts):
+    n = fts.search_bm25(QUERY, k=0).count()
+    assert _rows(fts.search_bm25(QUERY, k=10, offset=n + 5)) == []
+    with pytest.raises(ValueError):
+        fts.search_bm25(QUERY, k=10, offset=-1)
+
+
+def test_offset_hydrates_one_page(fts):
+    out = fts.search_bm25(QUERY, k=3, offset=3, hydrate=True)
+    rows = out.collect()
+    assert len(rows) == 3 and {"url", "url_md5"} <= set(out.columns)
+    bare = _rows(fts.search_bm25(QUERY, k=3, offset=3))
+    assert [(int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows] == bare
+
+
+def test_facet_counts_match_relational_ground_truth(fts, spark):
+    got = {
+        r["lang"]: int(r["n_docs"])
+        for r in fts.facet_counts(QUERY, facet="lang").collect()
+    }
+    # ground truth: distinct matching docs per lang via the decoded
+    # postings (OR semantics, same normalization/pipeline)
+    mult = fts._query_mult(QUERY)
+    truth = {
+        r["lang"]: int(r["n"])
+        for r in (
+            fts.decoded_postings(list(mult), mult)
+            .select("doc_id")
+            .distinct()
+            .join(fts.docs().select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.countDistinct("doc_id").alias("n"))
+            .collect()
+        )
+    }
+    assert got == truth and sum(got.values()) > 0
+
+
+def test_facet_counts_exclude_tombstones(fts, spark, small_index, tmp_path):
+    import shutil
+
+    from fts_engine_spark.mutate import delete_documents
+
+    index_dir, _ = small_index
+    work = str(tmp_path / "ix")
+    shutil.copytree(index_dir, work)
+    base = FtsIndex(fts.spark, work)
+    before = {
+        r["lang"]: int(r["n_docs"])
+        for r in base.facet_counts(QUERY, facet="lang").collect()
+    }
+    # tombstone one matching doc; its lang bucket must shrink by one
+    hit = base.search_bm25(QUERY, k=1, hydrate=True).collect()[0]
+    lang = base.docs().where(F.col("doc_id") == hit["doc_id"]).first()["lang"]
+    delete_documents(fts.spark, work, [hit["url"]])
+    after = {
+        r["lang"]: int(r["n_docs"])
+        for r in FtsIndex(fts.spark, work).facet_counts(QUERY, "lang").collect()
+    }
+    assert after.get(lang, 0) == before[lang] - 1
+    for other in set(before) - {lang}:
+        assert after.get(other) == before[other]
