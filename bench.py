@@ -581,6 +581,69 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     timings["query_point_prefix_p50_ms"] = pre_p50
     timings["query_point_fuzzy_p50_ms"] = fuz_p50
 
+    # ---- 3d3. r5 pagination + facet panel. Page 2 must tile with page 1
+    # (asserted against the deep top-20 before timing; a wrong page must
+    # fail the bench). The facet row times the doc-blob-only full-match
+    # count per lang — the no-scoring decode path.
+    pg_q = REFERENCE_QUERIES[0]["query"]
+    deep = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fts.search_bm25(pg_q, k=20, mode="wand").collect()
+    ]
+    p1 = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fts.search_bm25(pg_q, k=10, mode="wand").collect()
+    ]
+    p2 = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fts.search_bm25(pg_q, k=10, offset=10, mode="wand").collect()
+    ]
+    if p1 + p2 != deep:
+        raise RuntimeError(f"pagination tiling failure on {pg_q!r}")
+    if fts.search_bm25_point(pg_q, k=10, offset=10) != p2:
+        raise RuntimeError(f"point-tier page-2 parity failure on {pg_q!r}")
+
+    def _page2_once():
+        dist, pnt = [], []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                fts.search_bm25(
+                    qd["query"], k=10, offset=10, mode="wand"
+                ).collect()
+                dist.append((time.monotonic() - t0) * 1000)
+                t0 = time.monotonic()
+                fts.search_bm25_point(qd["query"], k=10, offset=10)
+                pnt.append((time.monotonic() - t0) * 1000)
+        return (
+            round(statistics.median(dist), 1),
+            round(statistics.median(pnt), 2),
+        )
+
+    (page2_ms, point_page2_ms), _ = gated_phase(
+        meter, contaminated, steal_log, "query_page2",
+        STEAL_SERVE_TICKS, _page2_once,
+    )
+    timings["query_page2_ms"] = page2_ms
+    timings["query_point_page2_ms"] = point_page2_ms
+
+    fts.facet_counts(pg_q, facet="lang").collect()  # warm-up
+
+    def _facets_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                fts.facet_counts(qd["query"], facet="lang").collect()
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    facets_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_facets",
+        STEAL_SERVE_TICKS, _facets_once,
+    )
+    timings["query_facets_ms"] = facets_ms
+
     from fts_engine_spark.operators.search import search_phrase
 
     search_phrase(fts, docs, "french hotel", k=10).collect()  # warm-up

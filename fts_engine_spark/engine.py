@@ -153,18 +153,20 @@ class FtsEngine:
         exclude: str | None = None,
         within=None,
         min_match: int | None = None,
+        offset: int = 0,
     ) -> DataFrame:
         """``conjunctive`` (AND), ``exclude`` (NOT), ``within``
         (restriction filter: url list/DataFrame, the ``site:``/sub-corpus
-        search) and ``min_match`` (minimum-should-match) extend the
-        reference's OR-accumulate; bm25 scorer only (the reference scorer
-        keeps its exact ``engine.go:82-158`` surface)."""
+        search), ``min_match`` (minimum-should-match) and ``offset``
+        (pagination) extend the reference's OR-accumulate; bm25 scorer
+        only (the reference scorer keeps its exact ``engine.go:82-158``
+        surface)."""
         k = self.options.k if k is None else k
         scorer = scorer or self.options.scorer
         if scorer == "reference":
-            if conjunctive or exclude or within is not None or min_match:
+            if conjunctive or exclude or within is not None or min_match or offset:
                 raise ValueError(
-                    "conjunctive/exclude/within/min_match require "
+                    "conjunctive/exclude/within/min_match/offset require "
                     "scorer='bm25'"
                 )
             return self.index.search_reference(query, k, hydrate=hydrate)
@@ -172,9 +174,14 @@ class FtsEngine:
             return self.index.search_bm25(
                 query, k, mode=mode or self.options.mode, hydrate=hydrate,
                 conjunctive=conjunctive, exclude=exclude, within=within,
-                min_match=min_match,
+                min_match=min_match, offset=offset,
             )
         raise ValueError(f"unknown scorer {scorer!r}")
+
+    def facet_counts(self, query: str, facet: str = "lang") -> DataFrame:
+        """Facet panel: distinct matching docs per docs-column value over
+        the full match set (see :meth:`FtsIndex.facet_counts`)."""
+        return self.index.facet_counts(query, facet=facet)
 
     def search_full(
         self,
