@@ -36,6 +36,14 @@ def test_pages_tile_the_deep_topk(fts):
     assert len({d for d, _ in page1} & {d for d, _ in page2}) == 0
 
 
+@pytest.mark.parametrize("k,offset", [(1, 1), (3, 2), (7, 13), (10, 10)])
+def test_pages_tile_for_arbitrary_k_offset(fts, k, offset):
+    deep = _rows(fts.search_bm25(QUERY, k=k + offset))
+    head = _rows(fts.search_bm25(QUERY, k=offset)) if offset else []
+    page = _rows(fts.search_bm25(QUERY, k=k, offset=offset))
+    assert head + page == deep
+
+
 def test_offset_modes_agree(fts):
     wand = _rows(fts.search_bm25(QUERY, k=5, offset=7, mode="wand"))
     rel = _rows(fts.search_bm25(QUERY, k=5, offset=7, mode="relational"))

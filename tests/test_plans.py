@@ -337,6 +337,19 @@ def test_match_count_reads_only_doc_blob(spark, small_index):
     assert_plan_absent(df, "tf_blob", "dl_blob")
 
 
+def test_facet_counts_plan_prunes_blobs_and_docs_columns(spark, small_index):
+    """The facet panel rides the same doc-blob-only decode as the count
+    path (no tf/dl bytes), and its docs-table scan reads ONLY the key and
+    the facet column — at 10^12 docs reading url/url_md5/doclen for a
+    two-column join would multiply the scan bytes."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    df = fts.facet_counts("turtle hotel", facet="lang")
+    assert_plan(df, "ReadSchema: struct<term:string,doc_blob:binary>")
+    assert_plan(df, "ReadSchema: struct<doc_id:bigint,lang:string>")
+    assert_plan_absent(df, "tf_blob", "dl_blob", "url_md5", "doclen")
+
+
 def test_phrase_verify_pushes_candidate_urls_into_docs_scan(
     spark, docs, tmp_path_factory
 ):
