@@ -439,6 +439,28 @@ def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.facet_counts(" ".join(Q_TERMS), facet="lang")
 
 
+def _snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with best-window highlighted snippets (rows-only check)."""
+    from fts_engine_spark.operators.snippets import search_with_snippets
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    idx_docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    out = search_with_snippets(
+        fts, idx_docs, " ".join(Q_TERMS), k=10,
+        tag_open="<em>", tag_close="</em>",
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+        "snippet",
+    )
+
+
 def _expanded_search(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """Dictionary-expanded BM25 (prefix / fuzzy multi-term rewrite) off the
     compressed index: patterns expand against the terms table (df desc,
@@ -614,6 +636,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # facet panel: distinct matching docs per lang over the FULL
         # match set (doc-blob-only decode, no tf/dl bytes, no scoring)
         "fts_facet_counts": _facet_counts,
+        # best-window highlighted snippets for the top-k (rows-only
+        # check: best-window selection over analyzed token space is not
+        # SQL-expressible; the kernel is golden-tested in
+        # tests/test_snippets.py and the hit set equals fts_index_bm25_wand)
+        "fts_snippets": _snippets,
         # positional (phrase) search: direct scan baseline + the
         # two-phase index plan, both against the same list-position oracle
         "fts_phrase_scan": lambda s, d: search.search_phrase_direct(

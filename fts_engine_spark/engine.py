@@ -221,6 +221,24 @@ class FtsEngine:
             self.index, docs, phrase, k=self.options.k if k is None else k
         )
 
+    def search_snippets(
+        self,
+        docs: DataFrame,
+        query: str,
+        k: int | None = None,
+        window: int = 30,
+        **kw,
+    ) -> DataFrame:
+        """Top-k BM25 with a best-window highlighted snippet per hit
+        (see :mod:`.operators.snippets`); ``docs`` is the source table —
+        the index stores postings, not text."""
+        from .operators.snippets import search_with_snippets
+
+        return search_with_snippets(
+            self.index, docs, query,
+            k=self.options.k if k is None else k, window=window, **kw,
+        )
+
     def search_phrase_indexed(self, phrase: str, k: int | None = None) -> DataFrame:
         """Phrase search from the positional table alone (no source-table
         scan; requires ``store_positions=True`` at build). Same output
