@@ -9,6 +9,8 @@ stemmed surface forms are wrapped, pushdown keeps the docs scan bounded).
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from fts_engine_spark.operators.snippets import best_snippet, search_with_snippets
@@ -56,6 +58,38 @@ def test_kernel_earliest_window_wins_ties():
 def test_kernel_empty_and_short_text():
     assert snip("", {"x"}) == ""
     assert snip("hi", {"x"}, window=5) == "hi"
+
+
+_WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    words=st.lists(_WORD, min_size=0, max_size=60),
+    qwords=st.lists(_WORD, min_size=1, max_size=4),
+    window=st.integers(min_value=1, max_value=20),
+    preset=st.sampled_from(["simple", "english", "multilingual"]),
+)
+def test_kernel_properties(words, qwords, window, preset):
+    """Invariants for arbitrary corpora: (1) the tag-stripped snippet is a
+    contiguous substring of the source text (modulo the … ellipses), and
+    (2) every tagged fragment analyzes to a query term — the highlighter
+    can never mark text the index would not have matched."""
+    pipe = get_pipeline(preset)
+    text = " ".join(words)
+    qterms = frozenset(t for w in qwords for t in pipe.process(w))
+    out = best_snippet(text, qterms, pipe, window, OPEN, CLOSE)
+    bare = out.strip("…").replace(OPEN, "").replace(CLOSE, "")
+    assert bare in text
+    rest = out
+    while OPEN in rest:
+        _, rest = rest.split(OPEN, 1)
+        frag, rest = rest.split(CLOSE, 1)
+        got = pipe.process(frag)
+        assert got and got[0] in qterms, (frag, qterms)
 
 
 def test_operator_matches_search_and_highlights(spark, small_index, small_corpus):
