@@ -867,7 +867,9 @@ class FtsIndex:
             raise ValueError(f"offset must be >= 0, got {offset}")
         mult = self._query_mult(query, preset)
         if not mult:
-            return self._empty_bm25_result()
+            return self._maybe_hydrate(
+                self._empty_bm25_result(), hydrate, bounded=True
+            )
         excl = self._query_mult(exclude, preset) if exclude else {}
         require_n = len(mult) if conjunctive else max(0, int(min_match or 0))
         if require_n > len(mult):
@@ -985,7 +987,9 @@ class FtsIndex:
         hydrate: bool,
     ) -> DataFrame:
         if not mult:
-            return self._empty_bm25_result()
+            return self._maybe_hydrate(
+                self._empty_bm25_result(), hydrate, bounded=True
+            )
         if mode == "relational":
             return self._bm25_relational(mult, k, hydrate)
         return self._bm25_wand(mult, k, hydrate)

@@ -92,6 +92,19 @@ def test_stopword_only_query_empty(spark, small_index):
     assert fts.search_bm25("the was", k=10, preset="english").count() == 0
 
 
+def test_stopword_only_query_hydrated_schema(spark, small_index):
+    """hydrate=True must keep the hydrated schema on the empty path —
+    callers (snippets, UIs) select `url` from the result unconditionally."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25("the was", k=10, preset="english", hydrate=True)
+    assert out.count() == 0
+    assert {"doc_id", "url", "url_md5", "score"} <= set(out.columns)
+    pre = fts.search_bm25_prefix("thez*", k=10, preset="english", hydrate=True)
+    assert pre.count() == 0
+    assert "url" in pre.columns
+
+
 def test_duplicate_token_quirk(spark, small_index, oracle):
     """'hotel hotel' doubles unique_matches for every matching doc
     (engine.go:96-123)."""
