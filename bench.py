@@ -644,6 +644,29 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_facets_ms"] = facets_ms
 
+    # snippets: search + a k-row highlighted-fragment pass whose docs
+    # scan is In()-pushed to the hit rows (two bounded jobs)
+    from fts_engine_spark.operators.snippets import search_with_snippets
+
+    snip_rows = search_with_snippets(fts, docs, pg_q, k=10).collect()
+    if not (len(snip_rows) == 10 and all("\x1b" in r["snippet"] for r in snip_rows)):
+        raise RuntimeError("snippet pass returned unhighlighted rows")
+
+    def _snippets_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                search_with_snippets(fts, docs, qd["query"], k=10).collect()
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    snippets_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_snippets",
+        STEAL_SERVE_TICKS, _snippets_once,
+    )
+    timings["query_snippets_ms"] = snippets_ms
+
     from fts_engine_spark.operators.search import search_phrase
 
     search_phrase(fts, docs, "french hotel", k=10).collect()  # warm-up
