@@ -90,7 +90,8 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _ensure_index(
-    spark: SparkSession, sf_dir: str, positions: bool = False
+    spark: SparkSession, sf_dir: str, positions: bool = False,
+    stored: bool = False,
 ) -> str:
     import hashlib
 
@@ -98,7 +99,7 @@ def _ensure_index(
 
     # version in the key: a format bump must not resume a stale on-disk
     # cache from a previous build (meta version check would refuse it)
-    variant = ":pos" if positions else ""
+    variant = (":pos" if positions else "") + (":st" if stored else "")
     key = hashlib.md5(
         f"{sf_dir}:v{META_VERSION}{variant}".encode()
     ).hexdigest()[:10]
@@ -114,7 +115,7 @@ def _ensure_index(
     )
     cfg = BuildConfig(
         preset="simple", shard_size=4096, id_buckets=16, n_waves=1,
-        store_positions=positions,
+        store_positions=positions, store_text=stored,
     )
     build_index(spark, docs, index_dir, cfg, resume=True)
     _INDEX_CACHE[key] = index_dir
@@ -461,6 +462,27 @@ def _snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snippets_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same snippet pass with text point-read from the stored-fields
+    table (stored.py) instead of the source scan — docs=None. Rows-only
+    check like fts_snippets; stored-vs-source string equality is asserted
+    in tests/test_stored.py."""
+    from fts_engine_spark.operators.snippets import search_with_snippets
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir, stored=True)
+    fts = FtsIndex(spark, index_dir)
+    out = search_with_snippets(
+        fts, None, " ".join(Q_TERMS), k=10,
+        tag_open="<em>", tag_close="</em>",
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+        "snippet",
+    )
+
+
 def _expanded_search(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """Dictionary-expanded BM25 (prefix / fuzzy multi-term rewrite) off the
     compressed index: patterns expand against the terms table (df desc,
@@ -641,6 +663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-expressible; the kernel is golden-tested in
         # tests/test_snippets.py and the hit set equals fts_index_bm25_wand)
         "fts_snippets": _snippets,
+        # the same pass off the stored-fields sidecar (no source-table
+        # scan: hit ids point-read the doc_id-sorted stored table)
+        "fts_snippets_stored": _snippets_stored,
         # positional (phrase) search: direct scan baseline + the
         # two-phase index plan, both against the same list-position oracle
         "fts_phrase_scan": lambda s, d: search.search_phrase_direct(

@@ -114,6 +114,11 @@ class BuildConfig:
     # opt-in positional table for index-only phrase queries (positions.py);
     # costs one extra tokenize pass + ~cf varbyte-encoded positions
     store_positions: bool = False
+    # opt-in stored fields (stored.py): text persisted doc_id-sorted
+    # beside the index so snippets/hydration point-read k row groups
+    # instead of scanning the source table; costs one narrow range
+    # shuffle + a copy of the text bytes
+    store_text: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -757,6 +762,14 @@ def build_index(
         manifest.mark_done("positions", {"n_docs": n_docs})
         t_phase = _lap("positions", t_phase)
 
+    # ---- optional stored fields (point-readable text for snippets)
+    if cfg.store_text and not (resume and manifest.is_done("stored")):
+        from .stored import build_stored_table
+
+        build_stored_table(with_ids, index_dir, n_docs)
+        manifest.mark_done("stored", {"n_docs": n_docs})
+        t_phase = _lap("stored", t_phase)
+
     # ---- global term stats (df/cf) merged across shards
     terms_path = os.path.join(index_dir, "terms")
     if not (resume and manifest.is_done("terms")):
@@ -832,6 +845,9 @@ def build_index(
         # snapshot identity for the positional table: phrase-from-positions
         # refuses to serve when the index has grown past it (positions.py)
         meta["positions"] = {"version": 1, "n_docs": n_docs}
+    if cfg.store_text:
+        # same snapshot discipline for stored fields (stored.py)
+        meta["stored"] = {"version": 1, "n_docs": n_docs}
     atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
     manifest.mark_done("meta", {})
     _log_event(

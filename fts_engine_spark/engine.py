@@ -41,6 +41,9 @@ class EngineOptions:
     k: int = 10
     # build the positional table (index-only phrase queries, positions.py)
     store_positions: bool = False
+    # persist text doc_id-sorted beside the index (stored.py) so
+    # snippets/hydration point-read k row groups without the source table
+    store_text: bool = False
 
 
 class FtsEngine:
@@ -63,6 +66,7 @@ class FtsEngine:
             n_waves=o.n_waves,
             bloom_ndv=o.bloom_ndv,
             store_positions=o.store_positions,
+            store_text=o.store_text,
         )
         meta = build_index(self.spark, docs, self.index_dir, cfg, resume=resume)
         self._index = None
@@ -223,7 +227,7 @@ class FtsEngine:
 
     def search_snippets(
         self,
-        docs: DataFrame,
+        docs: DataFrame | None,
         query: str,
         k: int | None = None,
         window: int = 30,
@@ -231,7 +235,8 @@ class FtsEngine:
     ) -> DataFrame:
         """Top-k BM25 with a best-window highlighted snippet per hit
         (see :mod:`.operators.snippets`); ``docs`` is the source table —
-        the index stores postings, not text."""
+        the index stores postings, not text — or ``None`` to point-read
+        the stored-fields table (``store_text=True`` build)."""
         from .operators.snippets import search_with_snippets
 
         return search_with_snippets(

@@ -104,7 +104,7 @@ def best_snippet(
 
 def search_with_snippets(
     index,
-    docs: DataFrame,
+    docs: DataFrame | None,
     query: str,
     k: int = 10,
     preset: str | None = None,
@@ -116,10 +116,18 @@ def search_with_snippets(
     """(doc_id, url, score, snippet) for the top-k BM25 hits.
 
     ``docs`` is the source table (url, text [, lang]) — the index stores
-    postings, not text. A ``by_lang`` index routes each hit through its
-    own language's pipeline (en→english, ru→russian, else multilingual),
-    exactly like the build and the phrase verify, and highlights against
-    that pipeline's analyzed query terms.
+    postings, not text. Pass ``docs=None`` to read text from the index's
+    stored-fields table instead (``store_text=True`` build or
+    ``stored.add_stored_fields`` retrofit): the hit ids point-read ~k
+    row groups of the doc_id-sorted table, so the pass never rides the
+    source table's layout (``stored.py``; raises
+    ``StoredFieldsUnavailableError`` when absent/stale). Both paths
+    return identical strings (asserted in tests/test_stored.py).
+
+    A ``by_lang`` index routes each hit through its own language's
+    pipeline (en→english, ru→russian, else multilingual), exactly like
+    the build and the phrase verify, and highlights against that
+    pipeline's analyzed query terms.
     """
     from ..query import normalize_query
 
@@ -147,12 +155,26 @@ def search_with_snippets(
             p: frozenset(normalize_query(query, p))
             for p in sorted({*lang_presets.values(), "multilingual"})
         }
-        proj = ["url", "text", "lang"]
     else:
         p = preset or index.preset
         lang_presets = {}
         qterms = {p: frozenset(normalize_query(query, p))}
-        proj = ["url", "text"]
+
+    if docs is None:
+        key = "doc_id"
+        ids = [int(r["doc_id"]) for r in rows]
+        src = index.stored_text(ids)  # (doc_id, text), ~k row groups
+        if by_lang:
+            # lang lives in the (narrow, text-free) docs table; k rows
+            langs = index.docs().where(F.col("doc_id").isin(ids)).select(
+                "doc_id", "lang"
+            )
+            src = src.join(F.broadcast(langs), "doc_id")
+    else:
+        key = "url"
+        proj = ["url", "text", "lang"] if by_lang else ["url", "text"]
+        urls = [r["url"] for r in rows]
+        src = docs.select(*proj).where(F.col("url").isin(urls))
 
     def make_snippets(batches):
         import pandas as pd
@@ -173,7 +195,7 @@ def search_with_snippets(
                         window, tag_open, tag_close,
                     )
                 )
-            yield pd.DataFrame({"url": pdf["url"], "snippet": out})
+            yield pd.DataFrame({key: pdf[key], "snippet": out})
 
     tiny = F.broadcast(
         spark.createDataFrame(
@@ -181,13 +203,11 @@ def search_with_snippets(
             "url string, doc_id long, score double",
         )
     )
-    urls = [r["url"] for r in rows]
-    src = docs.select(*proj).where(F.col("url").isin(urls))
     snipped = src.mapInPandas(
-        make_snippets, schema="url string, snippet string"
+        make_snippets, schema=f"{key} {'long' if key == 'doc_id' else 'string'}, snippet string"
     )
     return (
-        snipped.join(tiny, "url")
+        snipped.join(tiny, key)
         .select("doc_id", "url", "score", "snippet")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )

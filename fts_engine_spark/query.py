@@ -566,6 +566,27 @@ class FtsIndex:
             _os.path.join(self.index_dir, POSITIONS_TABLE)
         )
 
+    # ---- stored fields (opt-in table, stored.py)
+    @property
+    def has_stored(self) -> bool:
+        import os as _os
+
+        from .stored import STORED_TABLE
+
+        return bool(self.meta.get("stored")) and _os.path.isdir(
+            _os.path.join(self.index_dir, STORED_TABLE)
+        )
+
+    def stored_text(self, doc_ids) -> DataFrame:
+        """(doc_id, text) point-read from the stored-fields table (build
+        with ``store_text=True`` or retrofit via
+        ``stored.add_stored_fields``); the doc_id-sorted layout prunes
+        the scan to ~|ids| row groups. Raises
+        ``StoredFieldsUnavailableError`` when absent or stale."""
+        from .stored import stored_text
+
+        return stored_text(self, doc_ids)
+
     def search_phrase_positional(self, phrase: str, k: int = 10) -> DataFrame:
         """Phrase search resolved entirely from the positional table
         (build with ``store_positions=True``); identical output contract

@@ -1,0 +1,147 @@
+"""Opt-in stored fields: document text inside the index layout.
+
+The snippet pass (``operators/snippets.py``) reads the hit documents'
+text back from the SOURCE table. That is the right default — no index
+growth — but the source table is laid out for the crawler, not for
+point reads: an ``In(url)`` predicate over k hits prunes nothing when
+urls are scattered across row groups, so at 10^12 docs every snippet
+page pays an unbounded text-column scan. This module is the classic
+alternative (Lucene's stored fields): persist text beside the index,
+laid out for exactly the read the serving path performs. An extension
+beyond the reference's engine, which holds the whole corpus in memory
+(``engine.go:82-158``) and never pages text from storage.
+
+Layout: a ``stored`` table beside ``postings``/``docs``:
+
+    doc_id  long    -- the index's dense doc id
+    text    string  -- the document's cleaned text, byte-identical to
+                       what the build tokenized
+
+written ``repartitionByRange(doc_id).sortWithinPartitions(doc_id)`` with
+a small parquet row-group target, so every file and every row group
+covers one tight, non-overlapping doc_id interval. A top-k page's
+``In(doc_id)`` predicate then prunes to ~k row groups via footer
+min/max stats — the snippet pass reads k rows' worth of pages, not the
+corpus, no matter the corpus size. (Exactly the pruned-point-read shape
+the postings table already has on ``(shard_id, term)``.)
+
+Snapshot identity mirrors ``positions.py``: the meta entry pins
+``n_docs`` + ``table_version``; any mutation that renumbers or grows
+the index (append, compaction, upsert, merge) makes the table stale and
+the reader fails loudly instead of serving text for the wrong doc ids.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .query import FtsIndex
+
+STORED_TABLE = "stored"
+
+# docs per output file: bounds the range-partitioner's task size and
+# keeps per-file footers small. Row-group size (below) is what pruning
+# granularity actually rides on.
+DEFAULT_DOCS_PER_FILE = 1 << 18
+# small row groups = fine-grained min/max pruning for k-row point reads;
+# 8 MiB of text is ~a few thousand web pages per group
+DEFAULT_ROWGROUP_BYTES = 8 << 20
+
+
+class StoredFieldsUnavailableError(RuntimeError):
+    """No stored-fields table, or it is stale relative to the index."""
+
+
+def build_stored_table(
+    with_ids: DataFrame,
+    index_dir: str,
+    n_docs: int,
+    docs_per_file: int = DEFAULT_DOCS_PER_FILE,
+    rowgroup_bytes: int = DEFAULT_ROWGROUP_BYTES,
+) -> None:
+    """Write the stored table from the id-assigned docs (``with_ids``:
+    doc_id, text — the same ids the postings build assigned). One narrow
+    range shuffle on doc_id; no Python stage."""
+    n_parts = max(1, -(-n_docs // docs_per_file))
+    (
+        with_ids.select("doc_id", "text")
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(rowgroup_bytes))
+        .parquet(os.path.join(index_dir, STORED_TABLE))
+    )
+
+
+def add_stored_fields(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> None:
+    """Retrofit the stored table onto an EXISTING index without a
+    rebuild: join the source ``docs`` (url, text) to the index's docs
+    table for the assigned ids, write the table, then commit the
+    ``stored`` meta entry atomically. ``docs`` must be the same corpus
+    the index was built from (checked by doc count)."""
+    import json
+
+    from .checkpoint import atomic_write_json
+    from .layout import table_path
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    ids = spark.read.parquet(table_path(index_dir, meta, "docs")).select(
+        "doc_id", "url"
+    )
+    with_ids = docs.select("url", "text").join(ids, "url")
+    n = with_ids.count()
+    if n != int(meta["n_docs"]):
+        raise ValueError(
+            f"docs joined to {n} of {meta['n_docs']} index ids — pass the "
+            "exact corpus the index was built from"
+        )
+    build_stored_table(with_ids, index_dir, int(meta["n_docs"]))
+    meta["stored"] = {
+        "version": 1,
+        "n_docs": int(meta["n_docs"]),
+        "table_version": int(meta.get("table_version", 0)),
+    }
+    atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
+
+
+def stored_text(index: "FtsIndex", doc_ids: Iterable[int]) -> DataFrame:
+    """(doc_id, text) for the given ids from the stored table — the
+    ``In(doc_id)`` predicate reaches the parquet scan, and the
+    doc_id-sorted layout prunes it to ~|ids| row groups (plan-asserted
+    in tests/test_stored.py). Raises :class:`StoredFieldsUnavailableError`
+    when the table is absent or stale."""
+    meta = index.meta
+    st = meta.get("stored")
+    path = os.path.join(index.index_dir, STORED_TABLE)
+    if not st or not os.path.isdir(path):
+        raise StoredFieldsUnavailableError(
+            "index has no stored-fields table; rebuild with "
+            "store_text=True, retrofit via add_stored_fields, or pass the "
+            "source docs table"
+        )
+    if int(st["n_docs"]) != int(meta["n_docs"]) or int(
+        st.get("table_version", 0)
+    ) != int(meta.get("table_version", 0)):
+        # table_version catches the n_docs-preserving mutations too (a
+        # pure delta-merge compaction renumbers tail ids) — serving text
+        # for a renumbered id would attach the WRONG document to a hit
+        raise StoredFieldsUnavailableError(
+            f"stored-fields table is stale: built at n_docs="
+            f"{st['n_docs']}/v{st.get('table_version', 0)}, index now has "
+            f"{meta['n_docs']}/v{meta.get('table_version', 0)} "
+            "(appends/compaction do not maintain stored fields); retrofit "
+            "again via add_stored_fields or pass the source docs table"
+        )
+    ids = [int(i) for i in doc_ids]
+    return (
+        index.spark.read.parquet(path)
+        .where(F.col("doc_id").isin(ids))
+        .select("doc_id", "text")
+    )

@@ -12,6 +12,13 @@
     spark-submit ... jobs/mutate.py merge --index IX --src /path/to/segment \
         [--no-compact]
 
+    # (re)build the opt-in sidecars without touching the index proper:
+    # positional table (index-only phrase) and/or stored fields (snippet
+    # text point-reads) — also the way to refresh a sidecar that went
+    # stale after appends/compaction
+    spark-submit ... jobs/mutate.py retrofit --index IX --docs corpus.parquet \
+        [--positions] [--stored]
+
 Deletes tombstone immediately (excluded on every serving path) and purge
 physically at the next compaction (jobs/compact.py or --compact here);
 see fts_engine_spark/mutate.py for semantics and crash-safety.
@@ -55,6 +62,14 @@ def main() -> None:
     m.add_argument("--src", required=True, help="segment index to merge in")
     m.add_argument("--no-compact", action="store_true")
 
+    r = sub.add_parser("retrofit")
+    r.add_argument("--index", required=True)
+    r.add_argument("--docs", required=True,
+                   help="the exact corpus the index currently holds "
+                        "(url, text [, lang])")
+    r.add_argument("--positions", action="store_true")
+    r.add_argument("--stored", action="store_true")
+
     args = ap.parse_args()
     spark = SparkSession.builder.appName(f"fts-{args.cmd}").getOrCreate()
 
@@ -87,7 +102,7 @@ def main() -> None:
         print(json.dumps(
             {"replaced": out["replaced"], "compacted": bool(args.compact)}
         ))
-    else:
+    elif args.cmd == "merge":
         meta = merge_indexes(
             spark, args.index, args.src,
             compact_after=not args.no_compact,
@@ -95,6 +110,22 @@ def main() -> None:
         print(json.dumps(
             {"n_docs": meta["n_docs"], "n_shards": meta["n_shards"]}
         ))
+    else:
+        if not (args.positions or args.stored):
+            ap.error("retrofit needs --positions and/or --stored")
+        docs = spark.read.parquet(args.docs)
+        done = []
+        if args.positions:
+            from fts_engine_spark.positions import add_positions_to_index
+
+            add_positions_to_index(spark, args.index, docs)
+            done.append("positions")
+        if args.stored:
+            from fts_engine_spark.stored import add_stored_fields
+
+            add_stored_fields(spark, args.index, docs)
+            done.append("stored")
+        print(json.dumps({"retrofitted": done}))
 
 
 if __name__ == "__main__":
