@@ -163,13 +163,9 @@ def search_with_snippets(
     if docs is None:
         key = "doc_id"
         ids = [int(r["doc_id"]) for r in rows]
-        src = index.stored_text(ids)  # (doc_id, text), ~k row groups
-        if by_lang:
-            # lang lives in the (narrow, text-free) docs table; k rows
-            langs = index.docs().where(F.col("doc_id").isin(ids)).select(
-                "doc_id", "lang"
-            )
-            src = src.join(F.broadcast(langs), "doc_id")
+        # (doc_id, text[, lang]) in ONE pruned scan — lang rides in the
+        # sidecar so by_lang routing needs no docs-table lookup
+        src = index.stored_text(ids, with_lang=by_lang)
     else:
         key = "url"
         proj = ["url", "text", "lang"] if by_lang else ["url", "text"]

@@ -577,15 +577,15 @@ class FtsIndex:
             _os.path.join(self.index_dir, STORED_TABLE)
         )
 
-    def stored_text(self, doc_ids) -> DataFrame:
-        """(doc_id, text) point-read from the stored-fields table (build
-        with ``store_text=True`` or retrofit via
+    def stored_text(self, doc_ids, with_lang: bool = False) -> DataFrame:
+        """(doc_id, text[, lang]) point-read from the stored-fields table
+        (build with ``store_text=True`` or retrofit via
         ``stored.add_stored_fields``); the doc_id-sorted layout prunes
         the scan to ~|ids| row groups. Raises
         ``StoredFieldsUnavailableError`` when absent or stale."""
         from .stored import stored_text
 
-        return stored_text(self, doc_ids)
+        return stored_text(self, doc_ids, with_lang=with_lang)
 
     def search_phrase_positional(self, phrase: str, k: int = 10) -> DataFrame:
         """Phrase search resolved entirely from the positional table

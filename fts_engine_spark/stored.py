@@ -16,6 +16,9 @@ Layout: a ``stored`` table beside ``postings``/``docs``:
     doc_id  long    -- the index's dense doc id
     text    string  -- the document's cleaned text, byte-identical to
                        what the build tokenized
+    lang    string  -- the doc's language tag (null when the corpus has
+                       none); stored so a by_lang snippet pass needs no
+                       second lookup to pick the doc's pipeline
 
 written ``repartitionByRange(doc_id).sortWithinPartitions(doc_id)`` with
 a small parquet row-group target, so every file and every row group
@@ -67,8 +70,13 @@ def build_stored_table(
     doc_id, text — the same ids the postings build assigned). One narrow
     range shuffle on doc_id; no Python stage."""
     n_parts = max(1, -(-n_docs // docs_per_file))
+    lang = (
+        F.col("lang")
+        if "lang" in with_ids.columns
+        else F.lit(None).cast("string")
+    )
     (
-        with_ids.select("doc_id", "text")
+        with_ids.select("doc_id", "text", lang.alias("lang"))
         .repartitionByRange(n_parts, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
@@ -95,7 +103,8 @@ def add_stored_fields(
     ids = spark.read.parquet(table_path(index_dir, meta, "docs")).select(
         "doc_id", "url"
     )
-    with_ids = docs.select("url", "text").join(ids, "url")
+    cols = ["url", "text"] + (["lang"] if "lang" in docs.columns else [])
+    with_ids = docs.select(*cols).join(ids, "url")
     n = with_ids.count()
     if n != int(meta["n_docs"]):
         raise ValueError(
@@ -111,9 +120,11 @@ def add_stored_fields(
     atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
 
 
-def stored_text(index: "FtsIndex", doc_ids: Iterable[int]) -> DataFrame:
-    """(doc_id, text) for the given ids from the stored table — the
-    ``In(doc_id)`` predicate reaches the parquet scan, and the
+def stored_text(
+    index: "FtsIndex", doc_ids: Iterable[int], with_lang: bool = False
+) -> DataFrame:
+    """(doc_id, text[, lang]) for the given ids from the stored table —
+    the ``In(doc_id)`` predicate reaches the parquet scan, and the
     doc_id-sorted layout prunes it to ~|ids| row groups (plan-asserted
     in tests/test_stored.py). Raises :class:`StoredFieldsUnavailableError`
     when the table is absent or stale."""
@@ -140,8 +151,9 @@ def stored_text(index: "FtsIndex", doc_ids: Iterable[int]) -> DataFrame:
             "again via add_stored_fields or pass the source docs table"
         )
     ids = [int(i) for i in doc_ids]
+    cols = ["doc_id", "text"] + (["lang"] if with_lang else [])
     return (
         index.spark.read.parquet(path)
         .where(F.col("doc_id").isin(ids))
-        .select("doc_id", "text")
+        .select(*cols)
     )
