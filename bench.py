@@ -667,6 +667,46 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_snippets_ms"] = snippets_ms
 
+    # stored fields: retrofit the doc_id-sorted text sidecar (timed as a
+    # one-off build-cost row), assert string parity with the source-scan
+    # path, then time the same snippet pass point-reading the sidecar
+    from fts_engine_spark.stored import add_stored_fields
+
+    def _stored_build_once():
+        t0 = time.monotonic()
+        add_stored_fields(spark, index_dir, docs)
+        return round(time.monotonic() - t0, 2)
+
+    stored_build_secs, _ = gated_phase(
+        meter, contaminated, steal_log, "stored_build",
+        STEAL_BUILD_TICKS, _stored_build_once,
+    )
+    timings["stored_build_s"] = stored_build_secs
+    # refresh the in-memory meta with the committed `stored` entry; the
+    # warm posting cache and point tier on `fts` are untouched
+    with open(os.path.join(index_dir, "meta.json")) as _mf:
+        fts.meta = json.load(_mf)
+    via_stored = sorted(
+        map(tuple, search_with_snippets(fts, None, pg_q, k=10).collect())
+    )
+    if via_stored != sorted(map(tuple, snip_rows)):
+        raise RuntimeError("stored-fields snippet pass diverged from source scan")
+
+    def _snippets_stored_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                search_with_snippets(fts, None, qd["query"], k=10).collect()
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    snippets_stored_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_snippets_stored",
+        STEAL_SERVE_TICKS, _snippets_stored_once,
+    )
+    timings["query_snippets_stored_ms"] = snippets_stored_ms
+
     from fts_engine_spark.operators.search import search_phrase
 
     search_phrase(fts, docs, "french hotel", k=10).collect()  # warm-up
