@@ -99,7 +99,13 @@ def _ensure_index(
 
     # version in the key: a format bump must not resume a stale on-disk
     # cache from a previous build (meta version check would refuse it)
-    variant = (":pos" if positions else "") + (":st" if stored else "")
+    if stored:
+        from fts_engine_spark.stored import STORED_VERSION
+
+        st_tag = f":st{STORED_VERSION}"
+    else:
+        st_tag = ""
+    variant = (":pos" if positions else "") + st_tag
     key = hashlib.md5(
         f"{sf_dir}:v{META_VERSION}{variant}".encode()
     ).hexdigest()[:10]
@@ -483,6 +489,30 @@ def _snippets_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snippets_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippets below the Spark job floor: point-tier hits + driver-side
+    pyarrow read of the stored sidecar (operators/snippets.snippets_point);
+    only the tiny result list is lifted back into a DataFrame. Rows-only
+    check; string parity with the distributed paths is pytest-asserted."""
+    from fts_engine_spark.operators.snippets import snippets_point
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir, stored=True)
+    fts = FtsIndex(spark, index_dir).enable_point_serving()
+    rows = snippets_point(
+        fts, " ".join(Q_TERMS), k=10, tag_open="<em>", tag_close="</em>"
+    )
+    out = spark.createDataFrame(
+        [(int(d), u, float(s), sn) for d, u, s, sn in rows],
+        "doc_id long, url string, score double, snippet string",
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+        "snippet",
+    )
+
+
 def _expanded_search(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """Dictionary-expanded BM25 (prefix / fuzzy multi-term rewrite) off the
     compressed index: patterns expand against the terms table (df desc,
@@ -666,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same pass off the stored-fields sidecar (no source-table
         # scan: hit ids point-read the doc_id-sorted stored table)
         "fts_snippets_stored": _snippets_stored,
+        # and below the job floor: point-tier hits + driver pyarrow read
+        "fts_snippets_point": _snippets_point,
         # positional (phrase) search: direct scan baseline + the
         # two-phase index plan, both against the same list-position oracle
         "fts_phrase_scan": lambda s, d: search.search_phrase_direct(

@@ -707,6 +707,29 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_snippets_stored_ms"] = snippets_stored_ms
 
+    # snippets below the job floor: point-tier hits + driver-side pyarrow
+    # read of the sidecar (no Spark job on the warm path)
+    from fts_engine_spark.operators.snippets import snippets_point
+
+    pt = snippets_point(fts, pg_q, k=10)
+    if sorted(pt) != via_stored:
+        raise RuntimeError("point snippet tier diverged from stored path")
+
+    def _snippets_point_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                snippets_point(fts, qd["query"], k=10)
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 2)
+
+    snippets_point_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_snippets_point",
+        STEAL_SERVE_TICKS, _snippets_point_once,
+    )
+    timings["query_snippets_point_ms"] = snippets_point_ms
+
     from fts_engine_spark.operators.search import search_phrase
 
     search_phrase(fts, docs, "french hotel", k=10).collect()  # warm-up

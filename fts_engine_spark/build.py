@@ -847,7 +847,9 @@ def build_index(
         meta["positions"] = {"version": 1, "n_docs": n_docs}
     if cfg.store_text:
         # same snapshot discipline for stored fields (stored.py)
-        meta["stored"] = {"version": 1, "n_docs": n_docs}
+        from .stored import STORED_VERSION
+
+        meta["stored"] = {"version": STORED_VERSION, "n_docs": n_docs}
     atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
     manifest.mark_done("meta", {})
     _log_event(

@@ -244,6 +244,21 @@ class FtsEngine:
             k=self.options.k if k is None else k, window=window, **kw,
         )
 
+    def search_snippets_point(
+        self, query: str, k: int | None = None, window: int = 30, **kw
+    ) -> list[tuple[int, str, float, str]]:
+        """Snippets below the Spark job floor: point-tier hits + a
+        driver-side pyarrow read of the stored-fields sidecar (see
+        :func:`.operators.snippets.snippets_point`). Requires
+        ``store_text=True`` (or a retrofit) and benefits from
+        ``index.enable_point_serving()``."""
+        from .operators.snippets import snippets_point
+
+        return snippets_point(
+            self.index, query,
+            k=self.options.k if k is None else k, window=window, **kw,
+        )
+
     def search_phrase_indexed(self, phrase: str, k: int | None = None) -> DataFrame:
         """Phrase search from the positional table alone (no source-table
         scan; requires ``store_positions=True`` at build). Same output

@@ -102,6 +102,79 @@ def best_snippet(
     return "".join(pieces)
 
 
+def _pipeline_routing(index, query: str, preset: str | None):
+    """(by_lang, lang->preset map, preset->analyzed query terms) — the
+    same per-doc pipeline routing the build used (en→english,
+    ru→russian, else multilingual under ``by_lang``)."""
+    from ..query import normalize_query
+
+    by_lang = preset is None and index.preset == "by_lang"
+    if by_lang:
+        from ..functions.udfs import _LANG_PRESETS
+
+        lang_presets = dict(_LANG_PRESETS)
+        qterms = {
+            p: frozenset(normalize_query(query, p))
+            for p in sorted({*lang_presets.values(), "multilingual"})
+        }
+    else:
+        p = preset or index.preset
+        lang_presets = {}
+        qterms = {p: frozenset(normalize_query(query, p))}
+    return by_lang, lang_presets, qterms
+
+
+def snippets_point(
+    index,
+    query: str,
+    k: int = 10,
+    preset: str | None = None,
+    window: int = 30,
+    tag_open: str = DEFAULT_TAG_OPEN,
+    tag_close: str = DEFAULT_TAG_CLOSE,
+    offset: int = 0,
+) -> list[tuple[int, str, float, str]]:
+    """[(doc_id, url, score, snippet)] — the snippet pass BELOW the
+    Spark job floor: hits come from the point-serving tier
+    (``search_bm25_point``, in-process when warm) and the k texts are
+    read on the driver with pyarrow (``stored.stored_rows_local``, ~k
+    row groups of the doc_id-sorted sidecar, no Spark job). Strings are
+    identical to ``search_with_snippets`` by construction — same hits
+    (point tier is bit-identical to ``search_bm25``), same texts (the
+    sidecar stores what the build tokenized), same pure kernel
+    (asserted in tests/test_stored.py). Requires the stored-fields
+    sidecar; raises ``StoredFieldsUnavailableError`` otherwise."""
+    from ..stored import stored_rows_local
+
+    if k <= 0:
+        raise ValueError("snippets require a bounded k (top-k hits only)")
+    hits = index.search_bm25_point(query, k=k, preset=preset, offset=offset)
+    if not hits:
+        return []
+    rows = stored_rows_local(index, [d for d, _ in hits])
+    by_lang, lang_presets, qterms = _pipeline_routing(index, query, preset)
+    out = []
+    for doc_id, score in hits:
+        url, text, lang = rows[doc_id]
+        pname = (
+            lang_presets.get(str(lang), "multilingual")
+            if by_lang
+            else next(iter(qterms))
+        )
+        out.append(
+            (
+                doc_id,
+                url,
+                float(score),
+                best_snippet(
+                    text or "", qterms[pname], get_pipeline(pname),
+                    window, tag_open, tag_close,
+                ),
+            )
+        )
+    return out
+
+
 def search_with_snippets(
     index,
     docs: DataFrame | None,
@@ -129,8 +202,6 @@ def search_with_snippets(
     the build and the phrase verify, and highlights against that
     pipeline's analyzed query terms.
     """
-    from ..query import normalize_query
-
     if k <= 0:
         raise ValueError("snippets require a bounded k (top-k hits only)")
     spark = index.spark
@@ -146,19 +217,7 @@ def search_with_snippets(
             F.col("id").cast("string").alias("snippet"),
         )
 
-    by_lang = preset is None and index.preset == "by_lang"
-    if by_lang:
-        from ..functions.udfs import _LANG_PRESETS
-
-        lang_presets = dict(_LANG_PRESETS)
-        qterms = {
-            p: frozenset(normalize_query(query, p))
-            for p in sorted({*lang_presets.values(), "multilingual"})
-        }
-    else:
-        p = preset or index.preset
-        lang_presets = {}
-        qterms = {p: frozenset(normalize_query(query, p))}
+    by_lang, lang_presets, qterms = _pipeline_routing(index, query, preset)
 
     if docs is None:
         key = "doc_id"

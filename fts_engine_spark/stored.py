@@ -14,6 +14,8 @@ beyond the reference's engine, which holds the whole corpus in memory
 Layout: a ``stored`` table beside ``postings``/``docs``:
 
     doc_id  long    -- the index's dense doc id
+    url     string  -- the document's url (result hydration without a
+                       docs-table join)
     text    string  -- the document's cleaned text, byte-identical to
                        what the build tokenized
     lang    string  -- the doc's language tag (null when the corpus has
@@ -45,6 +47,9 @@ if TYPE_CHECKING:  # pragma: no cover
     from .query import FtsIndex
 
 STORED_TABLE = "stored"
+# stored-table format version; bump on schema change so a reader never
+# trusts a sidecar written by an older writer (v2 added url + lang)
+STORED_VERSION = 2
 
 # docs per output file: bounds the range-partitioner's task size and
 # keeps per-file footers small. Row-group size (below) is what pruning
@@ -76,7 +81,7 @@ def build_stored_table(
         else F.lit(None).cast("string")
     )
     (
-        with_ids.select("doc_id", "text", lang.alias("lang"))
+        with_ids.select("doc_id", "url", "text", lang.alias("lang"))
         .repartitionByRange(n_parts, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
@@ -113,21 +118,15 @@ def add_stored_fields(
         )
     build_stored_table(with_ids, index_dir, int(meta["n_docs"]))
     meta["stored"] = {
-        "version": 1,
+        "version": STORED_VERSION,
         "n_docs": int(meta["n_docs"]),
         "table_version": int(meta.get("table_version", 0)),
     }
     atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
 
 
-def stored_text(
-    index: "FtsIndex", doc_ids: Iterable[int], with_lang: bool = False
-) -> DataFrame:
-    """(doc_id, text[, lang]) for the given ids from the stored table —
-    the ``In(doc_id)`` predicate reaches the parquet scan, and the
-    doc_id-sorted layout prunes it to ~|ids| row groups (plan-asserted
-    in tests/test_stored.py). Raises :class:`StoredFieldsUnavailableError`
-    when the table is absent or stale."""
+def _checked_path(index: "FtsIndex") -> str:
+    """The stored table's path, after the absence/staleness gate."""
     meta = index.meta
     st = meta.get("stored")
     path = os.path.join(index.index_dir, STORED_TABLE)
@@ -136,6 +135,12 @@ def stored_text(
             "index has no stored-fields table; rebuild with "
             "store_text=True, retrofit via add_stored_fields, or pass the "
             "source docs table"
+        )
+    if int(st.get("version", 1)) != STORED_VERSION:
+        raise StoredFieldsUnavailableError(
+            f"stored-fields table has format version {st.get('version', 1)},"
+            f" this reader needs {STORED_VERSION} — retrofit again via "
+            "add_stored_fields"
         )
     if int(st["n_docs"]) != int(meta["n_docs"]) or int(
         st.get("table_version", 0)
@@ -150,6 +155,18 @@ def stored_text(
             "(appends/compaction do not maintain stored fields); retrofit "
             "again via add_stored_fields or pass the source docs table"
         )
+    return path
+
+
+def stored_text(
+    index: "FtsIndex", doc_ids: Iterable[int], with_lang: bool = False
+) -> DataFrame:
+    """(doc_id, text[, lang]) for the given ids from the stored table —
+    the ``In(doc_id)`` predicate reaches the parquet scan, and the
+    doc_id-sorted layout prunes it to ~|ids| row groups (plan-asserted
+    in tests/test_stored.py). Raises :class:`StoredFieldsUnavailableError`
+    when the table is absent or stale."""
+    path = _checked_path(index)
     ids = [int(i) for i in doc_ids]
     cols = ["doc_id", "text"] + (["lang"] if with_lang else [])
     return (
@@ -157,3 +174,39 @@ def stored_text(
         .where(F.col("doc_id").isin(ids))
         .select(*cols)
     )
+
+
+def stored_rows_local(
+    index: "FtsIndex", doc_ids: Iterable[int]
+) -> dict[int, tuple[str, str, str | None]]:
+    """doc_id -> (url, text, lang) read ON THE DRIVER with pyarrow — no
+    Spark job. The dataset filter prunes via the same parquet row-group
+    min/max stats the JVM scan uses, so the read touches ~|ids| row
+    groups of the doc_id-sorted table. This is the snippet counterpart
+    of the point-serving tier: a k-row text fetch should not pay the
+    scheduler floor. Bounded: |ids| is a top-k page, and each row group
+    is ~DEFAULT_ROWGROUP_BYTES.
+
+    Uses pyarrow's filesystem resolution (local paths and fs URIs); like
+    the point tier, it requires the driver to reach the index storage
+    directly.
+    """
+    import pyarrow.dataset as pads
+
+    path = _checked_path(index)
+    ids = [int(i) for i in doc_ids]
+    if not ids:
+        return {}
+    tbl = pads.dataset(path, format="parquet").to_table(
+        columns=["doc_id", "url", "text", "lang"],
+        filter=pads.field("doc_id").isin(ids),
+    )
+    out: dict[int, tuple[str, str, str | None]] = {}
+    for d, u, t, lg in zip(
+        tbl["doc_id"].to_pylist(),
+        tbl["url"].to_pylist(),
+        tbl["text"].to_pylist(),
+        tbl["lang"].to_pylist(),
+    ):
+        out[int(d)] = (u, t, lg)
+    return out

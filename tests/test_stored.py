@@ -111,6 +111,45 @@ def test_stored_stale_fails_loudly(spark, stored_index):
     )
     with pytest.raises(StoredFieldsUnavailableError, match="stale"):
         fts2.stored_text([0])
+    # a sidecar written by an older format version must be refused
+    fts3 = FtsIndex(spark, stored_index)
+    fts3.meta = dict(fts3.meta, stored=dict(fts3.meta["stored"], version=1))
+    with pytest.raises(StoredFieldsUnavailableError, match="format version"):
+        fts3.stored_text([0])
+
+
+def test_snippets_point_parity(spark, corpus, stored_index):
+    """The below-the-job-floor tier (point hits + driver pyarrow read)
+    must return the exact rows the distributed paths return — with and
+    without the warm point cache (the fallback still uses the driver
+    read for text)."""
+    from fts_engine_spark.operators.snippets import (
+        search_with_snippets,
+        snippets_point,
+    )
+
+    cold = FtsIndex(spark, stored_index)
+    warm = FtsIndex(spark, stored_index).enable_point_serving()
+    for q in ["merge sort", "french hotel", "машины города", "the was"]:
+        want = [
+            (int(r["doc_id"]), r["url"], float(r["score"]), r["snippet"])
+            for r in search_with_snippets(cold, None, q, k=5).collect()
+        ]
+        assert snippets_point(cold, q, k=5) == want, q
+        assert snippets_point(warm, q, k=5) == want, q
+
+
+def test_snippets_point_requires_sidecar(spark, corpus, tmp_path):
+    from fts_engine_spark.operators.snippets import snippets_point
+
+    d = str(tmp_path / "nosidecar")
+    build_index(
+        spark, corpus, d,
+        BuildConfig(preset="by_lang", shard_size=3, id_buckets=4),
+        resume=False,
+    )
+    with pytest.raises(StoredFieldsUnavailableError, match="no stored"):
+        snippets_point(FtsIndex(spark, d), "merge sort", k=5)
 
 
 def test_retrofit_cli(spark, corpus, tmp_path, monkeypatch, capsys):
