@@ -55,9 +55,13 @@ STORED_VERSION = 2
 # keeps per-file footers small. Row-group size (below) is what pruning
 # granularity actually rides on.
 DEFAULT_DOCS_PER_FILE = 1 << 18
-# small row groups = fine-grained min/max pruning for k-row point reads;
-# 8 MiB of text is ~a few thousand web pages per group
-DEFAULT_ROWGROUP_BYTES = 8 << 20
+# small row groups = fine-grained min/max pruning for k-row point reads:
+# a reader decodes whole row groups, so group size bounds the
+# read-amplification of a k-row fetch (measured: 8 MiB groups cost the
+# point snippet tier ~100 ms at 30k tiny bench docs; 1 MiB brings the
+# decode back to ~k×page cost). Footer overhead stays small because
+# files are capped at docs_per_file rows.
+DEFAULT_ROWGROUP_BYTES = 1 << 20
 
 
 class StoredFieldsUnavailableError(RuntimeError):
@@ -197,7 +201,14 @@ def stored_rows_local(
     ids = [int(i) for i in doc_ids]
     if not ids:
         return {}
-    tbl = pads.dataset(path, format="parquet").to_table(
+    # cache the dataset handle (file listing + footers) on the index —
+    # the point path calls this per query; invalidated when the path
+    # changes (e.g. a meta reload after retrofit)
+    cached = getattr(index, "_stored_dataset", None)
+    if cached is None or cached[0] != path:
+        cached = (path, pads.dataset(path, format="parquet"))
+        index._stored_dataset = cached
+    tbl = cached[1].to_table(
         columns=["doc_id", "url", "text", "lang"],
         filter=pads.field("doc_id").isin(ids),
     )
