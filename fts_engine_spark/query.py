@@ -1094,6 +1094,160 @@ class FtsIndex:
                 mult[t] = mult.get(t, 0) + m
         return self._expanded_search(mult, k, mode, hydrate)
 
+    # ---- boolean query strings (queryparse.py) ---------------------------
+
+    def _resolve_atoms(self, atoms, preset: str, max_expand: int) -> list[str]:
+        """Parsed atoms -> analyzed index terms (duplicates kept so
+        multiplicity accumulates like repeated query words). Plain words
+        run the document pipeline (symmetry invariant); prefix patterns
+        lowercase-then-expand (the pattern is a dictionary prefix, not a
+        word — stemming it would corrupt it); fuzzy patterns normalize
+        WITHOUT the dictionary gate, then expand in stem space (the
+        rationale in :meth:`search_bm25_fuzzy`)."""
+        out: list[str] = []
+        for a in atoms:
+            if a.kind == "prefix":
+                out.extend(
+                    self.expand_terms(
+                        go_lower(a.text), "prefix", max_expand=max_expand
+                    )
+                )
+            elif a.kind == "fuzzy":
+                for t0 in normalize_query(a.text, preset):
+                    out.extend(
+                        self.expand_terms(
+                            t0,
+                            "fuzzy",
+                            max_dist=a.max_dist,
+                            max_expand=max_expand,
+                        )
+                    )
+            else:
+                out.extend(normalize_query(a.text, preset))
+        return out
+
+    def search_boolean(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        mode: str = "wand",
+        hydrate: bool = False,
+        within: "DataFrame | list[str] | None" = None,
+        max_expand: int = 64,
+        offset: int = 0,
+    ) -> DataFrame:
+        """Top-k BM25 over a Lucene-lite boolean query string — the
+        composition surface for everything the engine can gate on:
+        ``word`` (SHOULD, scores), ``+word`` / ``+(a OR b)`` (MUST
+        groups: every result matches at least one term of every
+        required group), ``-word`` / ``-(a b)`` (MUST NOT), ``"a b"``
+        (required phrase, positional table), ``pre*`` (prefix
+        expansion), ``word~N`` (fuzzy expansion) — grammar and
+        semantics in :mod:`fts_engine_spark.queryparse`. An extension
+        over the reference's plain OR query (``engine.go:82-158``).
+
+        Scoring is plain OR-accumulate BM25 over ALL scoring terms
+        (should + group + phrase terms); the boolean structure only
+        gates candidacy — Lucene's model. MUST groups ride per-term
+        bitmasks into the WAND kernel (segments that can't cover every
+        group are never decoded — see :func:`_wand_sweep`) or a
+        ``bit_or`` aggregate in the relational plan; MUST NOT reuses
+        the shard-local exclusion sets; phrases resolve to a doc-id
+        restriction via the positional table and their terms join the
+        scoring set. Analyzer-empty required clauses (all stopwords)
+        drop like Lucene's; a required clause whose terms exist but
+        match nothing yields an empty result.
+        """
+        from .queryparse import parse_query
+
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
+        bq = parse_query(query)
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+
+        def empty() -> DataFrame:
+            return self._maybe_hydrate(
+                self._empty_bm25_result(), hydrate, bounded=True
+            )
+
+        mult: dict[str, int] = {}
+        for t in self._resolve_atoms(bq.should, preset, max_expand):
+            mult[t] = mult.get(t, 0) + 1
+        groups: list[set[str]] = []
+        for g in bq.groups:
+            terms = self._resolve_atoms(g, preset, max_expand)
+            if not terms:
+                if any(a.kind != "term" for a in g):
+                    # a required pattern with zero dictionary expansions
+                    # can never be satisfied
+                    return empty()
+                # required clause entirely removed by the analyzer
+                # (stopwords / min-len): the clause drops, not the query
+                continue
+            for t in terms:
+                mult[t] = mult.get(t, 0) + 1
+            groups.append(set(terms))
+        excl: dict[str, int] = {}
+        for t in self._resolve_atoms(bq.must_not, preset, max_expand):
+            excl[t] = excl.get(t, 0) + 1
+        if excl:
+            # an excluded term's docs are all dropped, so it can neither
+            # score nor satisfy a group; a group left with no terms is
+            # unmatchable
+            mult = {t: m for t, m in mult.items() if t not in excl}
+            groups = [g - excl.keys() for g in groups]
+            if any(not g for g in groups):
+                return empty()
+
+        incl_df = self._within_df(within)
+        for ph in bq.phrases:
+            ph_docs = self.search_phrase_positional(ph, k=0).select("doc_id")
+            incl_df = (
+                ph_docs
+                if incl_df is None
+                else incl_df.join(ph_docs, "doc_id", "left_semi")
+            )
+            # phrase terms contribute to the score like SHOULD terms
+            for t in normalize_query(ph, preset):
+                mult[t] = mult.get(t, 0) + 1
+        if not mult:
+            # pure-negative / analyzer-empty query: nothing to score
+            return empty()
+
+        if len(groups) > 63:
+            raise ValueError(
+                f"too many required groups ({len(groups)}; int64 masks "
+                "cap at 63)"
+            )
+        term_gmask: dict[str, int] = {}
+        for i, g in enumerate(groups):
+            for t in g:
+                term_gmask[t] = term_gmask.get(t, 0) | (1 << i)
+        full_mask = (1 << len(groups)) - 1
+
+        k_eff = k + offset if (offset and k > 0) else k
+        hyd_inner = hydrate and not offset
+        out = None
+        if mode != "relational":
+            incl_ids = self._within_ids(incl_df)
+            if incl_ids is None or incl_ids is not _INCLUDE_TOO_BIG:
+                out = self._bm25_wand(
+                    mult, k_eff, hyd_inner, 0, excl, incl_ids,
+                    term_gmask=term_gmask or None, full_mask=full_mask,
+                )
+        if out is None:
+            out = self._bm25_relational(
+                mult, k_eff, hyd_inner, 0, excl, incl_df,
+                term_gmask=term_gmask or None, full_mask=full_mask,
+            )
+        if offset:
+            out = self._apply_offset(out, k, offset)
+            out = self._maybe_hydrate(out, hydrate, bounded=k > 0)
+        return out
+
     def search_bm25_batch(
         self,
         queries: list[str],
@@ -1627,11 +1781,21 @@ class FtsIndex:
             F.lit(1.0) + (F.lit(n) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
         )
 
-    def _bm25_scored(self, mult: dict[str, int], require_n: int = 0) -> DataFrame:
+    def _bm25_scored(
+        self,
+        mult: dict[str, int],
+        require_n: int = 0,
+        term_gmask: dict[str, int] | None = None,
+        full_mask: int = 0,
+    ) -> DataFrame:
         """Pre-truncation relational BM25 aggregation (no sort/limit).
         ``require_n > 0``: conjunctive — keep only docs matching that many
         distinct terms (decoded postings are unique per (term, doc), so a
-        plain row count per doc is the distinct-match count)."""
+        plain row count per doc is the distinct-match count).
+        ``term_gmask``/``full_mask``: boolean MUST groups (see
+        :func:`_wand_sweep`) — a broadcast (term, gmask) relation rides
+        the same join, ``bit_or`` aggregates the per-doc coverage, and
+        docs whose matched terms don't cover every required group drop."""
         avgdl = self.avgdl
         stats = self._query_stats(mult)
         decoded = self.decoded_postings(list(mult), mult)
@@ -1642,19 +1806,30 @@ class FtsIndex:
         contrib = (
             F.col("mult") * F.col("idf") * tf * F.lit(K1 + 1.0) / (tf + norm)
         )
-        scored = (
+        joined = (
             decoded.join(F.broadcast(self._mult_df(mult)), "term")
             .join(F.broadcast(stats), "term")
             .withColumn("idf", self._idf_col())
             .withColumn("contrib", contrib)
-            .groupBy("doc_id")
-            .agg(
-                F.sum("contrib").alias("score"),
-                F.count("*").alias("_matched"),
-            )
         )
+        aggs = [
+            F.sum("contrib").alias("score"),
+            F.count("*").alias("_matched"),
+        ]
+        if full_mask and term_gmask:
+            gm_df = self.spark.createDataFrame(
+                [(t, int(term_gmask.get(t, 0))) for t in mult],
+                "term string, gmask long",
+            )
+            joined = joined.join(F.broadcast(gm_df), "term")
+            aggs.append(F.expr("bit_or(gmask)").alias("_gacc"))
+        scored = joined.groupBy("doc_id").agg(*aggs)
         if require_n > 0:
             scored = scored.where(F.col("_matched") >= require_n)
+        if full_mask and term_gmask:
+            scored = scored.where(
+                F.col("_gacc").bitwiseAND(F.lit(full_mask)) == F.lit(full_mask)
+            ).drop("_gacc")
         return self._exclude_dead(scored.drop("_matched"))
 
     def _bm25_relational(
@@ -1665,8 +1840,10 @@ class FtsIndex:
         require_n: int = 0,
         excl_mult: dict[str, int] | None = None,
         incl_df: DataFrame | None = None,
+        term_gmask: dict[str, int] | None = None,
+        full_mask: int = 0,
     ) -> DataFrame:
-        scored = self._bm25_scored(mult, require_n)
+        scored = self._bm25_scored(mult, require_n, term_gmask, full_mask)
         if excl_mult:
             # NOT: anti-join the doc-blob-only match set of the excluded
             # terms (same decode path as the pre-truncation count)
@@ -1692,6 +1869,8 @@ class FtsIndex:
         require_n: int = 0,
         excl_mult: dict[str, int] | None = None,
         incl_ids: np.ndarray | None = None,
+        term_gmask: dict[str, int] | None = None,
+        full_mask: int = 0,
     ) -> DataFrame:
         """Document-partitioned block-max WAND: each shard's posting rows for
         the query terms are processed by one kernel that decodes only the
@@ -1716,7 +1895,10 @@ class FtsIndex:
                 "via the relational plan — run compact_index",
                 stacklevel=3,
             )
-            return self._bm25_relational(mult, k, hydrate, require_n, excl_mult)
+            return self._bm25_relational(
+                mult, k, hydrate, require_n, excl_mult,
+                term_gmask=term_gmask, full_mask=full_mask,
+            )
         dead_bc = self._dead_broadcast()
         incl_bc = (
             self.spark.sparkContext.broadcast(incl_ids)
@@ -1735,6 +1917,16 @@ class FtsIndex:
                 return self._maybe_hydrate(
                     self._empty_bm25_result(), hydrate, bounded=True
                 )
+            if full_mask and term_gmask:
+                covered = 0
+                for t in present:
+                    covered |= term_gmask.get(t, 0)
+                if (covered & full_mask) != full_mask:
+                    # a required group has no term in the dictionary:
+                    # nothing can match — empty result, no job
+                    return self._maybe_hydrate(
+                        self._empty_bm25_result(), hydrate, bounded=True
+                    )
             excl_present = [t for t in excl_mult if t in self._term_dict]
             posts = self._pruner(
                 self._read_postings(), list(present) + excl_present
@@ -1748,6 +1940,7 @@ class FtsIndex:
                 term_stats=present, require_n=require_n,
                 exclude_terms=frozenset(excl_present) or None,
                 dead_bcast=dead_bc, include_bcast=incl_bc,
+                term_gmask=term_gmask, full_mask=full_mask,
             )
         else:
             # exclusion terms ride the same stats-joined scan at mult=0;
@@ -1761,6 +1954,7 @@ class FtsIndex:
                 require_n=require_n,
                 exclude_terms=frozenset(excl_mult) or None,
                 dead_bcast=dead_bc, include_bcast=incl_bc,
+                term_gmask=term_gmask, full_mask=full_mask,
             )
         local_topk = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_SCHEMA
@@ -1948,6 +2142,8 @@ def _wand_sweep(
     require_n: int = 0,
     excl_docs: np.ndarray | None = None,
     incl_docs: np.ndarray | None = None,
+    group_masks: list[int] | None = None,
+    full_mask: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over weighted term tables -> (doc_ids, scores).
 
@@ -1978,6 +2174,18 @@ def _wand_sweep(
     and per-doc scores unchanged), it gates candidacy. Same safety
     argument as exclusion: a filter only removes candidates. Segments
     wholly outside the include set are skipped before any decode.
+
+    ``group_masks`` / ``full_mask`` are boolean MUST groups (Lucene
+    ``+(a OR b)`` clauses — :mod:`fts_engine_spark.queryparse`):
+    ``group_masks[i]`` is a bitmask of the required groups term ``i``
+    belongs to (0 = pure SHOULD term); a doc survives only when the OR
+    of its matched terms' masks covers ``full_mask`` — i.e. every
+    required group matched at least one term. Two skips fall out for
+    free: a SEGMENT whose active terms don't cover ``full_mask`` can't
+    contain a match (never decoded — the group analogue of the
+    conjunctive skip), and the per-doc mask check composes with
+    ``require_n``/exclusion/inclusion since all four only REMOVE
+    candidates, keeping theta pruning conservative.
     """
     bounds = np.unique(
         np.concatenate(
@@ -2002,21 +2210,29 @@ def _wand_sweep(
 
         ub_sum = 0.0
         active = []
-        for w, t in weighted:
+        active_mask = 0
+        for ti, (w, t) in enumerate(weighted):
             j = np.searchsorted(t["last"], seg_lo)
             if j < len(t["last"]) and (
                 seg_hi is None or t["first"][j] <= seg_hi
             ):
                 ub_sum += w * float(t["ub_base"][j])
-                active.append((w, t, j))
+                gm = group_masks[ti] if group_masks is not None else 0
+                active_mask |= gm
+                active.append((w, t, j, gm))
         if not active or len(active) < require_n:
+            continue
+        if full_mask and (active_mask & full_mask) != full_mask:
+            # a required group has no term with postings in this segment:
+            # no doc here can satisfy the boolean query — skip pre-decode
             continue
         if k > 0 and len(heap) >= k and ub_sum <= theta:
             continue
 
         seg_docs = []
         seg_scores = []
-        for w, t, j in active:
+        seg_gmasks = []
+        for w, t, j, gm in active:
             doc_ids, bscore = _decode_term_block(t, j, base, avgdl, counters)
             lo = np.searchsorted(doc_ids, seg_lo, side="left")
             hi = (
@@ -2027,6 +2243,10 @@ def _wand_sweep(
             if hi > lo:
                 seg_docs.append(doc_ids[lo:hi])
                 seg_scores.append(w * bscore[lo:hi])
+                if full_mask:
+                    seg_gmasks.append(
+                        np.full(hi - lo, gm, dtype=np.int64)
+                    )
         if not seg_docs:
             continue
         d = np.concatenate(seg_docs)
@@ -2034,11 +2254,18 @@ def _wand_sweep(
         uniq, inv = np.unique(d, return_inverse=True)
         acc = np.zeros(len(uniq))
         np.add.at(acc, inv, s)
-        if require_n > 0:
-            # each term contributes <= 1 posting per doc, so the bincount
-            # over inv IS the distinct-matched-term count per doc
-            cnt = np.bincount(inv, minlength=len(uniq))
-            keep = cnt >= require_n
+        if full_mask or require_n > 0:
+            keep = np.ones(len(uniq), dtype=bool)
+            if full_mask:
+                # per-doc OR of matched terms' group masks must cover
+                # every required group (postings unique per (term, doc))
+                gacc = np.zeros(len(uniq), dtype=np.int64)
+                np.bitwise_or.at(gacc, inv, np.concatenate(seg_gmasks))
+                keep &= (gacc & full_mask) == full_mask
+            if require_n > 0:
+                # each term contributes <= 1 posting per doc, so the
+                # bincount over inv IS the distinct-match count per doc
+                keep &= np.bincount(inv, minlength=len(uniq)) >= require_n
             if not keep.any():
                 continue
             uniq, acc = uniq[keep], acc[keep]
@@ -2111,8 +2338,15 @@ def make_wand_kernel(
     exclude_terms: frozenset[str] | None = None,
     dead_bcast=None,
     include_bcast=None,
+    term_gmask: dict[str, int] | None = None,
+    full_mask: int = 0,
 ):
     """Build the per-shard block-max WAND applyInPandas kernel.
+
+    ``term_gmask`` / ``full_mask``: boolean MUST-group constraints (see
+    :func:`_wand_sweep`) — per-term bitmasks of required-group
+    membership. Postings are doc-sharded, so a shard whose terms don't
+    cover every required group rules out all its docs before any decode.
 
     ``exclude_terms``: boolean NOT — posting rows whose term is in the set
     never score; their doc ids (doc blob only, tf/dl untouched) form a
@@ -2169,6 +2403,8 @@ def make_wand_kernel(
             incl_docs = incl[lo:hi]
 
         weighted = []
+        gmasks: list[int] = []
+        shard_mask = 0
         for term, t in term_map.items():
             if term_stats is not None:
                 stats = term_stats.get(term)
@@ -2180,13 +2416,19 @@ def make_wand_kernel(
             else:
                 mult, df_ = t["row_mult"], t["row_df"]
             weighted.append((mult * bm25_idf(n_docs, df_), t))
+            gm = term_gmask.get(term, 0) if term_gmask else 0
+            gmasks.append(gm)
+            shard_mask |= gm
         if not weighted or (require_n > 0 and len(weighted) < require_n):
             # conjunctive: postings are doc-sharded, so a query term with
             # no postings in this shard rules out every doc in it
             return pd.DataFrame({"doc_id": [], "score": []})
+        if full_mask and (shard_mask & full_mask) != full_mask:
+            # a required group has no postings at all in this shard
+            return pd.DataFrame({"doc_id": [], "score": []})
         docs, scores = _wand_sweep(
             weighted, k, base, avgdl, counters, require_n, excl_docs,
-            incl_docs,
+            incl_docs, gmasks if full_mask else None, full_mask,
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 

@@ -1,0 +1,308 @@
+"""Boolean query strings (queryparse.py + FtsIndex.search_boolean) — the
+r5 composition surface: SHOULD words, +MUST groups, -MUST NOT, "phrases",
+prefix*/fuzzy~ patterns, all in one Lucene-lite string.
+
+Pins (a) the parser's grammar and error cases, (b) wand == relational ==
+an independent referee (pure-OR scores filtered by per-doc matched-term
+sets from decoded_postings), (c) the WAND mask pruning stays exact under
+top-k (prefix-of-full), (d) group/analyzer edge semantics (OOV required
+term -> empty; stopword-only required clause drops; excluded group ->
+empty), (e) phrase clauses restrict to the positional match set while
+the phrase terms still score.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fts_engine_spark.query import FtsIndex
+from fts_engine_spark.queryparse import Atom, parse_query
+
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parse_basic_clauses():
+    bq = parse_query("french +hotel -turtle castle")
+    assert bq.should == [Atom("term", "french"), Atom("term", "castle")]
+    assert bq.groups == [[Atom("term", "hotel")]]
+    assert bq.must_not == [Atom("term", "turtle")]
+    assert bq.phrases == []
+
+
+def test_parse_group_phrase_patterns():
+    bq = parse_query('+(french OR german) -(turtle river) "merge sort" hote* quik~2')
+    assert bq.groups == [[Atom("term", "french"), Atom("term", "german")]]
+    assert bq.must_not == [Atom("term", "turtle"), Atom("term", "river")]
+    assert bq.phrases == ["merge sort"]
+    assert bq.should == [Atom("prefix", "hote"), Atom("fuzzy", "quik", 2)]
+
+
+def test_parse_separators_skipped():
+    bq = parse_query("french OR hotel AND castle || turtle && river")
+    assert [a.text for a in bq.should] == [
+        "french", "hotel", "castle", "turtle", "river"
+    ]
+    assert not bq.groups and not bq.must_not
+
+
+def test_parse_fuzzy_default_and_star_edge():
+    assert parse_query("a~").should == [Atom("fuzzy", "a", 1)]
+    assert parse_query("a~3").should == [Atom("fuzzy", "a", 3)]
+    # lone "*" is a term, not an empty prefix
+    assert parse_query("*").should == [Atom("term", "*")]
+    # non-numeric suffix after ~ stays a plain term
+    assert parse_query("a~b").should == [Atom("term", "a~b")]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        '"unbalanced',
+        "(unbalanced",
+        "+()",
+        "+",
+        "- ",
+        '-"a b"',
+        "((nested))",
+        "+AND",
+    ],
+)
+def test_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+# ---------------------------------------------------------------- engine
+
+
+@pytest.fixture(scope="module")
+def fts(spark, small_index):
+    index_dir, _meta = small_index
+    return FtsIndex(spark, index_dir)
+
+
+def _rows(df):
+    return sorted(
+        (int(r["doc_id"]), round(float(r["score"]), 9)) for r in df.collect()
+    )
+
+
+def _norm(fts: FtsIndex, word: str) -> str:
+    terms = list(fts._query_mult(word))
+    assert len(terms) == 1, (word, terms)
+    return terms[0]
+
+
+def _referee(fts: FtsIndex, should, groups, excl):
+    """Pure-OR relational scores over every scoring word, filtered by
+    per-doc matched-term sets read independently via decoded_postings —
+    no mask machinery involved."""
+    words = list(should) + [w for g in groups for w in g]
+    base = {
+        int(r["doc_id"]): round(float(r["score"]), 9)
+        for r in fts.search_bm25(
+            " ".join(words), k=0, mode="relational"
+        ).collect()
+    }
+    norm = {w: _norm(fts, w) for w in set(words) | set(excl)}
+    matched: dict[int, set[str]] = {}
+    for r in (
+        fts.decoded_postings(sorted(set(norm.values())))
+        .select("term", "doc_id")
+        .collect()
+    ):
+        matched.setdefault(int(r["doc_id"]), set()).add(r["term"])
+    out = []
+    for d, s in base.items():
+        mt = matched.get(d, set())
+        if any(norm[w] in mt for w in excl):
+            continue
+        if all(any(norm[w] in mt for w in g) for g in groups):
+            out.append((d, s))
+    return sorted(out)
+
+
+CASES = [
+    ("+french +hotel turtle", ["turtle"], [["french"], ["hotel"]], []),
+    ("+(french OR german) -turtle", [], [["french", "german"]], ["turtle"]),
+    ("castle +(hotel river) -french -german", ["castle"],
+     [["hotel", "river"]], ["french", "german"]),
+]
+
+
+@pytest.mark.parametrize("query,should,groups,excl", CASES)
+def test_boolean_wand_relational_referee(fts, query, should, groups, excl):
+    want = _referee(fts, should, groups, excl)
+    assert want, "case must have survivors to be meaningful"
+    wand = _rows(fts.search_boolean(query, k=0, mode="wand"))
+    rel = _rows(fts.search_boolean(query, k=0, mode="relational"))
+    assert wand == want
+    assert rel == want
+    # the boolean structure actually gated something: pure-OR is larger
+    full = _rows(
+        fts.search_bm25(
+            " ".join(should + [w for g in groups for w in g]),
+            k=0,
+            mode="wand",
+        )
+    )
+    assert len(wand) < len(full)
+
+
+def test_boolean_topk_prefix_of_full(fts):
+    """Top-k under group masks == first k of the k=0 result — the segment
+    mask skip and theta pruning stay exact together."""
+    q = "+french +hotel turtle"
+    allr = _rows(fts.search_boolean(q, k=0, mode="wand"))
+    allr.sort(key=lambda x: (-x[1], x[0]))
+    for k in (1, 3, 5):
+        top = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in fts.search_boolean(q, k=k, mode="wand").collect()
+        ]
+        assert top == allr[:k]
+
+
+def test_boolean_oov_required_term_empty(fts):
+    assert fts.search_boolean("+zzzqqqxx hotel", k=0).count() == 0
+    assert (
+        fts.search_boolean("+zzzqqqxx hotel", k=0, mode="relational").count()
+        == 0
+    )
+
+
+def test_boolean_stopword_clause_drops(fts):
+    """A required clause the analyzer empties (pure stopword) drops like
+    Lucene's; the query degrades to the remaining terms."""
+    got = _rows(fts.search_boolean("+the hotel", k=0))
+    want = _rows(fts.search_bm25("hotel", k=0, mode="relational"))
+    assert got == want
+
+
+def test_boolean_excluded_group_empty(fts):
+    """Excluding every member of a required group makes it unmatchable."""
+    assert fts.search_boolean("+french hotel -french", k=0).count() == 0
+
+
+def test_boolean_pure_negative_empty(fts):
+    assert fts.search_boolean("-hotel", k=0).count() == 0
+
+
+def test_boolean_no_structure_equals_bm25(fts):
+    got = _rows(fts.search_boolean("french hotel turtle", k=0))
+    want = _rows(fts.search_bm25("french hotel turtle", k=0, mode="wand"))
+    assert got == want
+
+
+def test_boolean_prefix_equals_prefix_search(fts):
+    got = _rows(fts.search_boolean("hote* turtle", k=0))
+    want = _rows(fts.search_bm25_prefix("hote* turtle", k=0))
+    assert got == want
+
+
+def test_boolean_required_prefix_gates(fts):
+    """+pre* = "at least one dictionary expansion of pre* matches"."""
+    exp = fts.expand_terms("hote", "prefix")
+    assert exp
+    base = {
+        int(r["doc_id"]): round(float(r["score"]), 9)
+        for r in fts.search_bm25_prefix(
+            "hote* turtle", k=0, mode="relational"
+        ).collect()
+    }
+    matched = {
+        int(r["doc_id"])
+        for r in fts.decoded_postings(exp).select("doc_id").collect()
+    }
+    want = sorted((d, s) for d, s in base.items() if d in matched)
+    got = _rows(fts.search_boolean("+hote* turtle", k=0))
+    assert got == want
+    assert len(got) < len(base)
+
+
+def test_boolean_required_pattern_no_expansion_empty(fts):
+    assert fts.search_boolean("+zzzqqq* hotel", k=0).count() == 0
+
+
+def test_boolean_hydrate_and_offset(fts):
+    out = fts.search_boolean("+french hotel", k=3, hydrate=True, offset=2)
+    rows = out.collect()
+    assert {"doc_id", "score", "url"} <= set(out.columns)
+    allr = _rows(fts.search_boolean("+french hotel", k=0))
+    allr.sort(key=lambda x: (-x[1], x[0]))
+    assert [(d, s) for d, s, in ((int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows)] == allr[2:5]
+
+
+def test_boolean_group_cap(fts):
+    q = " ".join(f"+qqqword{i}" for i in range(64)) + " hotel"
+    with pytest.raises(ValueError, match="required groups"):
+        fts.search_boolean(q, k=0)
+
+
+# ------------------------------------------------------------- phrases
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    from fts_engine_spark.build import BuildConfig, build_index
+
+    rows = [
+        (0, "merge sort is a classic merge sort algorithm", "en"),
+        (1, "the merge of the sort", "en"),
+        (2, "sort merge join beats hash join", "en"),
+        (3, "merge then sorting data", "en"),
+        (4, "big merge sort merge sort merge sort run", "en"),
+        (5, "nothing relevant here", "en"),
+        (6, "merge", "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        "lang",
+    )
+    d = str(tmp_path_factory.mktemp("boolposix") / "ix")
+    build_index(
+        spark,
+        docs,
+        d,
+        BuildConfig(
+            preset="simple", shard_size=3, id_buckets=4, n_waves=1,
+            store_positions=True,
+        ),
+        resume=False,
+    )
+    return d
+
+
+def test_boolean_phrase_restricts_and_scores(spark, pos_index):
+    fts = FtsIndex(spark, pos_index)
+    # phrase-only boolean query: candidates = positional match set,
+    # scored over the phrase's terms
+    got = fts.search_boolean('"merge sort"', k=0)
+    got_ids = {int(r["doc_id"]) for r in got.collect()}
+    want_ids = {
+        int(r["doc_id"])
+        for r in fts.search_phrase_positional("merge sort", k=0).collect()
+    }
+    assert got_ids == want_ids and got_ids
+    # phrase + NOT composes: drop docs containing 'join'
+    narrowed = fts.search_boolean('"merge sort" -join', k=0)
+    nar_ids = {int(r["doc_id"]) for r in narrowed.collect()}
+    joined = {
+        int(r["doc_id"])
+        for r in fts.decoded_postings(["join"]).select("doc_id").collect()
+    }
+    assert nar_ids == got_ids - joined
+    # scores equal the plain OR scores of the phrase terms on those docs
+    base = {
+        int(r["doc_id"]): round(float(r["score"]), 9)
+        for r in fts.search_bm25(
+            "merge sort", k=0, mode="relational"
+        ).collect()
+    }
+    for r in got.collect():
+        assert round(float(r["score"]), 9) == base[int(r["doc_id"])]
