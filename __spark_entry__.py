@@ -46,6 +46,10 @@ EXPAND_MAX = 64
 # boolean NOT row: both exclusion terms overlap ~80% of the Q_TERMS match
 # set at every sf, so the exclusion genuinely reshapes the top-k
 NOT_EXCLUDE = ["merge", "sort"]
+# boolean query-string row (queryparse.py): scoring terms == Q_TERMS with
+# mult 1 each, so the oracle reuses the bm25 CTE; gates: MUST 'table',
+# MUST (value OR fast), NOT 'merge'
+BOOL_QUERY = "+table +(value OR fast) data -merge"
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.12
 # the driver's synthetic embeddings have max pairwise cos ~0.51; 0.42 keeps
@@ -436,6 +440,22 @@ def _index_search(
     )
 
 
+def _bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-lite boolean query string (FtsIndex.search_boolean): MUST
+    groups ride per-term bitmasks through the WAND kernel, NOT rides the
+    shard-local exclusion set; scoring is OR-accumulate BM25 over all
+    scoring terms, so the oracle is the bm25 CTE plus coverage gates."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_boolean(BOOL_QUERY, k=10, hydrate=True)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet panel over the compressed index: distinct matching docs per
     lang, full OR match set (doc-blob-only decode, no scoring)."""
@@ -685,6 +705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_index_bm25_page2": lambda s, d: _index_search(
             s, d, "wand", k=10, offset=10
         ),
+        # boolean query string: +MUST groups (bitmask coverage in the
+        # kernel) + NOT in one parsed surface (queryparse.py)
+        "fts_boolean_bm25": _bool_search,
         # facet panel: distinct matching docs per lang over the FULL
         # match set (doc-blob-only decode, no tf/dl bytes, no scoring)
         "fts_facet_counts": _facet_counts,
@@ -1076,6 +1099,17 @@ GROUP BY 1 ORDER BY n_docs DESC, lang
         f"WHERE doc_id % {WITHIN_MOD} = 0",
     )
     assert bm25_within != bm25
+    # boolean query string (BOOL_QUERY): scoring == the bm25 CTE (same
+    # terms, mult 1); MUST groups are per-group EXISTS gates, NOT is the
+    # usual anti-membership — boolean structure gates candidacy only
+    bm25_bool = bm25.replace(
+        "SELECT doc_id, round(raw, 4) AS score FROM scored",
+        "SELECT doc_id, round(raw, 4) AS score FROM scored "
+        "WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "AND doc_id IN (SELECT doc_id FROM tf WHERE term IN ('value', 'fast')) "
+        "AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')",
+    )
+    assert bm25_bool != bm25
     # dictionary-expanded rewrites: swap the literal q CTE for an expansion
     # over the corpus vocabulary — same bound + preference as the engine's
     # expand_terms (df desc, term asc, LIMIT max_expand), so the oracle is
@@ -1181,6 +1215,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_wand": bm25,
         "fts_index_bm25_and": bm25_and,
         "fts_index_bm25_not": bm25_not,
+        "fts_boolean_bm25": bm25_bool,
         "fts_prefix_bm25": bm25_prefix,
         "fts_fuzzy_bm25": bm25_fuzzy,
         "fts_phrase_scan": phrase_sql,
