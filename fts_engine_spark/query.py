@@ -1096,35 +1096,90 @@ class FtsIndex:
 
     # ---- boolean query strings (queryparse.py) ---------------------------
 
-    def _resolve_atoms(self, atoms, preset: str, max_expand: int) -> list[str]:
+    def _resolve_atoms(
+        self, atoms, preset: str, max_expand: int, point: bool = False
+    ) -> list[str]:
         """Parsed atoms -> analyzed index terms (duplicates kept so
         multiplicity accumulates like repeated query words). Plain words
         run the document pipeline (symmetry invariant); prefix patterns
         lowercase-then-expand (the pattern is a dictionary prefix, not a
         word — stemming it would corrupt it); fuzzy patterns normalize
         WITHOUT the dictionary gate, then expand in stem space (the
-        rationale in :meth:`search_bm25_fuzzy`)."""
+        rationale in :meth:`search_bm25_fuzzy`). ``point=True`` expands
+        against the driver dictionary (bisect, zero jobs — identical
+        preference, asserted in tests/test_point_serving.py)."""
+
+        def expand(pat: str, kind: str, max_dist: int = 1) -> list[str]:
+            if point:
+                return self._point_expand(pat, kind, max_dist, max_expand)
+            return self.expand_terms(
+                pat, kind, max_dist=max_dist, max_expand=max_expand
+            )
+
         out: list[str] = []
         for a in atoms:
             if a.kind == "prefix":
-                out.extend(
-                    self.expand_terms(
-                        go_lower(a.text), "prefix", max_expand=max_expand
-                    )
-                )
+                out.extend(expand(go_lower(a.text), "prefix"))
             elif a.kind == "fuzzy":
                 for t0 in normalize_query(a.text, preset):
-                    out.extend(
-                        self.expand_terms(
-                            t0,
-                            "fuzzy",
-                            max_dist=a.max_dist,
-                            max_expand=max_expand,
-                        )
-                    )
+                    out.extend(expand(t0, "fuzzy", a.max_dist))
             else:
                 out.extend(normalize_query(a.text, preset))
         return out
+
+    def _resolve_boolean(
+        self, bq, preset: str, max_expand: int, point: bool = False
+    ):
+        """Resolve a parsed BooleanQuery's non-phrase clauses to
+        (mult, groups, excl): scoring multiplicities, required term
+        groups, excluded terms. Returns ``None`` when the query is
+        provably empty (a required pattern with zero dictionary
+        expansions, or a required group wholly excluded). Analyzer-empty
+        required clauses (pure stopwords) drop like Lucene's."""
+        mult: dict[str, int] = {}
+        for t in self._resolve_atoms(bq.should, preset, max_expand, point):
+            mult[t] = mult.get(t, 0) + 1
+        groups: list[set[str]] = []
+        for g in bq.groups:
+            terms = self._resolve_atoms(g, preset, max_expand, point)
+            if not terms:
+                if any(a.kind != "term" for a in g):
+                    # a required pattern with zero dictionary expansions
+                    # can never be satisfied
+                    return None
+                # required clause entirely removed by the analyzer
+                # (stopwords / min-len): the clause drops, not the query
+                continue
+            for t in terms:
+                mult[t] = mult.get(t, 0) + 1
+            groups.append(set(terms))
+        excl: dict[str, int] = {}
+        for t in self._resolve_atoms(bq.must_not, preset, max_expand, point):
+            excl[t] = excl.get(t, 0) + 1
+        if excl:
+            # an excluded term's docs are all dropped, so it can neither
+            # score nor satisfy a group; a group left with no terms is
+            # unmatchable
+            mult = {t: m for t, m in mult.items() if t not in excl}
+            groups = [g - excl.keys() for g in groups]
+            if any(not g for g in groups):
+                return None
+        return mult, groups, excl
+
+    @staticmethod
+    def _group_masks(groups: list[set[str]]) -> tuple[dict[str, int], int]:
+        """(term -> required-group bitmask, full mask). int64 masks cap
+        the group count at 63."""
+        if len(groups) > 63:
+            raise ValueError(
+                f"too many required groups ({len(groups)}; int64 masks "
+                "cap at 63)"
+            )
+        term_gmask: dict[str, int] = {}
+        for i, g in enumerate(groups):
+            for t in g:
+                term_gmask[t] = term_gmask.get(t, 0) | (1 << i)
+        return term_gmask, (1 << len(groups)) - 1
 
     def search_boolean(
         self,
@@ -1173,34 +1228,10 @@ class FtsIndex:
                 self._empty_bm25_result(), hydrate, bounded=True
             )
 
-        mult: dict[str, int] = {}
-        for t in self._resolve_atoms(bq.should, preset, max_expand):
-            mult[t] = mult.get(t, 0) + 1
-        groups: list[set[str]] = []
-        for g in bq.groups:
-            terms = self._resolve_atoms(g, preset, max_expand)
-            if not terms:
-                if any(a.kind != "term" for a in g):
-                    # a required pattern with zero dictionary expansions
-                    # can never be satisfied
-                    return empty()
-                # required clause entirely removed by the analyzer
-                # (stopwords / min-len): the clause drops, not the query
-                continue
-            for t in terms:
-                mult[t] = mult.get(t, 0) + 1
-            groups.append(set(terms))
-        excl: dict[str, int] = {}
-        for t in self._resolve_atoms(bq.must_not, preset, max_expand):
-            excl[t] = excl.get(t, 0) + 1
-        if excl:
-            # an excluded term's docs are all dropped, so it can neither
-            # score nor satisfy a group; a group left with no terms is
-            # unmatchable
-            mult = {t: m for t, m in mult.items() if t not in excl}
-            groups = [g - excl.keys() for g in groups]
-            if any(not g for g in groups):
-                return empty()
+        resolved = self._resolve_boolean(bq, preset, max_expand)
+        if resolved is None:
+            return empty()
+        mult, groups, excl = resolved
 
         incl_df = self._within_df(within)
         for ph in bq.phrases:
@@ -1217,17 +1248,7 @@ class FtsIndex:
             # pure-negative / analyzer-empty query: nothing to score
             return empty()
 
-        if len(groups) > 63:
-            raise ValueError(
-                f"too many required groups ({len(groups)}; int64 masks "
-                "cap at 63)"
-            )
-        term_gmask: dict[str, int] = {}
-        for i, g in enumerate(groups):
-            for t in g:
-                term_gmask[t] = term_gmask.get(t, 0) | (1 << i)
-        full_mask = (1 << len(groups)) - 1
-
+        term_gmask, full_mask = self._group_masks(groups)
         k_eff = k + offset if (offset and k > 0) else k
         hyd_inner = hydrate and not offset
         out = None
@@ -1540,12 +1561,17 @@ class FtsIndex:
         k: int,
         require_n: int,
         excl_terms: frozenset[str] | None = None,
+        term_gmask: dict[str, int] | None = None,
+        full_mask: int = 0,
     ) -> list[tuple[int, float]]:
         """In-process sweep over the point cache for a resolved
         term -> (mult, df) map: fetch missing terms (one pruned job),
         run the SAME per-shard WAND kernel the executors run, merge.
         ``excl_terms`` are cached/fetched like scoring terms; their doc
-        ids (doc blob only) form per-shard exclusion sets."""
+        ids (doc blob only) form per-shard exclusion sets.
+        ``term_gmask``/``full_mask`` are boolean MUST groups (see
+        :func:`_wand_sweep`); shards whose terms can't cover every
+        required group are skipped whole, like the distributed kernel."""
         with self._point_lock:
             all_terms = dict.fromkeys(
                 list(present) + sorted(excl_terms or ())
@@ -1563,11 +1589,14 @@ class FtsIndex:
             # rows in the warm cache's (shard, term) sort order, and float
             # summation order must match for bit-identical scores
             shards: dict[int, list[tuple[float, dict]]] = {}
+            shard_gms: dict[int, list[int]] = {}
             for term in sorted(present):
                 m, df_ = present[term]
                 w = m * bm25_idf(self.n_docs, df_)
+                gm = term_gmask.get(term, 0) if term_gmask else 0
                 for shard, table in self._point_cache[term].items():
                     shards.setdefault(shard, []).append((w, table))
+                    shard_gms.setdefault(shard, []).append(gm)
             excl_by_shard: dict[int, np.ndarray] = {}
             if excl_terms:
                 parts: dict[int, list[np.ndarray]] = {}
@@ -1584,6 +1613,14 @@ class FtsIndex:
             dead = self._dead_ids()
             heap: list[tuple[float, int]] = []
             for shard, weighted in shards.items():
+                gms = shard_gms.get(shard, [])
+                if full_mask:
+                    shard_mask = 0
+                    for gm in gms:
+                        shard_mask |= gm
+                    if (shard_mask & full_mask) != full_mask:
+                        # a required group has no postings in this shard
+                        continue
                 # same slice+union the distributed kernel applies, so the
                 # tiers stay bit-identical under pending deletes
                 excl = _merge_dead(
@@ -1593,6 +1630,8 @@ class FtsIndex:
                 docs, scores = _wand_sweep(
                     weighted, k, shard * self.shard_size, self.avgdl, None,
                     require_n, excl,
+                    group_masks=gms if full_mask else None,
+                    full_mask=full_mask,
                 )
                 for doc, sc in zip(docs.tolist(), scores.tolist()):
                     if k <= 0 or len(heap) < k:
@@ -1740,6 +1779,80 @@ class FtsIndex:
                 max_dist=max_dist, max_expand=max_expand,
             ),
         )
+
+    def search_boolean_point(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        max_expand: int = 64,
+        offset: int = 0,
+    ) -> list[tuple[int, float]]:
+        """:meth:`search_boolean` on the point tier: the boolean string
+        parses, expands (driver-dictionary bisect), and sweeps entirely
+        in-process — MUST-group bitmasks and NOT exclusion run inside the
+        same :func:`_wand_sweep` the executors run, so results are
+        exactly the distributed surface's (asserted in
+        tests/test_boolean.py). Falls back to the distributed path when
+        the tier is off, a phrase clause is present (positional match
+        needs a Spark job), or any term's posting list exceeds the point
+        budget."""
+        from .queryparse import parse_query
+
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
+
+        def fallback() -> list[tuple[int, float]]:
+            return [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self.search_boolean(
+                    query, k=k, preset=preset,
+                    max_expand=max_expand, offset=offset,
+                ).collect()
+            ]
+
+        if self._point_cache is None or self._term_dict is None:
+            return fallback()
+        bq = parse_query(query)
+        if bq.phrases:
+            return fallback()
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        resolved = self._resolve_boolean(bq, preset, max_expand, point=True)
+        if resolved is None:
+            return []
+        mult, groups, excl = resolved
+        if not mult:
+            return []
+        term_gmask, full_mask = self._group_masks(groups)
+        present = {
+            t: (m, self._term_dict[t][0])
+            for t, m in mult.items()
+            if t in self._term_dict
+        }
+        if not present:
+            return []
+        if full_mask:
+            covered = 0
+            for t in present:
+                covered |= term_gmask.get(t, 0)
+            if (covered & full_mask) != full_mask:
+                # a required group has no term in the dictionary
+                return []
+        excl_present = {t for t in excl if t in self._term_dict}
+        df_cap = self._point_max_bytes // 40
+        if any(
+            self._term_dict[t][0] > df_cap
+            for t in list(present) + sorted(excl_present)
+        ):
+            return fallback()
+        k_eff = k + offset if (offset and k > 0) else k
+        rows = self._point_sweep(
+            present, k_eff, 0, frozenset(excl_present) or None,
+            term_gmask, full_mask,
+        )
+        return rows[offset:] if offset else rows
 
     def _point_mult_search(
         self,

@@ -241,6 +241,56 @@ def test_boolean_group_cap(fts):
         fts.search_boolean(q, k=0)
 
 
+# ------------------------------------------------------------- point tier
+
+
+POINT_QUERIES = [
+    "+french +hotel turtle",
+    "+(french OR german) -turtle castle",
+    "+hote* turtle",
+    "quik~2 +hotel",
+    "+zzzqqqxx hotel",
+    "-hotel",
+]
+
+
+def test_boolean_point_matches_distributed(spark, small_index):
+    """The point tier serves boolean queries in-process with rows exactly
+    equal to the distributed surface (same kernel, same masks)."""
+    index_dir, _meta = small_index
+    fts = FtsIndex(spark, index_dir).enable_point_serving()
+    try:
+        for q in POINT_QUERIES:
+            want = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in fts.search_boolean(q, k=10).collect()
+            ]
+            got = fts.search_boolean_point(q, k=10)
+            assert got == want, q
+            # pagination parity
+            assert fts.search_boolean_point(q, k=3, offset=2) == [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in fts.search_boolean(q, k=3, offset=2).collect()
+            ], q
+    finally:
+        fts.close()
+
+
+def test_boolean_point_phrase_falls_back(spark, small_index):
+    """A phrase clause needs the positional job — the point surface must
+    delegate, not crash; on an index without positions that raises the
+    documented error either way."""
+    from fts_engine_spark.positions import PositionsUnavailableError
+
+    index_dir, _meta = small_index
+    fts = FtsIndex(spark, index_dir).enable_point_serving()
+    try:
+        with pytest.raises(PositionsUnavailableError):
+            fts.search_boolean_point('"french hotel"', k=5)
+    finally:
+        fts.close()
+
+
 # ------------------------------------------------------------- phrases
 
 
