@@ -581,6 +581,44 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     timings["query_point_prefix_p50_ms"] = pre_p50
     timings["query_point_fuzzy_p50_ms"] = fuz_p50
 
+    # ---- 3d2b. boolean query strings (+MUST groups, NOT, patterns in
+    # one parsed surface) on both tiers — point-vs-distributed parity
+    # asserted before timing, like every other point row
+    bool_qs = [
+        "+french +(hotel OR castle) turtle -german",
+        "+engine +(index OR query) search -russian",
+        "+market station -bridge",
+    ]
+    for q in bool_qs:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts.search_boolean(q, k=10).collect()
+        ]
+        if fts.search_boolean_point(q, k=10) != want:
+            raise RuntimeError(f"boolean point parity failure on {q!r}")
+
+    def _boolean_once():
+        dist, pnt = [], []
+        for _ in range(3):
+            for q in bool_qs:
+                t0 = time.monotonic()
+                fts.search_boolean(q, k=10).collect()
+                dist.append((time.monotonic() - t0) * 1000)
+                t0 = time.monotonic()
+                fts.search_boolean_point(q, k=10)
+                pnt.append((time.monotonic() - t0) * 1000)
+        return (
+            round(statistics.median(dist), 1),
+            round(statistics.median(pnt), 2),
+        )
+
+    (bool_ms, point_bool_ms), _ = gated_phase(
+        meter, contaminated, steal_log, "query_boolean",
+        STEAL_SERVE_TICKS, _boolean_once,
+    )
+    timings["query_boolean_ms"] = bool_ms
+    timings["query_point_boolean_ms"] = point_bool_ms
+
     # ---- 3d3. r5 pagination + facet panel. Page 2 must tile with page 1
     # (asserted against the deep top-20 before timing; a wrong page must
     # fail the bench). The facet row times the doc-blob-only full-match

@@ -299,6 +299,29 @@ class FtsEngine:
             max_expand=max_expand,
         )
 
+    def search_boolean(
+        self,
+        query: str,
+        k: int | None = None,
+        within: "DataFrame | list[str] | None" = None,
+        max_expand: int = 64,
+        offset: int = 0,
+    ) -> DataFrame:
+        """Lucene-lite boolean query string: ``word`` scores, ``+word`` /
+        ``+(a OR b)`` requires, ``-word`` excludes, ``"a b"`` is a
+        required phrase, ``pre*`` / ``word~N`` expand — grammar in
+        :mod:`fts_engine_spark.queryparse`; extension beyond the
+        reference's plain OR query."""
+        return self.index.search_boolean(
+            query,
+            self.options.k if k is None else k,
+            mode=self.options.mode,
+            hydrate=True,
+            within=within,
+            max_expand=max_expand,
+            offset=offset,
+        )
+
     # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats
     def delete_documents(self, urls: "list[str] | DataFrame") -> dict:
         """Tombstone documents by url (list, or a DataFrame with a ``url``

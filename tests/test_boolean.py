@@ -241,6 +241,19 @@ def test_boolean_group_cap(fts):
         fts.search_boolean(q, k=0)
 
 
+def test_engine_facade_boolean(spark, small_index):
+    from fts_engine_spark.engine import FtsEngine
+
+    index_dir, _meta = small_index
+    eng = FtsEngine(spark, index_dir)
+    out = eng.search_boolean("+french hotel", k=5)
+    assert {"doc_id", "score", "url"} <= set(out.columns)
+    rows = out.collect()
+    assert rows
+    want = _rows(eng.index.search_boolean("+french hotel", k=5))
+    assert sorted((int(r["doc_id"]), round(float(r["score"]), 9)) for r in rows) == want
+
+
 # ------------------------------------------------------------- point tier
 
 
