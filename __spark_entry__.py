@@ -50,6 +50,10 @@ NOT_EXCLUDE = ["merge", "sort"]
 # mult 1 each, so the oracle reuses the bm25 CTE; gates: MUST 'table',
 # MUST (value OR fast), NOT 'merge'
 BOOL_QUERY = "+table +(value OR fast) data -merge"
+# more-like-this row: source doc (original id), selection bound — the
+# characteristic terms of that doc (tf desc, df asc, term asc LIMIT n)
+# run as an OR BM25 query with the source excluded
+MLT_SOURCE_DOC, MLT_MAX_TERMS = 7, 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.12
 # the driver's synthetic embeddings have max pairwise cos ~0.51; 0.42 keeps
@@ -456,6 +460,30 @@ def _bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-document retrieval (operators/morelike.py): the source
+    doc's characteristic terms (all-integer deterministic rank:
+    tf desc, df asc, term asc, LIMIT MLT_MAX_TERMS — SQL-reproducible
+    truncation) OR-accumulate through the same WAND kernel, source doc
+    excluded after the k+1 merge."""
+    from fts_engine_spark.operators.morelike import more_like_this
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir, stored=True)
+    fts = FtsIndex(spark, index_dir)
+    out = more_like_this(
+        fts,
+        url=f"doc://{MLT_SOURCE_DOC}",
+        k=10,
+        max_terms=MLT_MAX_TERMS,
+        hydrate=True,
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet panel over the compressed index: distinct matching docs per
     lang, full OR match set (doc-blob-only decode, no scoring)."""
@@ -708,6 +736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boolean query string: +MUST groups (bitmask coverage in the
         # kernel) + NOT in one parsed surface (queryparse.py)
         "fts_boolean_bm25": _bool_search,
+        # more-like-this: similar docs by the source doc's
+        # characteristic terms (Lucene MLT), source excluded
+        "fts_more_like_this": _more_like_this,
         # facet panel: distinct matching docs per lang over the FULL
         # match set (doc-blob-only decode, no tf/dl bytes, no scoring)
         "fts_facet_counts": _facet_counts,
@@ -1110,6 +1141,21 @@ GROUP BY 1 ORDER BY n_docs DESC, lang
         "AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')",
     )
     assert bm25_bool != bm25
+    # more-like-this: q = the source doc's terms ranked (tf desc, df asc,
+    # term asc — all-integer, so truncation is deterministic), mult 1;
+    # the source doc is excluded from results
+    bm25_mlt = bm25.replace(
+        f"q(term, mult) AS (VALUES {_Q_VALUES})",
+        "q AS (SELECT term, 1 AS mult FROM ("
+        "SELECT tf.term AS term, tf.tf AS tf, s.df AS df "
+        f"FROM tf JOIN stats s USING (term) WHERE tf.doc_id = {MLT_SOURCE_DOC}"
+        f") ORDER BY tf DESC, df ASC, term ASC LIMIT {MLT_MAX_TERMS})",
+    ).replace(
+        "SELECT doc_id, round(raw, 4) AS score FROM scored",
+        "SELECT doc_id, round(raw, 4) AS score FROM scored "
+        f"WHERE doc_id <> {MLT_SOURCE_DOC}",
+    )
+    assert bm25_mlt != bm25 and str(MLT_SOURCE_DOC) in bm25_mlt
     # dictionary-expanded rewrites: swap the literal q CTE for an expansion
     # over the corpus vocabulary — same bound + preference as the engine's
     # expand_terms (df desc, term asc, LIMIT max_expand), so the oracle is
@@ -1216,6 +1262,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_and": bm25_and,
         "fts_index_bm25_not": bm25_not,
         "fts_boolean_bm25": bm25_bool,
+        "fts_more_like_this": bm25_mlt,
         "fts_prefix_bm25": bm25_prefix,
         "fts_fuzzy_bm25": bm25_fuzzy,
         "fts_phrase_scan": phrase_sql,

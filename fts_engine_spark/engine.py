@@ -322,6 +322,35 @@ class FtsEngine:
             offset=offset,
         )
 
+    def more_like_this(
+        self,
+        url: str | None = None,
+        doc_id: int | None = None,
+        docs: DataFrame | None = None,
+        k: int | None = None,
+        max_terms: int = 25,
+        min_tf: int = 1,
+        min_df: int = 1,
+    ) -> DataFrame:
+        """Documents most similar to a source doc (Lucene MoreLikeThis):
+        its highest-tf / rarest terms run as an OR BM25 query, source
+        excluded — extension beyond the reference. Text comes from the
+        stored-fields sidecar or the ``docs`` DataFrame."""
+        from .operators.morelike import more_like_this
+
+        return more_like_this(
+            self.index,
+            url=url,
+            doc_id=doc_id,
+            docs=docs,
+            k=self.options.k if k is None else k,
+            max_terms=max_terms,
+            min_tf=min_tf,
+            min_df=min_df,
+            mode=self.options.mode,
+            hydrate=True,
+        )
+
     # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats
     def delete_documents(self, urls: "list[str] | DataFrame") -> dict:
         """Tombstone documents by url (list, or a DataFrame with a ``url``
