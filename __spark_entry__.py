@@ -54,6 +54,9 @@ BOOL_QUERY = "+table +(value OR fast) data -merge"
 # characteristic terms of that doc (tf desc, df asc, term asc LIMIT n)
 # run as an OR BM25 query with the source excluded
 MLT_SOURCE_DOC, MLT_MAX_TERMS = 7, 10
+# did-you-mean row: two real typos, one exact dictionary word (suggests
+# itself at distance 0), one garbage token (no suggestion within 2)
+SUGGEST_QUERY = "querry tabel value zzzzqqqq"
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.12
 # the driver's synthetic embeddings have max pairwise cos ~0.51; 0.42 keeps
@@ -484,6 +487,18 @@ def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean (operators/suggest.py): best dictionary term per
+    normalized query token, ranked levenshtein asc / df desc / term asc
+    — the Lucene-spellchecker order, bit-reproducible in SQL."""
+    from fts_engine_spark.operators.suggest import suggest_terms
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    return suggest_terms(fts, SUGGEST_QUERY, max_dist=2)
+
+
 def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet panel over the compressed index: distinct matching docs per
     lang, full OR match set (doc-blob-only decode, no scoring)."""
@@ -739,6 +754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # more-like-this: similar docs by the source doc's
         # characteristic terms (Lucene MLT), source excluded
         "fts_more_like_this": _more_like_this,
+        # did-you-mean: best dictionary term per token within 2 edits
+        "fts_suggest": _suggest,
         # facet panel: distinct matching docs per lang over the FULL
         # match set (doc-blob-only decode, no tf/dl bytes, no scoring)
         "fts_facet_counts": _facet_counts,
@@ -1156,6 +1173,29 @@ GROUP BY 1 ORDER BY n_docs DESC, lang
         f"WHERE doc_id <> {MLT_SOURCE_DOC}",
     )
     assert bm25_mlt != bm25 and str(MLT_SOURCE_DOC) in bm25_mlt
+    # did-you-mean: per token, the dictionary term at minimal edit
+    # distance (<= 2), ties df desc then term asc — levenshtein() is the
+    # same classic edit distance in Spark and DuckDB
+    _qt_vals = ", ".join(
+        f"('{t}')" for t in sorted(set(SUGGEST_QUERY.split()))
+    )
+    suggest_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt(token) AS (VALUES {_qt_vals}),
+cand AS (
+  SELECT qt.token, s.term, s.df, levenshtein(s.term, qt.token) AS dist
+  FROM stats s CROSS JOIN qt
+  WHERE abs(length(s.term) - length(qt.token)) <= 2
+    AND levenshtein(s.term, qt.token) <= 2)
+SELECT token, term AS suggestion, dist::INT AS dist, df AS sugg_df
+FROM (SELECT token, term, dist, df,
+             row_number() OVER (
+               PARTITION BY token ORDER BY dist, df DESC, term) AS rn
+      FROM cand)
+WHERE rn = 1 ORDER BY token
+"""
     # dictionary-expanded rewrites: swap the literal q CTE for an expansion
     # over the corpus vocabulary — same bound + preference as the engine's
     # expand_terms (df desc, term asc, LIMIT max_expand), so the oracle is
@@ -1263,6 +1303,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_not": bm25_not,
         "fts_boolean_bm25": bm25_bool,
         "fts_more_like_this": bm25_mlt,
+        "fts_suggest": suggest_sql,
         "fts_prefix_bm25": bm25_prefix,
         "fts_fuzzy_bm25": bm25_fuzzy,
         "fts_phrase_scan": phrase_sql,

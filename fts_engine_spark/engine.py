@@ -351,6 +351,15 @@ class FtsEngine:
             hydrate=True,
         )
 
+    def suggest(self, query: str, max_dist: int = 2) -> DataFrame:
+        """Did-you-mean: per normalized query token, the best dictionary
+        term within ``max_dist`` edits (distance asc, df desc, term asc
+        — Lucene's spellchecker order); extension beyond the
+        reference."""
+        from .operators.suggest import suggest_terms
+
+        return suggest_terms(self.index, query, max_dist=max_dist)
+
     # ---- Analyze (types.go:32-34, stats.go:3-11): index-shape stats
     def delete_documents(self, urls: "list[str] | DataFrame") -> dict:
         """Tombstone documents by url (list, or a DataFrame with a ``url``
