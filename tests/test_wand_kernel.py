@@ -476,3 +476,77 @@ def test_conjunctive_matches_bruteforce_property():
             assert all(brute[d] >= kth - 1e-9 for d in got)
 
     check()
+
+
+def test_group_masks_match_bruteforce_property():
+    """Boolean MUST-group masks vs brute force on randomized corpora
+    with adversarial block boundaries: the returned set must be exactly
+    the docs whose matched terms cover EVERY group (top-k thereof) with
+    OR-identical scores — the segment/shard coverage skips must never
+    change results, only decode work."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(10, 300),
+        skip=st.sampled_from([1, 3, 16, 128]),
+        k=st.sampled_from([0, 1, 5, 999]),
+        n_terms=st.integers(1, 5),
+        n_groups=st.integers(0, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, skip, k, n_terms, n_groups, seed):
+        rng = np.random.default_rng(seed)
+        dls_all = rng.integers(1, 200, size=n).astype(np.int64)
+        avgdl = float(dls_all.mean())
+        # random group membership: every group gets >= 1 member term
+        gmask = np.zeros(n_terms, dtype=np.int64)
+        for g in range(n_groups):
+            members = rng.choice(
+                n_terms, size=int(rng.integers(1, n_terms + 1)), replace=False
+            )
+            for ti in members:
+                gmask[ti] |= 1 << g
+        full_mask = (1 << n_groups) - 1
+        rows = []
+        brute = np.zeros(n)
+        cover = np.zeros(n, dtype=np.int64)
+        term_gmask = {}
+        for ti in range(n_terms):
+            m = int(rng.integers(1, n + 1))
+            local = np.sort(rng.choice(n, size=m, replace=False))
+            tfs = rng.integers(1, 50, size=m).astype(np.int64)
+            mult = int(rng.integers(1, 4))
+            rows.append(
+                _make_row_skip(
+                    f"t{ti}", local, tfs, dls_all[local],
+                    mult=mult, df=m, skip=skip,
+                )
+            )
+            brute[local] += bm25_score(mult, n, m, tfs, dls_all[local], avgdl)
+            cover[local] |= int(gmask[ti])
+            term_gmask[f"t{ti}"] = int(gmask[ti])
+        kernel = make_wand_kernel(
+            n, SHARD_SIZE, avgdl, k, counters={},
+            term_gmask=term_gmask, full_mask=full_mask,
+        )
+        out = kernel(None, pd.DataFrame(rows))
+        got = {
+            int(d): float(s) for d, s in zip(out["doc_id"], out["score"])
+        }
+        ok = (cover & full_mask) == full_mask
+        matched = brute > 0  # only docs with >= 1 posting can appear
+        ok &= matched
+        for d, s in got.items():
+            assert ok[d]
+            assert abs(s - brute[d]) < 1e-9
+        n_match = int(ok.sum())
+        if k <= 0 or n_match <= k:
+            assert set(got) == set(np.nonzero(ok)[0].tolist())
+        else:
+            assert len(got) == k
+            kth = np.sort(brute[ok])[::-1][k - 1]
+            assert all(brute[d] >= kth - 1e-9 for d in got)
+
+    check()
