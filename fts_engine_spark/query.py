@@ -2008,8 +2008,16 @@ class FtsIndex:
                 "via the relational plan — run compact_index",
                 stacklevel=3,
             )
+            incl_df = None
+            if incl_ids is not None:
+                # the restriction filter must survive the fallback: the
+                # resolved id array (bounded by include_broadcast_max)
+                # becomes the semi-join relation
+                incl_df = self.spark.createDataFrame(
+                    [(int(d),) for d in incl_ids], "doc_id long"
+                )
             return self._bm25_relational(
-                mult, k, hydrate, require_n, excl_mult,
+                mult, k, hydrate, require_n, excl_mult, incl_df,
                 term_gmask=term_gmask, full_mask=full_mask,
             )
         dead_bc = self._dead_broadcast()

@@ -131,6 +131,27 @@ def test_within_composes_with_tombstones(spark, index_dir, tmp_path):
     assert got == set(WITHIN) - {"doc://3", "doc://6"}
 
 
+def test_within_survives_tombstone_fallback(spark, index_dir, tmp_path):
+    """When pending deletes exceed dead_broadcast_max, wand mode falls
+    back to the relational plan — the within restriction must ride along
+    (regression: the fallback used to drop incl_ids silently)."""
+    import shutil
+
+    work = str(tmp_path / "ix_fb")
+    shutil.copytree(index_dir, work)
+    delete_documents(spark, work, ["doc://3", "doc://6"])
+    fts = FtsIndex(spark, work)
+    fts.dead_broadcast_max = 1  # force the relational fallback
+    with pytest.warns(UserWarning, match="pending deletes exceed"):
+        got = {
+            r["url"]
+            for r in fts.search_bm25(
+                "alpha", k=0, hydrate=True, within=WITHIN
+            ).collect()
+        }
+    assert got == set(WITHIN) - {"doc://3", "doc://6"}
+
+
 def test_within_skips_whole_shards(spark, index_dir):
     """Shards with no included doc return before any decode: the kernel
     early-out is observable through the decode counters when driven
