@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--mode", default=None, choices=["wand", "relational"])
     ap.add_argument("--conjunctive", action="store_true",
                     help="AND semantics: only docs containing every query term")
+    ap.add_argument("--boolean", action="append", default=[],
+                    help="boolean query string: +must, -not, +(a OR b), "
+                         '"phrase", pre*, word~N (repeatable)')
+    ap.add_argument("--like", action="append", default=[],
+                    help="more-like-this source url (repeatable)")
+    ap.add_argument("--suggest", action="append", default=[],
+                    help="did-you-mean: suggest corrections (repeatable)")
     ap.add_argument("--phrase", action="append", default=[],
                     help="positional phrase query (repeatable; analyzed-"
                          "token-space contiguous match)")
@@ -110,6 +117,36 @@ def main() -> None:
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({
             "phrase": p,
+            "ms": round(ms, 1),
+            "results": [r.asDict() for r in rows],
+        }, default=str))
+
+    for q in args.boolean:
+        t0 = time.monotonic()
+        rows = engine.search_boolean(q, k=args.k).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "boolean": q,
+            "ms": round(ms, 1),
+            "results": [r.asDict() for r in rows],
+        }, default=str))
+
+    for u in args.like:
+        t0 = time.monotonic()
+        rows = engine.more_like_this(url=u, k=args.k, docs=docs).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "like": u,
+            "ms": round(ms, 1),
+            "results": [r.asDict() for r in rows],
+        }, default=str))
+
+    for q in args.suggest:
+        t0 = time.monotonic()
+        rows = engine.suggest(q).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "suggest": q,
             "ms": round(ms, 1),
             "results": [r.asDict() for r in rows],
         }, default=str))

@@ -49,6 +49,8 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
             "--index", index_dir,
             "--query", "turtle hotel",
             "--phrase", "french hotel",
+            "--boolean", "+french +(hotel OR castle) turtle",
+            "--suggest", "hotl frnch",
             "--k", "5",
             "--shard-size", "64",
             "--waves", "2",
@@ -71,4 +73,9 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
     assert phr["phrase"] == "french hotel"
     assert phr["results"], "phrase must match docs in the synthetic corpus"
     assert all(r["phrase_count"] >= 1 for r in phr["results"])
+    boo = json.loads(lines[3])
+    assert boo["boolean"].startswith("+french") and boo["results"]
+    sug = json.loads(lines[4])
+    assert sug["suggest"] == "hotl frnch"
+    assert {r["suggestion"] for r in sug["results"]} & {"hotel", "french"}
     assert os.path.exists(os.path.join(index_dir, "meta.json"))
