@@ -232,6 +232,34 @@ def test_tombstones_and_within_keep_wand_plan_shape(
         assert "Exchange" not in above_cache, tree
 
 
+def test_boolean_masks_keep_wand_plan_shape(spark, small_index):
+    """MUST-group bitmasks travel in the kernel CLOSURE, not the plan:
+    a boolean query's warm WAND plan is literally identical to the plain
+    OR query's (zero exchanges above the cache scan, no extra joins)."""
+    import re
+
+    from fts_engine_spark.plans.review import formatted_plan
+
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir).warm()
+    try:
+        def norm(df):
+            plan = re.sub(r"#\d+L?", "#N", formatted_plan(df))
+            return re.sub(r"plan_id=\d+", "plan_id=N", plan)
+
+        base = norm(fts.search_bm25("turtle hotel french", k=5))
+        boolq = norm(
+            fts.search_boolean("+turtle +(hotel OR french)", k=5)
+        )
+        assert boolq == base
+        above_cache = boolq.split("\n\n", 1)[0].split("InMemoryRelation", 1)[0]
+        assert "Exchange" not in above_cache, boolq
+    finally:
+        fts._postings_df.unpersist()
+        if fts._terms_df is not None:
+            fts._terms_df.unpersist()
+
+
 def test_build_postings_wave_plan_has_no_jvm_sort(spark, docs):
     """The r3 postings plan ships packed doc rows through ONE exchange into
     the encode kernel — the (shard, term, doc) sort lives inside the kernel
