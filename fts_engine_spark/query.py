@@ -2254,6 +2254,76 @@ def _decode_term_block(t: dict, j: int, base: int, avgdl: float, counters):
     return blk
 
 
+# At and above this many query terms the per-segment python loop costs
+# more than it saves (segment count grows with the union of all terms'
+# block edges, and every segment scans every term): _wand_sweep switches
+# to one vectorized full-decode accumulation instead. Results are
+# bit-identical — per-doc contributions are summed in the same
+# term-index order on both paths — only the decode/skip strategy changes.
+_DENSE_TERM_THRESHOLD = 8
+
+
+def _dense_accumulate(
+    weighted: list[tuple[float, dict]],
+    k: int,
+    base: int,
+    avgdl: float,
+    counters,
+    require_n: int = 0,
+    excl_docs: np.ndarray | None = None,
+    incl_docs: np.ndarray | None = None,
+    group_masks: list[int] | None = None,
+    full_mask: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact OR-accumulate over FULLY decoded postings — the many-term
+    plan (more-like-this, wide boolean queries): one vectorized
+    np.unique + add.at over all postings beats thousands of per-segment
+    python iterations, at the price of decoding every block. Applies
+    the same candidate filters as the sweep (masks, require_n,
+    exclusion, inclusion) and returns the same (top-)k set with
+    bit-identical scores (same per-doc summation order)."""
+    docs_l, scores_l, gmasks_l = [], [], []
+    for ti, (w, t) in enumerate(weighted):
+        doc_ids, bscore = _decode_term_full(t, base, avgdl, counters)
+        if doc_ids.size == 0:
+            continue
+        docs_l.append(doc_ids)
+        scores_l.append(w * bscore)
+        if full_mask:
+            gm = group_masks[ti] if group_masks is not None else 0
+            gmasks_l.append(np.full(doc_ids.size, gm, dtype=np.int64))
+    if not docs_l:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    d = np.concatenate(docs_l)
+    s = np.concatenate(scores_l)
+    uniq, inv = np.unique(d, return_inverse=True)
+    acc = np.zeros(len(uniq))
+    np.add.at(acc, inv, s)
+    keep = np.ones(len(uniq), dtype=bool)
+    if full_mask:
+        gacc = np.zeros(len(uniq), dtype=np.int64)
+        np.bitwise_or.at(gacc, inv, np.concatenate(gmasks_l))
+        keep &= (gacc & full_mask) == full_mask
+    if require_n > 0:
+        keep &= np.bincount(inv, minlength=len(uniq)) >= require_n
+    if excl_docs is not None and excl_docs.size:
+        pos = np.minimum(np.searchsorted(excl_docs, uniq), excl_docs.size - 1)
+        keep &= excl_docs[pos] != uniq
+    if incl_docs is not None:
+        if incl_docs.size:
+            pos = np.minimum(
+                np.searchsorted(incl_docs, uniq), incl_docs.size - 1
+            )
+            keep &= incl_docs[pos] == uniq
+        else:
+            keep &= False
+    uniq, acc = uniq[keep], acc[keep]
+    if k > 0 and len(uniq) > k:
+        order = np.lexsort((uniq, -acc))[:k]
+        uniq, acc = uniq[order], acc[order]
+    return uniq, acc
+
+
 def _wand_sweep(
     weighted: list[tuple[float, dict]],
     k: int,
@@ -2307,7 +2377,17 @@ def _wand_sweep(
     conjunctive skip), and the per-doc mask check composes with
     ``require_n``/exclusion/inclusion since all four only REMOVE
     candidates, keeping theta pruning conservative.
+
+    At ``_DENSE_TERM_THRESHOLD``+ terms the sweep delegates to
+    :func:`_dense_accumulate` (identical results, vectorized decode-all
+    execution) — block skipping loses to the per-segment python loop on
+    wide OR queries.
     """
+    if len(weighted) >= _DENSE_TERM_THRESHOLD:
+        return _dense_accumulate(
+            weighted, k, base, avgdl, counters, require_n,
+            excl_docs, incl_docs, group_masks, full_mask,
+        )
     bounds = np.unique(
         np.concatenate(
             [t["first"] for _, t in weighted]

@@ -300,7 +300,7 @@ def test_wand_sweep_matches_bruteforce_property():
         skip=st.sampled_from([1, 2, 3, 5, 16, 128]),
         k=st.sampled_from([0, 1, 3, 10, 999]),
         shard_id=st.integers(0, 3),
-        n_terms=st.integers(1, 4),
+        n_terms=st.integers(1, 12),
         seed=st.integers(0, 2**31 - 1),
     )
     def check(n, skip, k, shard_id, n_terms, seed):
@@ -433,7 +433,7 @@ def test_conjunctive_matches_bruteforce_property():
         n=st.integers(10, 300),
         skip=st.sampled_from([1, 3, 16, 128]),
         k=st.sampled_from([0, 1, 5, 999]),
-        n_terms=st.integers(1, 4),
+        n_terms=st.integers(1, 12),
         seed=st.integers(0, 2**31 - 1),
     )
     def check(n, skip, k, n_terms, seed):
@@ -492,7 +492,7 @@ def test_group_masks_match_bruteforce_property():
         n=st.integers(10, 300),
         skip=st.sampled_from([1, 3, 16, 128]),
         k=st.sampled_from([0, 1, 5, 999]),
-        n_terms=st.integers(1, 5),
+        n_terms=st.integers(1, 12),
         n_groups=st.integers(0, 3),
         seed=st.integers(0, 2**31 - 1),
     )
@@ -550,3 +550,56 @@ def test_group_masks_match_bruteforce_property():
             assert all(brute[d] >= kth - 1e-9 for d in got)
 
     check()
+
+
+def test_dense_path_bit_identical_to_segment_sweep():
+    """Force both executions of the same wide query: the dense
+    full-decode accumulate must return the SAME docs with BIT-IDENTICAL
+    scores as the per-segment sweep (same per-doc summation order), under
+    masks + exclusion + require_n."""
+    import fts_engine_spark.query as q
+    from fts_engine_spark.query import _wand_sweep
+
+    rng = np.random.default_rng(7)
+    n = 400
+    dls_all = rng.integers(1, 200, size=n).astype(np.int64)
+    avgdl = float(dls_all.mean())
+    weighted, gmasks = [], []
+    for ti in range(10):
+        m = int(rng.integers(5, n + 1))
+        local = np.sort(rng.choice(n, size=m, replace=False))
+        tfs = rng.integers(1, 50, size=m).astype(np.int64)
+        row = _make_row_skip(
+            f"t{ti}", local, tfs, dls_all[local], mult=1, df=m, skip=16
+        )
+        from fts_engine_spark.query import _parse_posting_row, bm25_idf
+
+        class R:
+            pass
+
+        r = R()
+        for k_, v in row.items():
+            setattr(r, k_, v)
+        t = _parse_posting_row(r, 0, None)
+        weighted.append((bm25_idf(n, m), t))
+        gmasks.append(1 if ti < 2 else 0)
+    excl = np.array(sorted(rng.choice(n, size=20, replace=False)), dtype=np.int64)
+    for k in (0, 5, 50):
+        dense = _wand_sweep(
+            [(w, dict(t, decoded=None, blocks={})) for w, t in weighted],
+            k, 0, avgdl, None, 2, excl, None, gmasks, 1,
+        )
+        old = q._DENSE_TERM_THRESHOLD
+        q._DENSE_TERM_THRESHOLD = 99  # force the segment path
+        try:
+            seg = _wand_sweep(
+                [(w, dict(t, decoded=None, blocks={})) for w, t in weighted],
+                k, 0, avgdl, None, 2, excl, None, gmasks, 1,
+            )
+        finally:
+            q._DENSE_TERM_THRESHOLD = old
+        d_d = dict(zip(dense[0].tolist(), dense[1].tolist()))
+        d_s = dict(zip(seg[0].tolist(), seg[1].tolist()))
+        assert set(d_d) == set(d_s)
+        for doc in d_d:
+            assert d_d[doc] == d_s[doc], (doc, d_d[doc], d_s[doc])
