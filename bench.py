@@ -768,6 +768,57 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_snippets_point_ms"] = snippets_point_ms
 
+    # ---- 3d4b. did-you-mean + more-like-this on the point tier (both
+    # zero-job warm: dictionary length bands / pyarrow sidecar read).
+    # Parity with the distributed plans is pytest-pinned; here the rows
+    # record the interactive latency.
+    from fts_engine_spark.operators.morelike import (
+        more_like_this,
+        more_like_this_point,
+    )
+    from fts_engine_spark.operators.suggest import (
+        suggest_terms,
+        suggest_terms_point,
+    )
+
+    sugg_q = "hotl frnch turtel"
+    want_sugg = [
+        (r["token"], r["suggestion"])
+        for r in suggest_terms(fts, sugg_q, max_dist=2).collect()
+    ]
+    if [(t, s) for t, s, _, _ in suggest_terms_point(fts, sugg_q,
+                                                     max_dist=2)] != want_sugg:
+        raise RuntimeError("suggest point parity failure")
+    mlt_src = 11
+    want_mlt = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in more_like_this(fts, doc_id=mlt_src, k=10).collect()
+    ]
+    if more_like_this_point(fts, mlt_src, k=10) != want_mlt:
+        raise RuntimeError("more-like-this point parity failure")
+
+    def _suggest_mlt_once():
+        sug, mlt = [], []
+        for _ in range(3):
+            t0 = time.monotonic()
+            suggest_terms_point(fts, sugg_q, max_dist=2)
+            sug.append((time.monotonic() - t0) * 1000)
+            for src in (mlt_src, mlt_src + 7, mlt_src + 31):
+                t0 = time.monotonic()
+                more_like_this_point(fts, src, k=10)
+                mlt.append((time.monotonic() - t0) * 1000)
+        return (
+            round(statistics.median(sug), 2),
+            round(statistics.median(mlt), 2),
+        )
+
+    (suggest_ms, mlt_ms), _ = gated_phase(
+        meter, contaminated, steal_log, "query_point_suggest_mlt",
+        STEAL_SERVE_TICKS, _suggest_mlt_once,
+    )
+    timings["query_point_suggest_ms"] = suggest_ms
+    timings["query_point_mlt_ms"] = mlt_ms
+
     from fts_engine_spark.operators.search import search_phrase
 
     search_phrase(fts, docs, "french hotel", k=10).collect()  # warm-up
