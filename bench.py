@@ -170,15 +170,30 @@ STEAL_BUILD_TICKS = int(os.environ.get("SPARK_GRAFT_STEAL_BUILD", "10000"))
 STEAL_SERVE_TICKS = int(os.environ.get("SPARK_GRAFT_STEAL_SERVE", "2000"))
 STEAL_SUITE_TICKS = int(os.environ.get("SPARK_GRAFT_STEAL_SUITE", "8000"))
 STEAL_RETRIES = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
+# Long phases accumulate ticks at any steal RATE, so the absolute
+# thresholds above act as a floor and a rate cap governs past it:
+# a phase is clean when stolen time is under this fraction of the
+# phase's total cpu-time budget (secs x online cpus x USER_HZ ticks).
+# 2,321 ticks over a 34 s phase on 32 cpus is a 2% rate — clean; the
+# same ticks inside a 1 s serving phase is a 73% rate — contaminated.
+STEAL_RATE_CAP = float(os.environ.get("SPARK_GRAFT_STEAL_RATE", "0.05"))
+_USER_HZ = 100  # /proc/stat tick rate (Linux USER_HZ)
+
+
+def _allowed_ticks(floor: int, secs: float) -> int:
+    cpus = os.cpu_count() or 1
+    return max(floor, int(STEAL_RATE_CAP * secs * cpus * _USER_HZ))
 
 
 def gated_phase(meter, contaminated: dict, steal_log: dict, name: str,
                 threshold: int, fn, retries: int = STEAL_RETRIES,
                 prepare=None):
     """Run ``fn()`` under the steal gate. Returns (value, secs) of the
-    accepted attempt: the first whose window stayed under ``threshold``
-    steal ticks, else the fastest of all attempts with the phase recorded
-    in ``contaminated`` (name -> worst ticks). Every attempt's (secs,
+    accepted attempt: the first whose window stayed under the phase's
+    allowance — ``max(threshold, STEAL_RATE_CAP x secs x cpus x HZ)``,
+    i.e. the absolute ``threshold`` floor for short phases and a steal
+    *rate* cap for long ones — else the fastest of all attempts with
+    the phase recorded in ``contaminated`` (name -> worst ticks). Every attempt's (secs,
     ticks) lands in ``steal_log`` for the detail record. ``prepare``
     runs before each attempt OUTSIDE the measured window (cleanup like
     rmtree must not count against the attempt's time or steal). Only the
@@ -195,14 +210,18 @@ def gated_phase(meter, contaminated: dict, steal_log: dict, name: str,
         secs = time.monotonic() - t0
         lap = meter.lap("_gate_scratch")
         attempts.append((secs, lap, value))
-        if lap["steal_ticks"] <= threshold:
+        if lap["steal_ticks"] <= _allowed_ticks(threshold, secs):
             break
     meter.deltas.pop("_gate_scratch", None)
     steal_log[name] = [
-        {"secs": round(s, 3), "steal_ticks": lap["steal_ticks"]}
+        {"secs": round(s, 3), "steal_ticks": lap["steal_ticks"],
+         "allowed_ticks": _allowed_ticks(threshold, s)}
         for s, lap, _ in attempts
     ]
-    clean = [a for a in attempts if a[1]["steal_ticks"] <= threshold]
+    clean = [
+        a for a in attempts
+        if a[1]["steal_ticks"] <= _allowed_ticks(threshold, a[0])
+    ]
     if clean:
         secs, lap, value = clean[-1]  # the attempt that broke the loop
     else:
