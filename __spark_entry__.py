@@ -1565,15 +1565,21 @@ ORDER BY query_id, score DESC, doc_id
             "WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' "
             "WHEN doc_id % 7 = 1 THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.7 logged' "
             "WHEN doc_id % 7 = 2 THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today' "
-            "ELSE '' END AS text FROM documents) "
+            "ELSE '' END AS text FROM documents), "
+            # staged like the operator: each pattern counts on the previous
+            # replacement's output so overlaps redact (and count) once
+            "s1 AS (SELECT doc_id, text, "
+            f"regexp_replace(text, '{curation.PII_EMAIL}', '<EMAIL>', 'g') "
+            "AS t1 FROM aug), "
+            "s2 AS (SELECT doc_id, text, t1, "
+            f"regexp_replace(t1, '{curation.PII_IPV4}', '<IP>', 'g') "
+            "AS t2 FROM s1) "
             "SELECT doc_id, "
             f"(len(regexp_extract_all(text, '{curation.PII_EMAIL}')) "
-            f"+ len(regexp_extract_all(text, '{curation.PII_IPV4}')) "
-            f"+ len(regexp_extract_all(text, '{curation.PII_PHONE}')))::BIGINT AS n_pii, "
-            "regexp_replace(regexp_replace(regexp_replace(text, "
-            f"'{curation.PII_EMAIL}', '<EMAIL>', 'g'), "
-            f"'{curation.PII_IPV4}', '<IP>', 'g'), "
-            f"'{curation.PII_PHONE}', '<PHONE>', 'g') AS clean_text FROM aug"
+            f"+ len(regexp_extract_all(t1, '{curation.PII_IPV4}')) "
+            f"+ len(regexp_extract_all(t2, '{curation.PII_PHONE}')))::BIGINT AS n_pii, "
+            f"regexp_replace(t2, '{curation.PII_PHONE}', '<PHONE>', 'g') "
+            "AS clean_text FROM s2"
         ),
         # the fake decoder's outputs are deterministic functions of the
         # payload bytes (multimodal.py:_fake_decode / _sniff): width/height

@@ -838,6 +838,10 @@ def build_index(
         "skip_block": cfg.skip_block,
         "preset": cfg.preset,
         "id_buckets": id_buckets,
+        # persisted so retrofits / merges / CLI compaction size their
+        # parquet term-bloom filters like the original build did instead
+        # of silently falling back to the 65536 default
+        "bloom_ndv": int(cfg.bloom_ndv),
         "build_seconds": time.monotonic() - t_start,
         "build_phases": phases,
     }

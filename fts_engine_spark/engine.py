@@ -69,7 +69,7 @@ class FtsEngine:
             store_text=o.store_text,
         )
         meta = build_index(self.spark, docs, self.index_dir, cfg, resume=resume)
-        self._index = None
+        self._drop_index()
         return meta
 
     def index_pages(
@@ -98,6 +98,15 @@ class FtsEngine:
                 self.spark, self.index_dir, pruning=self.options.pruning
             )
         return self._index
+
+    def _drop_index(self) -> None:
+        """Release the open handle so the next access reopens the new
+        snapshot. close() first: dropping the reference alone would
+        strand warm-persisted caches in executor storage and leave the
+        session conf warm() saved (AQE) unrestored."""
+        if self._index is not None:
+            self._index.close()
+            self._index = None
 
     @classmethod
     def from_config(
@@ -370,7 +379,7 @@ class FtsEngine:
         from .mutate import delete_documents
 
         out = delete_documents(self.spark, self.index_dir, urls)
-        self._index = None  # reopen to observe the new tombstone snapshot
+        self._drop_index()  # reopen to observe the new tombstone snapshot
         return out
 
     def update_documents(self, docs: DataFrame) -> dict:
@@ -385,7 +394,7 @@ class FtsEngine:
             id_buckets=o.id_buckets, n_waves=1, bloom_ndv=o.bloom_ndv,
         )
         out = update_documents(self.spark, self.index_dir, docs, cfg)
-        self._index = None
+        self._drop_index()
         return out
 
     def merge_from(self, src_index_dir: str, compact_after: bool = True) -> dict:
@@ -399,7 +408,7 @@ class FtsEngine:
             self.spark, self.index_dir, src_index_dir,
             compact_after=compact_after,
         )
-        self._index = None
+        self._drop_index()
         return meta
 
     def compact(self, remove_old: bool = True) -> dict:
@@ -417,7 +426,7 @@ class FtsEngine:
         meta = compact_index(
             self.spark, self.index_dir, cfg, remove_old=remove_old
         )
-        self._index = None
+        self._drop_index()
         return meta
 
     def analyze(self) -> DataFrame:

@@ -103,7 +103,10 @@ def delete_documents(
     n_matched = matched.count()
 
     prev = read_tombstones(spark, index_dir, meta)
-    if n_matched == 0 and prev is not None:
+    if n_matched == 0:
+        # nothing newly tombstoned: no table write, no version bump.
+        # With no prior tombstones this also avoids committing an empty
+        # table that every relational plan would anti-join forever.
         return {
             "matched": 0,
             "n_deleted": int(meta.get("n_deleted", 0)),
@@ -125,9 +128,23 @@ def delete_documents(
         if meta.get("tombstones_dir")
         else None
     )
+    old_tv = int(meta.get("table_version", 0))
     meta = dict(meta)
     meta.update(ptr)
     meta["n_deleted"] = int(n_total)
+    # a pure tombstone-add neither renumbers nor grows doc ids, so the
+    # stored-fields / positions sidecars stay valid: carry a CURRENT
+    # sidecar's table_version pin forward with the bump (an already-stale
+    # sidecar stays stale). Both serving paths exclude tombstoned docs at
+    # query time, so the tables' contents need no rewrite.
+    for sidecar in ("stored", "positions"):
+        sc = meta.get(sidecar)
+        if sc and int(sc.get("table_version", 0)) == old_tv and int(
+            sc.get("n_docs", -1)
+        ) == int(meta["n_docs"]):
+            sc = dict(sc)
+            sc["table_version"] = int(ptr["table_version"])
+            meta[sidecar] = sc
     atomic_write_json(meta_path, meta)
     Manifest(index_dir).mark_done(
         f"delete_{ptr['tombstones_dir']}", {"matched": n_matched, "n_deleted": n_total}

@@ -225,17 +225,24 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     phone-shaped numbers with typed placeholders and count redactions.
     Replacement order (email → ipv4 → phone) is fixed so results are
     engine-portable. Zero-shuffle per-row plan (JVM regex, no Python)."""
+    # count each stage on the PREVIOUS stage's output so n_pii equals the
+    # number of placeholders actually written: an ipv4 embedded in an
+    # email local-part ('1.2.3.4@x.com') is one redaction, not two. The
+    # placeholders contain no digits or '@', so a later pattern can never
+    # match inside an earlier replacement.
     t = F.col(text_col)
-    n_pii = (
-        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
-        + F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
-        + F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ip = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_IPV4), F.lit(0))
     )
-    clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
-    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
-    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phone = F.size(
+        F.regexp_extract_all(after_ip, F.lit(PII_PHONE), F.lit(0))
+    )
+    clean = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
     return docs.select(
         "doc_id",
-        n_pii.cast("long").alias("n_pii"),
+        (n_email + n_ip + n_phone).cast("long").alias("n_pii"),
         clean.alias("clean_text"),
     )

@@ -181,7 +181,11 @@ def more_like_this_point(
             ).collect()
         ]
 
-    if index._point_cache is None or index._term_dict is None:
+    if (
+        index._point_cache is None
+        or index._term_dict is None
+        or index.n_deleted > index.dead_broadcast_max
+    ):
         return fallback()
     rows = stored_rows_local(index, [doc_id])
     if doc_id not in rows:

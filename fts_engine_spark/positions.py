@@ -235,26 +235,11 @@ def add_positions_to_index(
     docs table for the assigned ids, write the positions table, then
     commit the ``positions`` meta entry atomically. ``docs`` must be the
     same corpus the index was built from (checked by doc count)."""
-    import json
+    from .stored import commit_sidecar_meta, retrofit_with_ids
 
-    from .checkpoint import atomic_write_json
-    from .layout import table_path
-
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        meta = json.load(f)
-    ids = spark.read.parquet(table_path(index_dir, meta, "docs")).select(
-        "doc_id", "url"
+    meta, with_ids = retrofit_with_ids(
+        spark, index_dir, docs, force_lang=True
     )
-    cols = ["url", "text"] + (["lang"] if "lang" in docs.columns else [])
-    with_ids = docs.select(*cols).join(ids, "url")
-    if "lang" not in with_ids.columns:
-        with_ids = with_ids.withColumn("lang", F.lit(None).cast("string"))
-    n = with_ids.count()
-    if n != int(meta["n_docs"]):
-        raise ValueError(
-            f"docs joined to {n} of {meta['n_docs']} index ids — pass the "
-            "exact corpus the index was built from"
-        )
     build_positions_table(
         spark,
         with_ids,
@@ -263,12 +248,7 @@ def add_positions_to_index(
         int(meta["shard_size"]),
         int(meta.get("bloom_ndv", 1 << 16)),
     )
-    meta["positions"] = {
-        "version": 1,
-        "n_docs": int(meta["n_docs"]),
-        "table_version": int(meta.get("table_version", 0)),
-    }
-    atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
+    commit_sidecar_meta(index_dir, meta, "positions", 1)
 
 
 # ------------------------------------------------------------------ query

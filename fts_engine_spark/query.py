@@ -499,10 +499,20 @@ class FtsIndex:
         8 B/id."""
         if self.n_deleted == 0:
             return None
+        if self.n_deleted > self.dead_broadcast_max:
+            # backstop: every caller should have taken its relational /
+            # distributed fallback before asking for the array
+            raise RuntimeError(
+                f"{self.n_deleted} pending tombstones exceed "
+                f"dead_broadcast_max={self.dead_broadcast_max}; compact the "
+                "index (tombstones purge physically) or serve via the "
+                "relational plan"
+            )
         if self._dead_arr is None:
-            rows = self.tombstones().select("doc_id").collect()
+            tbl = self.tombstones().select("doc_id").toArrow()
             self._dead_arr = np.sort(
-                np.array([r["doc_id"] for r in rows], dtype=np.int64)
+                tbl.column("doc_id").to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
             )
         return self._dead_arr
 
@@ -550,10 +560,21 @@ class FtsIndex:
         bound (the relational semi-join plan serves those)."""
         if incl_df is None:
             return None
-        rows = incl_df.limit(self.include_broadcast_max + 1).collect()
-        if len(rows) > self.include_broadcast_max:
+        # Arrow materialization: ~8 B/id on the driver, so deciding the
+        # bound costs what the bounded array itself costs — a Row-object
+        # collect would be ~100+ B/id and OOM the driver BEFORE the
+        # fallback could trigger
+        tbl = (
+            incl_df.select("doc_id")
+            .limit(self.include_broadcast_max + 1)
+            .toArrow()
+        )
+        if tbl.num_rows > self.include_broadcast_max:
             return _INCLUDE_TOO_BIG
-        return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+        return np.sort(
+            tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
 
     # ---- positional phrase (opt-in table, positions.py)
     @property
@@ -1015,6 +1036,35 @@ class FtsIndex:
             return self._bm25_relational(mult, k, hydrate)
         return self._bm25_wand(mult, k, hydrate)
 
+    def _prefix_mult(
+        self, query: str, preset: str, max_expand: int, point: bool = False
+    ) -> dict[str, int]:
+        """Shared prefix-rewrite term selection (one copy, so the point
+        tier can never desynchronize from the distributed rewrite it
+        must mirror): trailing-``*`` tokens lowercase-then-expand against
+        the dictionary (the pattern is a dictionary prefix, never
+        stemmed); everything else normalizes like :meth:`search_bm25`."""
+        mult: dict[str, int] = {}
+        exact_parts: list[str] = []
+        for tok in query.split():
+            if len(tok) > 1 and tok.endswith("*"):
+                pat = go_lower(tok[:-1])
+                expanded = (
+                    self._point_expand(pat, "prefix", 0, max_expand)
+                    if point
+                    else self.expand_terms(pat, "prefix", max_expand=max_expand)
+                )
+                for t in expanded:
+                    mult[t] = mult.get(t, 0) + 1
+            else:
+                exact_parts.append(tok)
+        if exact_parts:
+            for t, m in self._query_mult(
+                " ".join(exact_parts), preset
+            ).items():
+                mult[t] = mult.get(t, 0) + m
+        return mult
+
     def search_bm25_prefix(
         self,
         query: str,
@@ -1039,21 +1089,7 @@ class FtsIndex:
         preset = preset or (
             "multilingual" if self.preset == "by_lang" else self.preset
         )
-        mult: dict[str, int] = {}
-        exact_parts: list[str] = []
-        for tok in query.split():
-            if len(tok) > 1 and tok.endswith("*"):
-                for t in self.expand_terms(
-                    go_lower(tok[:-1]), "prefix", max_expand=max_expand
-                ):
-                    mult[t] = mult.get(t, 0) + 1
-            else:
-                exact_parts.append(tok)
-        if exact_parts:
-            for t, m in self._query_mult(
-                " ".join(exact_parts), preset
-            ).items():
-                mult[t] = mult.get(t, 0) + m
+        mult = self._prefix_mult(query, preset, max_expand)
         return self._expanded_search(mult, k, mode, hydrate)
 
     def search_bm25_fuzzy(
@@ -1358,6 +1394,14 @@ class FtsIndex:
             {t for pq in per_query.values() for t in pq}
             | {t for fs in per_query_excl.values() for t in fs}
         )
+        if self.n_deleted > self.dead_broadcast_max:
+            raise RuntimeError(
+                f"{self.n_deleted} pending tombstones exceed "
+                f"dead_broadcast_max={self.dead_broadcast_max}: batch "
+                "scoring ships the dead-id array to every executor. "
+                "Compact the index first, or run queries singly — "
+                "search_bm25 falls back to the relational anti-join plan"
+            )
         posts = self._pruner(self._read_postings(), live_terms)
         if dict(posts.dtypes).get("shard_id") != "bigint":
             posts = posts.withColumn("shard_id", F.col("shard_id").cast("long"))
@@ -1500,6 +1544,10 @@ class FtsIndex:
             self._point_cache is None
             or self._term_dict is None
             or within is not None
+            # beyond the driver-array bound the tombstone set cannot be
+            # materialized in-process; the distributed path has the
+            # relational anti-join fallback for exactly this state
+            or self.n_deleted > self.dead_broadcast_max
         ):
             return [
                 (int(r["doc_id"]), float(r["score"]))
@@ -1722,19 +1770,7 @@ class FtsIndex:
         preset = preset or (
             "multilingual" if self.preset == "by_lang" else self.preset
         )
-        mult: dict[str, int] = {}
-        exact_parts: list[str] = []
-        for tok in query.split():
-            if len(tok) > 1 and tok.endswith("*"):
-                for t in self._point_expand(
-                    go_lower(tok[:-1]), "prefix", 0, max_expand
-                ):
-                    mult[t] = mult.get(t, 0) + 1
-            else:
-                exact_parts.append(tok)
-        if exact_parts:
-            for t, m in self._query_mult(" ".join(exact_parts), preset).items():
-                mult[t] = mult.get(t, 0) + m
+        mult = self._prefix_mult(query, preset, max_expand, point=True)
         return self._point_mult_search(
             mult,
             k,
@@ -1811,7 +1847,11 @@ class FtsIndex:
                 ).collect()
             ]
 
-        if self._point_cache is None or self._term_dict is None:
+        if (
+            self._point_cache is None
+            or self._term_dict is None
+            or self.n_deleted > self.dead_broadcast_max
+        ):
             return fallback()
         bq = parse_query(query)
         if bq.phrases:
@@ -1873,7 +1913,9 @@ class FtsIndex:
         if not present:
             return []
         df_cap = self._point_max_bytes // 40
-        if any(df_ > df_cap for _, df_ in present.values()):
+        if any(df_ > df_cap for _, df_ in present.values()) or (
+            self.n_deleted > self.dead_broadcast_max
+        ):
             return [
                 (int(r["doc_id"]), float(r["score"]))
                 for r in fallback().collect()

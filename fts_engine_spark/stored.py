@@ -94,17 +94,20 @@ def build_stored_table(
     )
 
 
-def add_stored_fields(
-    spark: SparkSession, index_dir: str, docs: DataFrame
-) -> None:
-    """Retrofit the stored table onto an EXISTING index without a
-    rebuild: join the source ``docs`` (url, text) to the index's docs
-    table for the assigned ids, write the table, then commit the
-    ``stored`` meta entry atomically. ``docs`` must be the same corpus
-    the index was built from (checked by doc count)."""
+def retrofit_with_ids(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    force_lang: bool = False,
+) -> tuple[dict, DataFrame]:
+    """Shared sidecar-retrofit scaffold (stored fields AND the positional
+    table use it — one copy of the join/count discipline): load meta,
+    join the source ``docs`` (url, text [, lang]) to the index's docs
+    table for the assigned ids, and verify the join covered the whole
+    index. Returns ``(meta, with_ids)``; the caller builds its table and
+    commits its meta entry (see :func:`commit_sidecar_meta`)."""
     import json
 
-    from .checkpoint import atomic_write_json
     from .layout import table_path
 
     with open(os.path.join(index_dir, "meta.json")) as f:
@@ -114,19 +117,44 @@ def add_stored_fields(
     )
     cols = ["url", "text"] + (["lang"] if "lang" in docs.columns else [])
     with_ids = docs.select(*cols).join(ids, "url")
+    if force_lang and "lang" not in with_ids.columns:
+        with_ids = with_ids.withColumn("lang", F.lit(None).cast("string"))
     n = with_ids.count()
     if n != int(meta["n_docs"]):
         raise ValueError(
             f"docs joined to {n} of {meta['n_docs']} index ids — pass the "
             "exact corpus the index was built from"
         )
-    build_stored_table(with_ids, index_dir, int(meta["n_docs"]))
-    meta["stored"] = {
-        "version": STORED_VERSION,
+    return meta, with_ids
+
+
+def commit_sidecar_meta(
+    index_dir: str, meta: dict, key: str, version: int
+) -> None:
+    """Atomically commit a sidecar's snapshot-identity entry: pins the
+    format version plus the (n_docs, table_version) pair the staleness
+    gates check against."""
+    from .checkpoint import atomic_write_json
+
+    meta[key] = {
+        "version": int(version),
         "n_docs": int(meta["n_docs"]),
         "table_version": int(meta.get("table_version", 0)),
     }
     atomic_write_json(os.path.join(index_dir, "meta.json"), meta)
+
+
+def add_stored_fields(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> None:
+    """Retrofit the stored table onto an EXISTING index without a
+    rebuild: join the source ``docs`` (url, text) to the index's docs
+    table for the assigned ids, write the table, then commit the
+    ``stored`` meta entry atomically. ``docs`` must be the same corpus
+    the index was built from (checked by doc count)."""
+    meta, with_ids = retrofit_with_ids(spark, index_dir, docs)
+    build_stored_table(with_ids, index_dir, int(meta["n_docs"]))
+    commit_sidecar_meta(index_dir, meta, "stored", STORED_VERSION)
 
 
 def _checked_path(index: "FtsIndex") -> str:

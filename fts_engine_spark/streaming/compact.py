@@ -105,6 +105,7 @@ def compact_index(
     index_dir: str,
     cfg: BuildConfig | None = None,
     remove_old: bool = True,
+    bloom_ndv: int | None = None,
 ) -> dict:
     """Merge under-filled (delta) shards into full ``shard_size`` shards.
 
@@ -122,6 +123,13 @@ def compact_index(
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    # the index's own bloom sizing wins over a default cfg: a CLI caller
+    # passing BuildConfig() must not shrink a 1M-ndv production filter to
+    # the 65536 default (meta records bloom_ndv since r5). An explicit
+    # bloom_ndv= argument resizes deliberately (vocabulary growth) and is
+    # committed back into meta below.
+    if bloom_ndv is None:
+        bloom_ndv = int(meta.get("bloom_ndv", cfg.bloom_ndv))
     from ..build import META_VERSION
 
     if int(meta.get("version", -1)) != META_VERSION:
@@ -250,7 +258,7 @@ def compact_index(
         reencoded.write.mode("overwrite")
         .partitionBy("shard_id")
         .option("parquet.bloom.filter.enabled#term", "true")
-        .option("parquet.bloom.filter.expected.ndv#term", str(cfg.bloom_ndv))
+        .option("parquet.bloom.filter.expected.ndv#term", str(bloom_ndv))
         .parquet(new_postings)
     )
     # carry the full prefix unchanged. Occupancy proved shards 0..P-1 are
@@ -427,7 +435,7 @@ def compact_index(
             .write.mode("overwrite")
             .option("parquet.bloom.filter.enabled#term", "true")
             .option(
-                "parquet.bloom.filter.expected.ndv#term", str(cfg.bloom_ndv)
+                "parquet.bloom.filter.expected.ndv#term", str(bloom_ndv)
             )
             .parquet(new_terms_dir)
         )
@@ -450,6 +458,7 @@ def compact_index(
          "table_version": max(
              p["table_version"] for p in (post_ptr, docs_ptr, metr_ptr)
          ),
+         "bloom_ndv": int(bloom_ndv),
          **meta_updates},
         n_new_shards,
         old_dirs=old_dirs,

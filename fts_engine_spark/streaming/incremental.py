@@ -195,13 +195,18 @@ def _append_batch(
             os.path.join(table_path(index_dir, meta, base), tag + "*")
         ):
             os.remove(f_)
+    # the INDEX defines its analyzer and physical layout: preset,
+    # skip_block and bloom_ndv come from meta so a caller passing a
+    # default cfg can never splice differently-tokenized rows (or
+    # differently-sized bloom filters) into an existing table; cfg keeps
+    # the operational knobs (id_buckets parallelism hint)
     stage_cfg = BuildConfig(
-        preset=cfg.preset,
+        preset=meta.get("preset", cfg.preset),
         shard_size=shard_size,
-        skip_block=cfg.skip_block,
+        skip_block=int(meta.get("skip_block", cfg.skip_block)),
         id_buckets=min(cfg.id_buckets or 64, 16),
         n_waves=1,
-        bloom_ndv=cfg.bloom_ndv,
+        bloom_ndv=int(meta.get("bloom_ndv", cfg.bloom_ndv)),
     )
     stage_meta = build_index(spark, batch_df, staging, stage_cfg, resume=False)
 
@@ -259,7 +264,10 @@ def _append_batch(
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .option("parquet.bloom.filter.enabled#term", "true")
-        .option("parquet.bloom.filter.expected.ndv#term", str(cfg.bloom_ndv))
+        .option(
+            "parquet.bloom.filter.expected.ndv#term",
+            str(int(meta.get("bloom_ndv", cfg.bloom_ndv))),
+        )
         .parquet(new_terms)
     )
 

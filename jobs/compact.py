@@ -29,10 +29,12 @@ def main() -> None:
     ap.add_argument("--keep-old", action="store_true")
     args = ap.parse_args()
     spark = SparkSession.builder.appName("fts-compact").getOrCreate()
-    cfg = BuildConfig() if args.bloom_ndv is None else BuildConfig(
-        bloom_ndv=args.bloom_ndv
+    # no --bloom-ndv: compact_index reuses the bloom sizing recorded in
+    # the index's meta; an explicit value resizes deliberately
+    meta = compact_index(
+        spark, args.index, BuildConfig(),
+        remove_old=not args.keep_old, bloom_ndv=args.bloom_ndv,
     )
-    meta = compact_index(spark, args.index, cfg, remove_old=not args.keep_old)
     print(json.dumps({
         "n_docs": meta["n_docs"],
         "n_shards": meta["n_shards"],

@@ -102,6 +102,22 @@ def test_pii_scrub_masks_and_counts(spark):
     assert out[2]["clean_text"] == "no pii in this row at all"
 
 
+def test_pii_scrub_counts_overlaps_once(spark):
+    """An ipv4 embedded in an email local-part is ONE redaction: each
+    stage counts on the previous stage's output, so n_pii equals the
+    placeholders actually written."""
+    docs = spark.createDataFrame(
+        [(0, "mail 1.2.3.4@example.com now"),
+         (1, "bare 1.2.3.4 then x@y.org")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.pii_scrub(docs).collect()}
+    assert out[0]["n_pii"] == 1
+    assert out[0]["clean_text"] == "mail <EMAIL> now"
+    assert out[1]["n_pii"] == 2
+    assert out[1]["clean_text"] == "bare <IP> then <EMAIL>"
+
+
 def test_per_row_curation_ops_are_zero_shuffle(tiny):
     for df in (
         curation.repetition_stats(tiny, 3),

@@ -256,3 +256,72 @@ def test_delete_commit_is_crash_atomic(spark, tmp_path, monkeypatch):
 
     out = delete_documents(spark, index_dir, ["doc://5"])
     assert out["n_deleted"] == 1
+
+
+def test_noop_delete_commits_nothing(spark, tmp_path):
+    """Unknown urls on an index with no prior tombstones: no empty
+    tombstone table, no table_version bump (an empty table would stale
+    the sidecars and anti-join every relational plan forever)."""
+    index_dir = str(tmp_path / "nix")
+    build_index(spark, _docs(spark, 64), index_dir, CFG, resume=False)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta0 = json.load(f)
+    out = delete_documents(spark, index_dir, ["unknown://url"])
+    assert out["matched"] == 0 and out["n_deleted"] == 0
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        assert json.load(f) == meta0
+    assert "tombstones_dir" not in out["meta"]
+
+
+def test_delete_preserves_current_sidecars(spark, tmp_path):
+    """A pure tombstone-add neither renumbers nor grows doc ids, so a
+    CURRENT stored-fields / positions sidecar must stay servable after
+    the delete (both paths exclude tombstoned docs at query time)."""
+    from fts_engine_spark.positions import add_positions_to_index
+    from fts_engine_spark.stored import add_stored_fields
+
+    index_dir = str(tmp_path / "six")
+    docs = _docs(spark, 64)
+    build_index(spark, docs, index_dir, CFG, resume=False)
+    add_stored_fields(spark, index_dir, docs)
+    add_positions_to_index(spark, index_dir, docs)
+
+    delete_documents(spark, index_dir, ["doc://1"])
+    fts = FtsIndex(spark, index_dir)
+    # stored: still servable, correct text for a live doc
+    live = fts.docs().where(F.col("url") == "doc://2").collect()[0]["doc_id"]
+    rows = fts.stored_text([int(live)]).collect()
+    assert len(rows) == 1 and rows[0]["text"].startswith("alpha beta")
+    # positions: still servable, excludes the tombstoned doc
+    hits = fts.search_phrase_positional("alpha beta", k=0).collect()
+    assert hits and "doc://1" not in {r["url"] for r in hits}
+
+    # an append (renumbering-class mutation) still stales both sidecars
+    _append_batch(spark, _docs(spark, 8, start=64), index_dir, CFG)
+    fts2 = FtsIndex(spark, index_dir)
+    from fts_engine_spark.positions import PositionsUnavailableError
+    from fts_engine_spark.stored import StoredFieldsUnavailableError
+
+    with pytest.raises(StoredFieldsUnavailableError, match="stale"):
+        fts2.stored_text([0])
+    with pytest.raises(PositionsUnavailableError, match="stale"):
+        fts2.search_phrase_positional("alpha beta", k=1)
+
+
+def test_engine_mutations_close_the_old_handle(spark, tmp_path):
+    """Mutations must close() the open index (unpersist warm caches,
+    restore the AQE session conf) — dropping the reference alone strands
+    both for the rest of the session."""
+    index_dir = str(tmp_path / "clix")
+    eng = FtsEngine(
+        spark, index_dir,
+        options=EngineOptions(preset="simple", shard_size=64, id_buckets=4),
+    )
+    eng.index_documents(_docs(spark, 64), resume=False)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    eng.index.warm()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    old_handle = eng._index
+    eng.delete_documents(["doc://3"])
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    assert eng._index is None and not old_handle._warm
