@@ -900,6 +900,28 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_phrase_positional_ms"] = phrase_pos_ms
 
+    # point tier for phrases: same kernel in-process over the driver-side
+    # positional LRU (one fetch job on the first query, then no jobs)
+    fts_pos.enable_point_serving()
+    got_pt = sorted(fts_pos.search_phrase_point("french hotel", k=0))
+    if got_pt != want:
+        raise RuntimeError("point-tier phrase parity failure")
+
+    def _phrase_point_once():
+        lat = []
+        for _ in range(20):
+            t0 = time.monotonic()
+            fts_pos.search_phrase_point("french hotel", k=10)
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 2)
+
+    phrase_point_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_point_phrase",
+        STEAL_SERVE_TICKS, _phrase_point_once,
+    )
+    timings["query_point_phrase_ms"] = phrase_point_ms
+    fts_pos.close()
+
     # ---- 3e. batch scoring: the whole reference query set in ONE Spark
     # job (shared term decode + one scheduling floor; the bulk-workload
     # counterpart of the per-query latency above)

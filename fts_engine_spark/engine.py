@@ -276,6 +276,18 @@ class FtsEngine:
             phrase, self.options.k if k is None else k
         )
 
+    def search_phrase_point(
+        self, phrase: str, k: int | None = None
+    ) -> list[tuple[int, int]]:
+        """Phrase search below the Spark job floor: in-process positional
+        kernel over a driver-side LRU of the phrase terms' position rows
+        (requires ``store_positions=True``; benefits from
+        ``index.enable_point_serving()``, falls back to the distributed
+        positional path otherwise). Returns (doc_id, phrase_count)."""
+        return self.index.search_phrase_point(
+            phrase, self.options.k if k is None else k
+        )
+
     def search_prefix(
         self, query: str, k: int | None = None, max_expand: int = 64
     ) -> DataFrame:

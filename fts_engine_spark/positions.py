@@ -258,6 +258,77 @@ class PositionsUnavailableError(RuntimeError):
     """No positional table, or it is stale relative to the index."""
 
 
+def check_positions_fresh(index: "FtsIndex") -> str:
+    """Return the positional table path, raising
+    :class:`PositionsUnavailableError` when the table is absent or was
+    built for a different index state (n_docs or table_version moved —
+    the latter catches n_docs-preserving mutations like a pure
+    delta-merge compaction that renumbers tail doc ids)."""
+    meta = index.meta
+    pos_meta = meta.get("positions")
+    pos_path = os.path.join(index.index_dir, POSITIONS_TABLE)
+    if not pos_meta or not os.path.isdir(pos_path):
+        raise PositionsUnavailableError(
+            "index has no positional table; rebuild with "
+            "store_positions=True or use search_phrase (verify-scan path)"
+        )
+    if int(pos_meta["n_docs"]) != int(meta["n_docs"]) or int(
+        pos_meta.get("table_version", 0)
+    ) != int(meta.get("table_version", 0)):
+        raise PositionsUnavailableError(
+            f"positional table is stale: built at n_docs="
+            f"{pos_meta['n_docs']}/v{pos_meta.get('table_version', 0)}, "
+            f"index now has {meta['n_docs']}/v{meta.get('table_version', 0)} "
+            "(incremental appends/compaction do not maintain positions); "
+            "rebuild with store_positions=True"
+        )
+    return pos_path
+
+
+def phrase_match_kernel(
+    docs_offs: dict[str, tuple[np.ndarray, np.ndarray]],
+    pos_vals,
+    seq: list[str],
+) -> tuple[list[int], list[int]]:
+    """(matching doc_ids, phrase counts) for one contiguous analyzed
+    term sequence over decoded positional postings. Pure function — the
+    distributed per-shard kernel and the driver point tier both run
+    exactly this, so their results are identical by construction.
+
+    ``docs_offs`` maps term -> (sorted doc_ids, value offsets) as
+    returned by :func:`decode_position_group`; ``pos_vals`` is a
+    callable term -> delta-form position value array (first position
+    per doc absolute, rest diffs), letting callers decode lazily.
+    Every term of ``seq`` must be present in ``docs_offs``."""
+    out_docs: list[int] = []
+    out_counts: list[int] = []
+    # candidates: docs containing every DISTINCT phrase term
+    cand = docs_offs[seq[0]][0]
+    for t in set(seq[1:]):
+        cand = cand[np.isin(cand, docs_offs[t][0], assume_unique=True)]
+        if cand.size == 0:
+            return out_docs, out_counts
+    for doc in cand:
+        # start positions surviving every (term, offset) constraint
+        starts: np.ndarray | None = None
+        for j, t in enumerate(seq):
+            docs_t, offs_t = docs_offs[t]
+            i = int(np.searchsorted(docs_t, doc))
+            seg = pos_vals(t)[offs_t[i] : offs_t[i + 1]]
+            p = np.cumsum(seg) - j
+            starts = (
+                p
+                if starts is None
+                else starts[np.isin(starts, p, assume_unique=True)]
+            )
+            if starts.size == 0:
+                break
+        if starts is not None and starts.size:
+            out_docs.append(int(doc))
+            out_counts.append(int(starts.size))
+    return out_docs, out_counts
+
+
 def _phrase_sequences(index: "FtsIndex", phrase: str) -> dict[str, list[str]]:
     """pipeline-name -> analyzed phrase-term sequence (empty sequences
     dropped). Single-preset indexes get one entry keyed by the preset."""
@@ -288,6 +359,56 @@ def _doc_pipeline_col(index: "FtsIndex") -> F.Column:
     return col
 
 
+def fetch_point_positions(
+    index: "FtsIndex", terms: list[str]
+) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """ONE Spark job fetching the positional rows of ``terms`` (pruned
+    scan: bloom + min/max on ``term``), decoded and concatenated across
+    shards into per-term GLOBAL arrays for the driver point tier:
+
+        term -> (doc_ids, offsets, dpos)
+
+    ``doc_ids`` is globally sorted (shard s owns ids in
+    [s*shard_size, (s+1)*shard_size), so shard-order concatenation is a
+    sorted merge for free); ``offsets`` indexes per-doc slices of
+    ``dpos``; ``dpos`` stays in the codec's per-doc delta form so
+    :func:`phrase_match_kernel` runs unchanged."""
+    pos_path = check_positions_fresh(index)
+    shard_size = int(index.meta["shard_size"])
+    rows = (
+        index.spark.read.parquet(pos_path)
+        .where(F.col("term").isin(list(terms)))
+        .collect()
+    )
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    out: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for term, trs in by_term.items():
+        trs.sort(key=lambda r: int(r["shard_id"]))
+        doc_parts: list[np.ndarray] = []
+        off_parts: list[np.ndarray] = [np.zeros(1, dtype=np.int64)]
+        pos_parts: list[np.ndarray] = []
+        pos_base = 0
+        for r in trs:
+            base = int(r["shard_id"]) * shard_size
+            d, o = decode_position_group(
+                bytes(r["doc_blob"]), bytes(r["cnt_blob"]), base
+            )
+            doc_parts.append(d)
+            off_parts.append(o[1:] + pos_base)
+            p = varbyte_decode(bytes(r["pos_blob"])).astype(np.int64)
+            pos_parts.append(p)
+            pos_base += int(o[-1])
+        out[term] = (
+            np.concatenate(doc_parts),
+            np.concatenate(off_parts),
+            np.concatenate(pos_parts) if pos_parts else
+            np.empty(0, dtype=np.int64),
+        )
+    return out
+
+
 def search_phrase_positional(
     index: "FtsIndex", phrase: str, k: int = 10
 ) -> DataFrame:
@@ -299,27 +420,7 @@ def search_phrase_positional(
     url (and, under by_lang, the doc-pipeline filter)."""
     spark = index.spark
     meta = index.meta
-    pos_meta = meta.get("positions")
-    pos_path = os.path.join(index.index_dir, POSITIONS_TABLE)
-    if not pos_meta or not os.path.isdir(pos_path):
-        raise PositionsUnavailableError(
-            "index has no positional table; rebuild with "
-            "store_positions=True or use search_phrase (verify-scan path)"
-        )
-    if int(pos_meta["n_docs"]) != int(meta["n_docs"]) or int(
-        pos_meta.get("table_version", 0)
-    ) != int(meta.get("table_version", 0)):
-        # table_version catches the n_docs-preserving mutations too: a
-        # pure delta-merge compaction renumbers tail doc ids without
-        # changing n_docs, which would otherwise serve silently-wrong
-        # positional matches
-        raise PositionsUnavailableError(
-            f"positional table is stale: built at n_docs="
-            f"{pos_meta['n_docs']}/v{pos_meta.get('table_version', 0)}, "
-            f"index now has {meta['n_docs']}/v{meta.get('table_version', 0)} "
-            "(incremental appends/compaction do not maintain positions); "
-            "rebuild with store_positions=True"
-        )
+    pos_path = check_positions_fresh(index)
 
     sequences = _phrase_sequences(index, phrase)
     empty = spark.createDataFrame(
@@ -363,34 +464,14 @@ def search_phrase_positional(
                 pos_cache[term] = v
             return v
 
+        docs_offs = {t: (d, o) for t, (d, o, _) in decoded.items()}
         for pipe, seq in seq_items:
             if any(t not in decoded for t in set(seq)):
                 continue
-            # candidates: docs containing every DISTINCT phrase term
-            cand = decoded[seq[0]][0]
-            for t in set(seq[1:]):
-                cand = cand[np.isin(cand, decoded[t][0], assume_unique=True)]
-                if cand.size == 0:
-                    break
-            for doc in cand:
-                # start positions surviving every (term, offset) constraint
-                starts: np.ndarray | None = None
-                for j, t in enumerate(seq):
-                    docs_t, offs_t, _ = decoded[t]
-                    i = int(np.searchsorted(docs_t, doc))
-                    seg = pos_vals(t)[offs_t[i] : offs_t[i + 1]]
-                    p = np.cumsum(seg) - j
-                    starts = (
-                        p
-                        if starts is None
-                        else starts[np.isin(starts, p, assume_unique=True)]
-                    )
-                    if starts.size == 0:
-                        break
-                if starts is not None and starts.size:
-                    out_docs.append(int(doc))
-                    out_pipes.append(pipe)
-                    out_counts.append(int(starts.size))
+            docs_m, counts_m = phrase_match_kernel(docs_offs, pos_vals, seq)
+            out_docs.extend(docs_m)
+            out_counts.extend(counts_m)
+            out_pipes.extend([pipe] * len(docs_m))
         return pd.DataFrame(
             {
                 "doc_id": pd.Series(out_docs, dtype="int64"),

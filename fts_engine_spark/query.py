@@ -192,6 +192,14 @@ class FtsIndex:
         self._point_cache_bytes = 0
         self._point_max_bytes = 0
         self._point_lock = threading.Lock()
+        # positional point tier (search_phrase_point): term -> (doc_ids,
+        # offsets, dpos) global arrays, LRU by term, byte-budgeted
+        self._pos_point_cache: (
+            "OrderedDict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]"
+            " | None"
+        ) = None
+        self._pos_point_bytes = 0
+        self._pos_point_max_bytes = 0
         # lazily-built expansion structures over the driver dictionary
         self._sorted_terms: list[str] | None = None
         self._len_buckets: dict[int, list[str]] | None = None
@@ -324,6 +332,8 @@ class FtsIndex:
         self._warm = False
         self._point_cache = None
         self._point_cache_bytes = 0
+        self._pos_point_cache = None
+        self._pos_point_bytes = 0
         # expansion structures are derived from _term_dict — drop together
         self._sorted_terms = None
         self._len_buckets = None
@@ -617,6 +627,106 @@ class FtsIndex:
         from .positions import search_phrase_positional
 
         return search_phrase_positional(self, phrase, k)
+
+    def search_phrase_point(
+        self, phrase: str, k: int = 10
+    ) -> list[tuple[int, int]]:
+        """Phrase search below the Spark job floor: top-k
+        ``(doc_id, phrase_count)``, (count desc, doc_id asc), k<=0 = all —
+        the positional counterpart of :meth:`search_bm25_point`. Runs the
+        SAME pure kernel the distributed per-shard path runs
+        (``positions.phrase_match_kernel``) in-process, over an LRU cache
+        of the phrase terms' positional rows (one pruned-scan Spark job
+        per cache miss; ``pos_cache_max_bytes`` on
+        :meth:`enable_point_serving` bounds the driver heap). Results are
+        exactly :meth:`search_phrase_positional`'s minus the url column
+        (hydrating urls is a docs-table join — a Spark job, which defeats
+        the tier; asserted identical in tests/test_positions.py).
+
+        Falls back to the distributed positional path when the tier is
+        not enabled, the index is multi-pipeline (``by_lang`` needs each
+        doc's build pipeline — a docs-table column), a phrase term's
+        positional rows exceed half the budget, or the tombstone set is
+        past the driver-array bound. Raises
+        ``PositionsUnavailableError`` when the positional table is absent
+        or stale (both tiers)."""
+        from .positions import (
+            check_positions_fresh,
+            fetch_point_positions,
+            phrase_match_kernel,
+        )
+
+        check_positions_fresh(self)
+
+        def fallback() -> list[tuple[int, int]]:
+            return [
+                (int(r["doc_id"]), int(r["phrase_count"]))
+                for r in self.search_phrase_positional(phrase, k).collect()
+            ]
+
+        if (
+            self._pos_point_cache is None
+            or self._term_dict is None
+            or self.preset == "by_lang"
+            or self.n_deleted > self.dead_broadcast_max
+        ):
+            return fallback()
+        seq = normalize_query(phrase, self.preset)
+        if not seq:
+            return []
+        need = sorted(set(seq))
+        if any(t not in self._term_dict for t in need):
+            return []
+        # a term's positional footprint is ~8 B per posting (ids+offsets)
+        # + 8 B per occurrence; past half the budget it cannot live in
+        # the driver cache — the distributed path streams it instead
+        half = self._pos_point_max_bytes // 2
+        if any(
+            8 * (2 * self._term_dict[t][0] + self._term_dict[t][1]) > half
+            for t in need
+        ):
+            return fallback()
+        with self._point_lock:
+            missing = [t for t in need if t not in self._pos_point_cache]
+            if missing:
+                fetched = fetch_point_positions(self, missing)
+                for t in missing:
+                    arrs = fetched.get(t)
+                    if arrs is None:
+                        # in the dictionary but no positional rows: only
+                        # possible on a corrupt sidecar — fail loudly
+                        raise RuntimeError(
+                            f"term {t!r} has df="
+                            f"{self._term_dict[t][0]} but no rows in the "
+                            "positional table; rebuild with "
+                            "store_positions=True"
+                        )
+                    self._pos_point_cache[t] = arrs
+                    self._pos_point_bytes += sum(a.nbytes for a in arrs)
+            for t in need:
+                self._pos_point_cache.move_to_end(t)
+            protect = frozenset(need)
+            while (
+                self._pos_point_bytes > self._pos_point_max_bytes
+                and self._pos_point_cache
+            ):
+                old, arrs = next(iter(self._pos_point_cache.items()))
+                if old in protect:
+                    break
+                del self._pos_point_cache[old]
+                self._pos_point_bytes -= sum(a.nbytes for a in arrs)
+            entries = {t: self._pos_point_cache[t] for t in need}
+        docs_offs = {t: (d, o) for t, (d, o, _) in entries.items()}
+        docs_m, counts_m = phrase_match_kernel(
+            docs_offs, lambda t: entries[t][2], seq
+        )
+        pairs = list(zip(docs_m, counts_m))
+        dead = self._dead_ids()
+        if dead is not None and pairs:
+            alive = ~np.isin(np.asarray(docs_m, dtype=np.int64), dead)
+            pairs = [p for p, a in zip(pairs, alive) if a]
+        hits = sorted(pairs, key=lambda x: (-x[1], x[0]))
+        return hits[:k] if k > 0 else hits
 
     # ---- decode to relational rows
     def decoded_postings(
@@ -1427,7 +1537,11 @@ class FtsIndex:
         return local.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
     # ---- point-serving tier: sub-job-floor single-query latency --------
-    def enable_point_serving(self, cache_max_bytes: int = 256 << 20) -> "FtsIndex":
+    def enable_point_serving(
+        self,
+        cache_max_bytes: int = 256 << 20,
+        pos_cache_max_bytes: int = 64 << 20,
+    ) -> "FtsIndex":
         """Serve warm single queries WITHOUT a Spark job.
 
         A warm distributed query is already the smallest plan Spark allows
@@ -1456,6 +1570,12 @@ class FtsIndex:
         self._point_max_bytes = int(cache_max_bytes)
         if self._point_cache is None:
             self._point_cache = OrderedDict()
+        # separate budget for the positional tier (search_phrase_point):
+        # positional rows are ~3x a term's postings (doc ids + offsets +
+        # every occurrence), so they get their own, smaller, LRU
+        self._pos_point_max_bytes = int(pos_cache_max_bytes)
+        if self._pos_point_cache is None and self.has_positions:
+            self._pos_point_cache = OrderedDict()
         return self
 
     @staticmethod

@@ -261,3 +261,139 @@ def test_positions_scan_is_pruned(spark, pos_index):
     df = fts.search_phrase_positional("merge sort", k=0)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "term" in plan
+
+
+# ------------------------------------------------- point tier (driver-side)
+
+
+def _point_pairs(fts, phrase, k=0):
+    return {d: c for d, c in fts.search_phrase_point(phrase, k=k)}
+
+
+def _positional_pairs(fts, phrase, k=0):
+    return {
+        int(r["doc_id"]): int(r["phrase_count"])
+        for r in fts.search_phrase_positional(phrase, k=k).collect()
+    }
+
+
+def test_phrase_point_matches_positional(spark, pos_index):
+    """The in-process tier is the distributed positional path minus the
+    url column — same kernel, identical (doc_id, phrase_count) sets and
+    identical top-k order."""
+    fts = FtsIndex(spark, pos_index).enable_point_serving()
+    try:
+        for phrase in (
+            "merge sort",          # multi-doc, ranked
+            "merge",               # single-term: count == tf
+            "merge sort merge",    # duplicate-term overlap handling
+            "sort merge join",     # 3-term, single doc
+            "merge zzz",           # term absent from the dictionary
+            "the of",              # normalizes to empty
+        ):
+            assert _point_pairs(fts, phrase) == _positional_pairs(
+                fts, phrase
+            ), phrase
+        # top-k order: (count desc, doc_id asc), k-bounded — identical to
+        # the distributed path's LIMIT 2 (ids are index-internal)
+        want_top = [
+            (int(r["doc_id"]), int(r["phrase_count"]))
+            for r in fts.search_phrase_positional("merge sort", k=2).collect()
+        ]
+        assert fts.search_phrase_point("merge sort", k=2) == want_top
+        assert [c for _, c in want_top] == [3, 2]
+        # repeat query is served from the LRU (no refetch): cache holds
+        # exactly the distinct phrase terms seen, with a positive budget
+        assert set(fts._pos_point_cache) >= {"merge", "sort", "join"}
+        assert fts._pos_point_bytes > 0
+    finally:
+        fts.close()
+
+
+def test_phrase_point_falls_back_when_disabled(spark, pos_index):
+    """Without enable_point_serving the method still answers (via the
+    distributed path) — a serving caller never has to branch."""
+    fts = FtsIndex(spark, pos_index)
+    assert fts._pos_point_cache is None
+    assert _point_pairs(fts, "merge sort") == _positional_pairs(
+        fts, "merge sort"
+    )
+
+
+def test_phrase_point_budget_fallback(spark, pos_index):
+    """A term whose positional footprint exceeds half the budget is never
+    driver-cached; the query falls back and stays correct."""
+    fts = FtsIndex(spark, pos_index).enable_point_serving(
+        pos_cache_max_bytes=8
+    )
+    try:
+        assert _point_pairs(fts, "merge sort") == _positional_pairs(
+            fts, "merge sort"
+        )
+        assert not fts._pos_point_cache  # nothing fit under 8 bytes
+    finally:
+        fts.close()
+
+
+def test_phrase_point_by_lang_falls_back(spark, tmp_path_factory):
+    """by_lang indexes need each doc's build pipeline (a docs-table
+    column) — the point tier routes those to the distributed path."""
+    from fts_engine_spark.build import BuildConfig, build_index
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the french hotels were quiet", "en"),
+            (1, "a french hotel by the sea", "en"),
+            (2, "французские отели у моря", "ru"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    d = str(tmp_path_factory.mktemp("pospt_bl") / "ix")
+    build_index(
+        spark,
+        _idx_docs(corpus),
+        d,
+        BuildConfig(
+            preset="by_lang", shard_size=4, id_buckets=4, n_waves=1,
+            store_positions=True,
+        ),
+        resume=False,
+    )
+    fts = FtsIndex(spark, d).enable_point_serving()
+    try:
+        assert _point_pairs(fts, "french hotels") == _positional_pairs(
+            fts, "french hotels"
+        ) != {}
+    finally:
+        fts.close()
+
+
+def test_phrase_point_excludes_tombstones(spark, pos_docs, tmp_path_factory):
+    """Logical deletes (tombstones pending compaction) never surface from
+    the point tier, matching the distributed path's exclusion."""
+    from fts_engine_spark.build import BuildConfig, build_index
+    from fts_engine_spark.mutate import delete_documents
+
+    d = str(tmp_path_factory.mktemp("pospt_del") / "ix")
+    build_index(
+        spark,
+        _idx_docs(pos_docs),
+        d,
+        BuildConfig(
+            preset="simple", shard_size=3, id_buckets=4, n_waves=1,
+            store_positions=True,
+        ),
+        resume=False,
+    )
+    out = delete_documents(spark, d, ["doc://4"])
+    assert out["n_deleted"] == 1
+    fts = FtsIndex(spark, d).enable_point_serving()
+    try:
+        got = _point_pairs(fts, "merge sort")
+        assert got == _positional_pairs(fts, "merge sort") and got
+        dead_id = int(
+            fts.docs().where(F.col("url") == "doc://4").collect()[0]["doc_id"]
+        )
+        assert dead_id not in got
+    finally:
+        fts.close()
