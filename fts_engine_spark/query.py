@@ -200,6 +200,8 @@ class FtsIndex:
         ) = None
         self._pos_point_bytes = 0
         self._pos_point_max_bytes = 0
+        # by_lang point phrases: per-doc pipeline codes (uint8), lazy
+        self._pos_pipe_cache: tuple[np.ndarray, dict[str, int]] | str | None = None
         # lazily-built expansion structures over the driver dictionary
         self._sorted_terms: list[str] | None = None
         self._len_buckets: dict[int, list[str]] | None = None
@@ -334,6 +336,7 @@ class FtsIndex:
         self._point_cache_bytes = 0
         self._pos_point_cache = None
         self._pos_point_bytes = 0
+        self._pos_pipe_cache = None
         # expansion structures are derived from _term_dict — drop together
         self._sorted_terms = None
         self._len_buckets = None
@@ -643,14 +646,20 @@ class FtsIndex:
         (hydrating urls is a docs-table join — a Spark job, which defeats
         the tier; asserted identical in tests/test_positions.py).
 
+        ``by_lang`` indexes serve in-process too: each doc must match
+        through its OWN build pipeline's analyzed sequence, so the tier
+        lazily caches a per-doc pipeline-code array (uint8, direct-indexed
+        by the dense doc id — ~1 byte/doc plus shard-tail slack) and
+        filters each pipeline's kernel matches with it.
+
         Falls back to the distributed positional path when the tier is
-        not enabled, the index is multi-pipeline (``by_lang`` needs each
-        doc's build pipeline — a docs-table column), a phrase term's
-        positional rows exceed half the budget, or the tombstone set is
-        past the driver-array bound. Raises
+        not enabled, a phrase term's positional rows exceed half the
+        budget, the by_lang pipeline-code array would exceed the budget,
+        or the tombstone set is past the driver-array bound. Raises
         ``PositionsUnavailableError`` when the positional table is absent
         or stale (both tiers)."""
         from .positions import (
+            _phrase_sequences,
             check_positions_fresh,
             fetch_point_positions,
             phrase_match_kernel,
@@ -667,16 +676,27 @@ class FtsIndex:
         if (
             self._pos_point_cache is None
             or self._term_dict is None
-            or self.preset == "by_lang"
             or self.n_deleted > self.dead_broadcast_max
         ):
             return fallback()
-        seq = normalize_query(phrase, self.preset)
-        if not seq:
+        pipe_codes: np.ndarray | None = None
+        pipe_ids: dict[str, int] = {}
+        if self.preset == "by_lang":
+            got = self._point_doc_pipelines()
+            if got is None:
+                return fallback()
+            pipe_codes, pipe_ids = got
+        # pipelines whose analyzed sequence has a term outside the
+        # dictionary can never match (same skip as the distributed
+        # kernel's per-shard membership check, applied globally)
+        sequences = {
+            p: seq
+            for p, seq in _phrase_sequences(self, phrase).items()
+            if all(t in self._term_dict for t in seq)
+        }
+        if not sequences:
             return []
-        need = sorted(set(seq))
-        if any(t not in self._term_dict for t in need):
-            return []
+        need = sorted({t for seq in sequences.values() for t in seq})
         # a term's positional footprint is ~8 B per posting (ids+offsets)
         # + 8 B per occurrence; past half the budget it cannot live in
         # the driver cache — the distributed path streams it instead
@@ -717,16 +737,69 @@ class FtsIndex:
                 self._pos_point_bytes -= sum(a.nbytes for a in arrs)
             entries = {t: self._pos_point_cache[t] for t in need}
         docs_offs = {t: (d, o) for t, (d, o, _) in entries.items()}
-        docs_m, counts_m = phrase_match_kernel(
-            docs_offs, lambda t: entries[t][2], seq
-        )
-        pairs = list(zip(docs_m, counts_m))
+        pairs: list[tuple[int, int]] = []
+        by_seq: dict[tuple[str, ...], tuple[list[int], list[int]]] = {}
+        for pipe, seq in sorted(sequences.items()):
+            key = tuple(seq)
+            if key not in by_seq:  # english/multilingual often agree
+                by_seq[key] = phrase_match_kernel(
+                    docs_offs, lambda t: entries[t][2], seq
+                )
+            docs_m, counts_m = by_seq[key]
+            if pipe_codes is not None and docs_m:
+                # keep only docs BUILT by this pipeline (each doc belongs
+                # to exactly one, so pipelines never double-report a doc)
+                code = pipe_ids[pipe]
+                keep = pipe_codes[np.asarray(docs_m, dtype=np.int64)] == code
+                pairs.extend(
+                    p for p, ok in zip(zip(docs_m, counts_m), keep) if ok
+                )
+            else:
+                pairs.extend(zip(docs_m, counts_m))
         dead = self._dead_ids()
         if dead is not None and pairs:
-            alive = ~np.isin(np.asarray(docs_m, dtype=np.int64), dead)
+            ids = np.fromiter((d for d, _ in pairs), dtype=np.int64)
+            alive = ~np.isin(ids, dead)
             pairs = [p for p, a in zip(pairs, alive) if a]
         hits = sorted(pairs, key=lambda x: (-x[1], x[0]))
         return hits[:k] if k > 0 else hits
+
+    def _point_doc_pipelines(
+        self,
+    ) -> tuple[np.ndarray, dict[str, int]] | None:
+        """uint8 pipeline code per doc, direct-indexed by the dense doc
+        id (build ids are shard-local dense: shard*shard_size + local,
+        so the array size is n_shards*shard_size — ~1 byte/doc plus the
+        last shard's slack). One Arrow collect, cached for the index
+        lifetime; None when the array would exceed the positional point
+        budget (callers fall back to the distributed path)."""
+        cached = getattr(self, "_pos_pipe_cache", None)
+        if cached is not None:
+            return cached if cached != "too_big" else None
+        from .functions.udfs import _LANG_PRESETS
+
+        n_slots = int(self.meta.get("n_shards", 1)) * self.shard_size
+        if n_slots > self._pos_point_max_bytes:
+            self._pos_pipe_cache = "too_big"
+            return None
+        presets = sorted({*_LANG_PRESETS.values(), "multilingual"})
+        pipe_ids = {p: i for i, p in enumerate(presets)}
+        tbl = self.docs().select("doc_id", "lang").toArrow()
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        langs = tbl.column("lang").to_pylist()
+        codes = np.full(n_slots, 255, dtype=np.uint8)
+        codes[ids] = np.fromiter(
+            (
+                pipe_ids[_LANG_PRESETS.get(lg or "", "multilingual")]
+                for lg in langs
+            ),
+            dtype=np.uint8,
+            count=len(langs),
+        )
+        self._pos_pipe_cache = (codes, pipe_ids)
+        return self._pos_pipe_cache
 
     # ---- decode to relational rows
     def decoded_postings(
@@ -1239,6 +1312,125 @@ class FtsIndex:
             ):
                 mult[t] = mult.get(t, 0) + m
         return self._expanded_search(mult, k, mode, hydrate)
+
+    # ---- synonym groups (Lucene SynonymQuery semantics) -----------------
+
+    def search_bm25_synonyms(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        preset: str | None = None,
+        hydrate: bool = False,
+    ) -> DataFrame:
+        """BM25 with query-time synonym groups, Lucene ``SynonymQuery``
+        semantics: a query term and its synonyms score as ONE pseudo-term
+        — per doc the group's tf is the SUM of member tfs, the group's df
+        is the MAX member df (Lucene's docFreq choice), one saturation /
+        idf application per group. This is NOT a plain OR rewrite: OR
+        saturates and weights each member separately, so a doc repeating
+        a rare synonym outranks one matching the common surface form —
+        the inflation SynonymQuery exists to prevent.
+
+        ``synonyms`` maps a query token to its synonym tokens; both sides
+        run through the build pipeline (stemming applies). Every group's
+        analyzed members must be disjoint from other groups' (ValueError
+        otherwise — a shared member would double-count its tf).
+
+        Fully relational (one groupBy layer inserted into the standard
+        scored plan) and exactly SQL-expressible — the DuckDB oracle
+        mirrors it term for term (contract row ``fts_synonym_bm25``).
+        Served distributed only: per-group block upper bounds would need
+        max-over-members skip data the index doesn't store, so there is
+        no WAND variant (Lucene similarly special-cases SynonymQuery
+        impacts)."""
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        # normalize WITHOUT the probabilistic term gate: a query term
+        # absent from the corpus must still score through a PRESENT
+        # synonym (the gate would drop the term and its whole group)
+        mult: dict[str, int] = {}
+        for t in normalize_query(query, preset):
+            mult[t] = mult.get(t, 0) + 1
+        if not mult:
+            return self._maybe_hydrate(
+                self._empty_bm25_result(), hydrate, bounded=True
+            )
+        # analyzed member term -> gid; gid -> query multiplicity
+        groups: dict[str, set[str]] = {}
+        for src, syns in synonyms.items():
+            key_terms = normalize_query(src, preset)
+            if len(key_terms) != 1:
+                raise ValueError(
+                    f"synonym key {src!r} must analyze to exactly one term, "
+                    f"got {key_terms}"
+                )
+            members = set(key_terms)
+            for s in syns:
+                ts = normalize_query(s, preset)
+                if len(ts) != 1:
+                    raise ValueError(
+                        f"synonym {s!r} (for {src!r}) must analyze to "
+                        f"exactly one term, got {ts}"
+                    )
+                members.add(ts[0])
+            groups[key_terms[0]] = members
+        term_gid: dict[str, int] = {}
+        gid_mult: dict[int, int] = {}
+        for gid, (t, m) in enumerate(sorted(mult.items())):
+            for mt in sorted(groups.get(t, {t})):
+                if mt in term_gid:
+                    raise ValueError(
+                        f"term {mt!r} appears in more than one synonym "
+                        "group; groups must be disjoint"
+                    )
+                term_gid[mt] = gid
+            gid_mult[gid] = m
+        all_terms = sorted(term_gid)
+        ones = {t: 1 for t in all_terms}
+        gid_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(t, g, gid_mult[g]) for t, g in sorted(term_gid.items())],
+                "term string, gid long, mult long",
+            )
+        )
+        # group stats: df = max member df (members absent from the corpus
+        # simply have no stats row and drop out of the max)
+        g_stats = F.broadcast(
+            self._query_stats(ones)
+            .join(gid_df.select("term", "gid"), "term")
+            .groupBy("gid")
+            .agg(F.max("df").alias("df"))
+        )
+        gtf = (
+            self.decoded_postings(all_terms, ones)
+            .join(gid_df, "term")
+            .groupBy("doc_id", "gid")
+            .agg(
+                F.sum("tf").alias("tf"),
+                F.max("dl").alias("dl"),
+                F.max("mult").alias("mult"),
+            )
+        )
+        tf = F.col("tf").cast("double")
+        norm = F.lit(K1) * (
+            F.lit(1.0 - B)
+            + F.lit(B) * F.col("dl").cast("double") / F.lit(self.avgdl)
+        )
+        contrib = (
+            F.col("mult") * F.col("idf") * tf * F.lit(K1 + 1.0) / (tf + norm)
+        )
+        scored = self._exclude_dead(
+            gtf.join(g_stats, "gid")
+            .withColumn("idf", self._idf_col())
+            .withColumn("contrib", contrib)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        if k > 0:
+            scored = scored.limit(k)
+        return self._maybe_hydrate(scored, hydrate, bounded=k > 0)
 
     # ---- boolean query strings (queryparse.py) ---------------------------
 

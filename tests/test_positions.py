@@ -335,16 +335,19 @@ def test_phrase_point_budget_fallback(spark, pos_index):
         fts.close()
 
 
-def test_phrase_point_by_lang_falls_back(spark, tmp_path_factory):
-    """by_lang indexes need each doc's build pipeline (a docs-table
-    column) — the point tier routes those to the distributed path."""
+def test_phrase_point_by_lang(spark, tmp_path_factory):
+    """by_lang indexes serve in-process too: each doc matches through its
+    OWN pipeline's analyzed sequence, gated by the cached per-doc
+    pipeline-code array — results identical to the distributed path,
+    which resolves the pipeline via the docs-table join."""
     from fts_engine_spark.build import BuildConfig, build_index
 
     corpus = spark.createDataFrame(
         [
             (0, "the french hotels were quiet", "en"),
             (1, "a french hotel by the sea", "en"),
-            (2, "французские отели у моря", "ru"),
+            (2, "hotels in france", "en"),
+            (3, "французские отели у моря", "ru"),
         ],
         "doc_id long, text string, lang string",
     )
@@ -361,9 +364,23 @@ def test_phrase_point_by_lang_falls_back(spark, tmp_path_factory):
     )
     fts = FtsIndex(spark, d).enable_point_serving()
     try:
+        for phrase in ("french hotels", "французские отели", "hotel france"):
+            assert _point_pairs(fts, phrase) == _positional_pairs(
+                fts, phrase
+            ), phrase
+        assert _point_pairs(fts, "french hotels")  # non-trivial match
+        # the tier actually served in-process: the pipeline-code array
+        # was built and the phrase terms are cached
+        assert isinstance(fts._pos_pipe_cache, tuple)
+        assert fts._pos_point_cache
+        # budget fallback: an index whose id space outgrows the budget
+        # routes by_lang phrases to the distributed path, same results
+        fts._pos_pipe_cache = None
+        fts._pos_point_max_bytes = 2
         assert _point_pairs(fts, "french hotels") == _positional_pairs(
             fts, "french hotels"
-        ) != {}
+        )
+        assert fts._pos_pipe_cache == "too_big"
     finally:
         fts.close()
 
