@@ -57,6 +57,10 @@ MLT_SOURCE_DOC, MLT_MAX_TERMS = 7, 10
 # did-you-mean row: two real typos, one exact dictionary word (suggests
 # itself at distance 0), one garbage token (no suggestion within 2)
 SUGGEST_QUERY = "querry tabel value zzzzqqqq"
+# synonym row (Lucene SynonymQuery semantics): 'slow'/'row' are real
+# corpus terms so both groups genuinely re-rank; 'quick' is absent (max
+# df must ignore it)
+SYNONYMS = {"fast": ["slow", "quick"], "table": ["row"]}
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.12
 # the driver's synthetic embeddings have max pairwise cos ~0.51; 0.42 keeps
@@ -463,6 +467,25 @@ def _bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym groups (FtsIndex.search_bm25_synonyms), Lucene
+    SynonymQuery semantics: each group scores as ONE pseudo-term — per-doc
+    tf = sum of member tfs, df = max member df, one idf/saturation per
+    group — NOT a plain OR rewrite. Fully relational, mirrored term for
+    term by the oracle's grouped CTE."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25_synonyms(
+        " ".join(Q_TERMS), SYNONYMS, k=10, hydrate=True
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similar-document retrieval (operators/morelike.py): the source
     doc's characteristic terms (all-integer deterministic rank:
@@ -751,6 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boolean query string: +MUST groups (bitmask coverage in the
         # kernel) + NOT in one parsed surface (queryparse.py)
         "fts_boolean_bm25": _bool_search,
+        # query-time synonym groups, Lucene SynonymQuery semantics
+        # (group tf-sum / df-max — not an OR rewrite)
+        "fts_synonym_bm25": _synonym_search,
         # more-like-this: similar docs by the source doc's
         # characteristic terms (Lucene MLT), source excluded
         "fts_more_like_this": _more_like_this,
@@ -1158,6 +1184,38 @@ GROUP BY 1 ORDER BY n_docs DESC, lang
         "AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')",
     )
     assert bm25_bool != bm25
+    # synonym groups (Lucene SynonymQuery): one row per analyzed member
+    # with its group id; per (doc, group) the tfs SUM, the group df is
+    # the MAX member df, one idf/saturation per group — the exact shape
+    # search_bm25_synonyms builds relationally
+    _syn_vals = ", ".join(
+        f"('{m}', {g}, 1)"
+        for g, t in enumerate(sorted(set(Q_TERMS)))
+        for m in sorted({t, *SYNONYMS.get(t, [])})
+    )
+    bm25_syn = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(doc_len) FROM dl) AS avgdl),
+q(term, gid, mult) AS (VALUES {_syn_vals}),
+gstats AS (SELECT q.gid, max(s.df) AS df
+           FROM q JOIN stats s USING (term) GROUP BY 1),
+gtf AS (SELECT tf.doc_id, q.gid, max(q.mult) AS mult,
+               sum(tf.tf)::BIGINT AS tf
+        FROM tf JOIN q USING (term) GROUP BY 1, 2),
+scored AS (
+  SELECT g.doc_id,
+         sum(g.mult * ln(1.0 + (p.n - gs.df + 0.5) / (gs.df + 0.5)) * g.tf * 2.2
+             / (g.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.avgdl))) AS raw
+  FROM gtf g JOIN gstats gs USING (gid)
+       JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN params p
+  GROUP BY g.doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
+"""
     # more-like-this: q = the source doc's terms ranked (tf desc, df asc,
     # term asc — all-integer, so truncation is deterministic), mult 1;
     # the source doc is excluded from results
@@ -1302,6 +1360,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_and": bm25_and,
         "fts_index_bm25_not": bm25_not,
         "fts_boolean_bm25": bm25_bool,
+        "fts_synonym_bm25": bm25_syn,
         "fts_more_like_this": bm25_mlt,
         "fts_suggest": suggest_sql,
         "fts_prefix_bm25": bm25_prefix,

@@ -288,6 +288,20 @@ class FtsEngine:
             phrase, self.options.k if k is None else k
         )
 
+    def search_synonyms(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int | None = None,
+    ) -> DataFrame:
+        """BM25 with query-time synonym groups (Lucene SynonymQuery
+        semantics: group tf = sum of member tfs, group df = max member
+        df, one idf/saturation per group — not a plain OR rewrite)."""
+        return self.index.search_bm25_synonyms(
+            query, synonyms, k=self.options.k if k is None else k,
+            hydrate=True,
+        )
+
     def search_prefix(
         self, query: str, k: int | None = None, max_expand: int = 64
     ) -> DataFrame:

@@ -87,3 +87,48 @@ class OracleIndex:
         if 0 < k < len(ranked):
             ranked = ranked[:k]
         return ranked
+
+    def search_bm25_synonyms(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        lang: str | None = None,
+    ):
+        """(doc_id, score), Lucene SynonymQuery semantics: each query
+        term's group scores as one pseudo-term — tf = sum of member tfs
+        per doc, df = max member df, one idf/saturation per group."""
+        pipe = self._pipe(lang)
+        groups: dict[str, set[str]] = {}
+        for src, syns in synonyms.items():
+            key = pipe.process(src)[0]
+            groups[key] = {key, *(pipe.process(s)[0] for s in syns)}
+        mult: dict[str, int] = defaultdict(int)
+        for tok in self._query_tokens(query, lang):
+            mult[tok] += 1
+        n, avgdl = self.n_docs, self.avgdl
+        scores: dict[int, float] = defaultdict(float)
+        for t, m in mult.items():
+            members = groups.get(t, {t})
+            df = max(
+                (len(self.postings[mt]) for mt in members
+                 if mt in self.postings),
+                default=0,
+            )
+            if df == 0:
+                continue
+            gtf: dict[int, int] = defaultdict(int)
+            for mt in members:
+                for doc, tf in self.postings.get(mt, {}).items():
+                    gtf[doc] += tf
+            idf = bm25_idf(n, df)
+            for doc, tf in gtf.items():
+                dl = self.doclen[doc]
+                scores[doc] += (
+                    m * idf * tf * (K1 + 1.0)
+                    / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                )
+        ranked = sorted(scores.items(), key=lambda r: (-r[1], r[0]))
+        if 0 < k < len(ranked):
+            ranked = ranked[:k]
+        return ranked
