@@ -1,0 +1,89 @@
+"""Property tests for positions.phrase_match_kernel — the vectorized
+(ragged gather + segmented cumsum + key-set intersection) formulation —
+against a naive per-doc token-window reference on randomized corpora.
+The kernel is shared verbatim by the distributed per-shard path and the
+driver point tier, so this pins the single function every phrase
+serving path depends on. No Spark session needed (pure numpy)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fts_engine_spark.positions import phrase_match_kernel
+
+VOCAB = ["alpha", "beta", "gamma", "delta"]
+
+
+def _naive(streams: dict[int, list[str]], seq: list[str]) -> dict[int, int]:
+    out = {}
+    n = len(seq)
+    for doc, toks in streams.items():
+        c = sum(
+            1
+            for i in range(len(toks) - n + 1)
+            if toks[i : i + n] == seq
+        )
+        if c:
+            out[doc] = c
+    return out
+
+
+def _structures(streams: dict[int, list[str]]):
+    """token streams -> (docs_offs, pos_vals) in the codec's shapes:
+    per term sorted doc_ids, per-doc ascending positions stored
+    delta-form (first absolute, rest diffs), offsets into the stream."""
+    by_term: dict[str, dict[int, list[int]]] = {}
+    for doc in sorted(streams):
+        for pos, tok in enumerate(streams[doc]):
+            by_term.setdefault(tok, {}).setdefault(doc, []).append(pos)
+    docs_offs = {}
+    pos_streams = {}
+    for term, per_doc in by_term.items():
+        doc_ids = np.array(sorted(per_doc), dtype=np.int64)
+        offsets = [0]
+        deltas: list[int] = []
+        for d in doc_ids:
+            ps = per_doc[int(d)]
+            deltas.append(ps[0])
+            deltas.extend(b - a for a, b in zip(ps, ps[1:]))
+            offsets.append(offsets[-1] + len(ps))
+        docs_offs[term] = (doc_ids, np.array(offsets, dtype=np.int64))
+        pos_streams[term] = np.array(deltas, dtype=np.int64)
+    return docs_offs, lambda t: pos_streams[t]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(  # corpus: token streams with sparse, gapped doc ids
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=24),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(0, 3),  # doc-id gap multiplier (simulates shard bases)
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=4),  # phrase
+)
+def test_kernel_matches_naive(corpus, gap, seq):
+    streams = {i * (gap * 7 + 1) + 3: toks for i, toks in enumerate(corpus)}
+    docs_offs, pos_vals = _structures(streams)
+    want = _naive(streams, seq)
+    if any(t not in docs_offs for t in seq):
+        # callers never invoke the kernel with an unindexed term — they
+        # short-circuit to "no matches"; the naive count must agree
+        assert want == {}
+        return
+    docs, counts = phrase_match_kernel(docs_offs, pos_vals, seq)
+    assert dict(zip(docs, counts)) == want
+    # output is doc-id ascending (callers rely on it for stable sorts)
+    assert docs == sorted(docs)
+
+
+def test_kernel_duplicate_term_overlaps():
+    """Overlapping repeated-term matches count every start position."""
+    streams = {5: ["alpha", "alpha", "alpha", "alpha"]}
+    docs_offs, pos_vals = _structures(streams)
+    docs, counts = phrase_match_kernel(
+        docs_offs, pos_vals, ["alpha", "alpha"]
+    )
+    assert docs == [5] and counts == [3]
