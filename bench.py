@@ -838,6 +838,39 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     timings["query_point_suggest_ms"] = suggest_ms
     timings["query_point_mlt_ms"] = mlt_ms
 
+    # synonym groups (SynonymQuery semantics) on the point tier: member
+    # postings share the bm25 point cache, group tf-sum/df-max scored
+    # in-process — parity with the distributed grouped plan first
+    syn_map = {"hotel": ["castle", "turtle"]}
+    want_syn = [
+        (int(r["doc_id"]), round(float(r["score"]), 8))
+        for r in fts.search_bm25_synonyms(
+            "french hotel", syn_map, k=10
+        ).collect()
+    ]
+    got_syn = [
+        (d, round(s, 8))
+        for d, s in fts.search_bm25_synonyms_point(
+            "french hotel", syn_map, k=10
+        )
+    ]
+    if got_syn != want_syn:
+        raise RuntimeError("synonym point parity failure")
+
+    def _synonym_point_once():
+        lat = []
+        for _ in range(10):
+            t0 = time.monotonic()
+            fts.search_bm25_synonyms_point("french hotel", syn_map, k=10)
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 2)
+
+    syn_point_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_point_synonym",
+        STEAL_SERVE_TICKS, _synonym_point_once,
+    )
+    timings["query_point_synonym_ms"] = syn_point_ms
+
     from fts_engine_spark.operators.search import search_phrase
 
     search_phrase(fts, docs, "french hotel", k=10).collect()  # warm-up

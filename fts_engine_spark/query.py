@@ -1315,6 +1315,52 @@ class FtsIndex:
 
     # ---- synonym groups (Lucene SynonymQuery semantics) -----------------
 
+    def _synonym_groups(
+        self, query: str, synonyms: dict[str, list[str]], preset: str
+    ) -> tuple[dict[str, int], dict[int, int]]:
+        """(analyzed member term -> gid, gid -> query multiplicity) for a
+        synonym search — the ONE place group semantics are resolved, so
+        the distributed and point tiers cannot drift. Normalizes WITHOUT
+        the probabilistic term gate: a query term absent from the corpus
+        must still score through a PRESENT synonym (the gate would drop
+        the term and its whole group). Raises ValueError on keys/synonyms
+        that analyze to other than one term and on overlapping groups."""
+        mult: dict[str, int] = {}
+        for t in normalize_query(query, preset):
+            mult[t] = mult.get(t, 0) + 1
+        if not mult:
+            return {}, {}
+        groups: dict[str, set[str]] = {}
+        for src, syns in synonyms.items():
+            key_terms = normalize_query(src, preset)
+            if len(key_terms) != 1:
+                raise ValueError(
+                    f"synonym key {src!r} must analyze to exactly one term, "
+                    f"got {key_terms}"
+                )
+            members = set(key_terms)
+            for s in syns:
+                ts = normalize_query(s, preset)
+                if len(ts) != 1:
+                    raise ValueError(
+                        f"synonym {s!r} (for {src!r}) must analyze to "
+                        f"exactly one term, got {ts}"
+                    )
+                members.add(ts[0])
+            groups[key_terms[0]] = members
+        term_gid: dict[str, int] = {}
+        gid_mult: dict[int, int] = {}
+        for gid, (t, m) in enumerate(sorted(mult.items())):
+            for mt in sorted(groups.get(t, {t})):
+                if mt in term_gid:
+                    raise ValueError(
+                        f"term {mt!r} appears in more than one synonym "
+                        "group; groups must be disjoint"
+                    )
+                term_gid[mt] = gid
+            gid_mult[gid] = m
+        return term_gid, gid_mult
+
     def search_bm25_synonyms(
         self,
         query: str,
@@ -1347,46 +1393,11 @@ class FtsIndex:
         preset = preset or (
             "multilingual" if self.preset == "by_lang" else self.preset
         )
-        # normalize WITHOUT the probabilistic term gate: a query term
-        # absent from the corpus must still score through a PRESENT
-        # synonym (the gate would drop the term and its whole group)
-        mult: dict[str, int] = {}
-        for t in normalize_query(query, preset):
-            mult[t] = mult.get(t, 0) + 1
-        if not mult:
+        term_gid, gid_mult = self._synonym_groups(query, synonyms, preset)
+        if not term_gid:
             return self._maybe_hydrate(
                 self._empty_bm25_result(), hydrate, bounded=True
             )
-        # analyzed member term -> gid; gid -> query multiplicity
-        groups: dict[str, set[str]] = {}
-        for src, syns in synonyms.items():
-            key_terms = normalize_query(src, preset)
-            if len(key_terms) != 1:
-                raise ValueError(
-                    f"synonym key {src!r} must analyze to exactly one term, "
-                    f"got {key_terms}"
-                )
-            members = set(key_terms)
-            for s in syns:
-                ts = normalize_query(s, preset)
-                if len(ts) != 1:
-                    raise ValueError(
-                        f"synonym {s!r} (for {src!r}) must analyze to "
-                        f"exactly one term, got {ts}"
-                    )
-                members.add(ts[0])
-            groups[key_terms[0]] = members
-        term_gid: dict[str, int] = {}
-        gid_mult: dict[int, int] = {}
-        for gid, (t, m) in enumerate(sorted(mult.items())):
-            for mt in sorted(groups.get(t, {t})):
-                if mt in term_gid:
-                    raise ValueError(
-                        f"term {mt!r} appears in more than one synonym "
-                        "group; groups must be disjoint"
-                    )
-                term_gid[mt] = gid
-            gid_mult[gid] = m
         all_terms = sorted(term_gid)
         ones = {t: 1 for t in all_terms}
         gid_df = F.broadcast(
@@ -1431,6 +1442,113 @@ class FtsIndex:
         if k > 0:
             scored = scored.limit(k)
         return self._maybe_hydrate(scored, hydrate, bounded=k > 0)
+
+    def search_bm25_synonyms_point(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        preset: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Synonym-group BM25 below the Spark job floor: the same group
+        semantics as :meth:`search_bm25_synonyms` (resolved by the shared
+        ``_synonym_groups``), scored in-process over the point tier's
+        posting cache — member terms share the cache with
+        :meth:`search_bm25_point`, raw tf/dl are varbyte-decoded per
+        query from the cached blobs (vectorized, no extra budget charge).
+        Returns (doc_id, score), (score desc, doc_id asc), k<=0 = all.
+        Falls back to the distributed plan when the tier is disabled, a
+        member's posting list exceeds the point budget, or tombstones are
+        past the driver-array bound."""
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+
+        def fallback() -> list[tuple[int, float]]:
+            return [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self.search_bm25_synonyms(
+                    query, synonyms, k=k, preset=preset, hydrate=False
+                ).collect()
+            ]
+
+        term_gid, gid_mult = self._synonym_groups(query, synonyms, preset)
+        if not term_gid:
+            return []
+        if (
+            self._point_cache is None
+            or self._term_dict is None
+            or self.n_deleted > self.dead_broadcast_max
+        ):
+            return fallback()
+        present = {
+            t: g for t, g in term_gid.items() if t in self._term_dict
+        }
+        if not present:
+            return []
+        df_cap = self._point_max_bytes // 40
+        if any(self._term_dict[t][0] > df_cap for t in present):
+            return fallback()
+        need = sorted(present)
+        with self._point_lock:
+            missing = [t for t in need if t not in self._point_cache]
+            if missing:
+                self._point_fetch(missing, protect=frozenset(need))
+            else:
+                for t in need:
+                    self._point_cache.move_to_end(t)
+            entries = {t: self._point_cache[t] for t in need}
+        n, avgdl = float(self.n_docs), self.avgdl
+        # per group: concat members' (doc, tf, dl), sum tf per doc, one
+        # idf (max member df) / one saturation — the gtf/gstats plan
+        # in-process
+        by_gid: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray]]]
+        by_gid = {}
+        for t in need:
+            parts = [
+                _decode_term_raw(tab, shard * self.shard_size)
+                for shard, tab in sorted(entries[t].items())
+            ]
+            if parts:
+                by_gid.setdefault(present[t], []).append(
+                    tuple(np.concatenate(a) for a in zip(*parts))
+                )
+        acc_docs: list[np.ndarray] = []
+        acc_scores: list[np.ndarray] = []
+        for gid, parts in sorted(by_gid.items()):
+            df_g = max(
+                self._term_dict[t][0]
+                for t, g in present.items()
+                if g == gid
+            )
+            docs_c = np.concatenate([p[0] for p in parts])
+            tfs_c = np.concatenate([p[1] for p in parts])
+            dls_c = np.concatenate([p[2] for p in parts])
+            uniq, inv = np.unique(docs_c, return_inverse=True)
+            tf_g = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(tf_g, inv, tfs_c)
+            dl_g = np.zeros(uniq.size, dtype=np.float64)
+            dl_g[inv] = dls_c  # dl is per-doc constant across members
+            idf = bm25_idf(int(n), int(df_g))
+            norm = K1 * (1.0 - B + B * dl_g / avgdl)
+            acc_docs.append(uniq)
+            acc_scores.append(
+                gid_mult[gid] * idf * tf_g * (K1 + 1.0) / (tf_g + norm)
+            )
+        if not acc_docs:
+            return []
+        docs_all = np.concatenate(acc_docs)
+        uniq, inv = np.unique(docs_all, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(acc_scores))
+        dead = self._dead_ids()
+        if dead is not None:
+            alive = ~np.isin(uniq, dead)
+            uniq, scores = uniq[alive], scores[alive]
+        order = np.lexsort((uniq, -scores))
+        if k > 0:
+            order = order[:k]
+        return [(int(uniq[i]), float(scores[i])) for i in order]
 
     # ---- boolean query strings (queryparse.py) ---------------------------
 
@@ -2538,6 +2656,22 @@ def _parse_term_rows(pdf: pd.DataFrame, base: int, counters) -> dict:
 
 def _base_score(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
     return tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+
+
+def _decode_term_raw(
+    t: dict, base: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, tfs, dls) decoded fresh from a cached block table's
+    blobs. The synonym point scorer re-saturates tf per GROUP, so it
+    needs raw tf/dl rather than the per-term base scores — decoding per
+    query (vectorized varbyte over in-memory bytes) keeps the point
+    cache's byte accounting unchanged."""
+    doc_ids = (
+        np.cumsum(varbyte_decode(t["doc_blob"]).astype(np.int64)) + base
+    )
+    tfs = varbyte_decode(t["tf_blob"]).astype(np.float64)
+    dls = varbyte_decode(t["dl_blob"]).astype(np.float64)
+    return doc_ids, tfs, dls
 
 
 def _decode_term_full(t: dict, base: int, avgdl: float, counters):

@@ -153,3 +153,90 @@ def test_synonym_excludes_tombstones(spark, tmp_path_factory):
     )
     got = dict(_got(fts, "fast", SYN, k=0))
     assert got and dead_id not in got
+
+
+# ------------------------------------------------- point tier (driver-side)
+
+
+def _point(fts, query, syn, k=10):
+    return [
+        (d, round(s, 8))
+        for d, s in fts.search_bm25_synonyms_point(query, syn, k=k)
+    ]
+
+
+def test_synonym_point_matches_oracle(spark, syn_index, syn_oracle):
+    """The in-process scorer is the relational grouped plan minus the
+    Spark job: same group semantics (shared _synonym_groups), same
+    arithmetic, rank- and score-identical at 8 decimals."""
+    fts = FtsIndex(spark, syn_index).enable_point_serving()
+    try:
+        for query, syn in [
+            ("fast cars", SYN),
+            ("fast", SYN),
+            ("fast cars", {}),
+            ("fast cars", {"fast": ["quick", "rapid", "zzznothere"]}),
+            ("auto lane", {"auto": ["cars"]}),
+            ("the on", SYN),  # normalizes to empty
+        ]:
+            assert _point(fts, query, syn, k=0) == _want(
+                syn_oracle, query, syn, k=0
+            ), (query, syn)
+        assert _point(fts, "fast cars", SYN, k=2) == _want(
+            syn_oracle, "fast cars", SYN, k=2
+        )
+        # member terms share the bm25 point cache
+        assert {"fast", "quick", "rapid", "cars"} & set(fts._point_cache)
+    finally:
+        fts.close()
+
+
+def test_synonym_point_fallbacks(spark, syn_index, syn_oracle):
+    # tier not enabled -> distributed plan, same rows
+    fts = FtsIndex(spark, syn_index)
+    assert _point(fts, "fast cars", SYN) == _want(
+        syn_oracle, "fast cars", SYN
+    )
+    # oversized member list -> distributed plan, same rows
+    fts2 = FtsIndex(spark, syn_index).enable_point_serving(
+        cache_max_bytes=40
+    )
+    try:
+        assert _point(fts2, "fast cars", SYN) == _want(
+            syn_oracle, "fast cars", SYN
+        )
+    finally:
+        fts2.close()
+
+
+def test_synonym_point_excludes_tombstones(spark, tmp_path_factory):
+    from fts_engine_spark.build import BuildConfig, build_index
+    from fts_engine_spark.mutate import delete_documents
+
+    spark_docs = spark.createDataFrame(
+        [(f"doc://{i}", t, "en") for i, t in ROWS],
+        "url string, text string, lang string",
+    )
+    d = str(tmp_path_factory.mktemp("synix_pt_del") / "ix")
+    build_index(
+        spark, spark_docs, d,
+        BuildConfig(preset="simple", shard_size=3, id_buckets=4, n_waves=1),
+        resume=False,
+    )
+    delete_documents(spark, d, ["doc://2"])
+    fts = FtsIndex(spark, d).enable_point_serving()
+    try:
+        got = _point(fts, "fast", SYN, k=0)
+        want = [
+            (int(r["doc_id"]), round(float(r["score"]), 8))
+            for r in fts.search_bm25_synonyms("fast", SYN, k=0).collect()
+        ]
+        assert got == want and got
+        dead_id = int(
+            fts.docs().where(F.col("url") == "doc://2").collect()[0][
+                "doc_id"
+            ]
+        )
+        assert dead_id not in {d_ for d_, _ in got}
+    finally:
+        fts.close()
