@@ -45,6 +45,11 @@ def main() -> None:
     ap.add_argument("--phrase", action="append", default=[],
                     help="positional phrase query (repeatable; analyzed-"
                          "token-space contiguous match)")
+    ap.add_argument("--synonyms", default=None,
+                    help='JSON map of query-time synonym groups, e.g. '
+                         '\'{"fast": ["quick"]}\' — each --query then '
+                         "scores groups with SynonymQuery semantics "
+                         "(tf-sum, df-max)")
     ap.add_argument("--preset", default=None)
     ap.add_argument("--shard-size", type=int, default=None)
     ap.add_argument("--waves", type=int, default=None)
@@ -93,9 +98,13 @@ def main() -> None:
     build_secs = time.monotonic() - t0
     print(json.dumps({"built": meta, "build_secs": round(build_secs, 2)}))
 
+    syn_map = json.loads(args.synonyms) if args.synonyms else None
+
     for q in args.query:
         t0 = time.monotonic()
-        if args.conjunctive:
+        if syn_map is not None:
+            rows = engine.search_synonyms(q, syn_map, k=args.k).collect()
+        elif args.conjunctive:
             rows = engine.index.search_bm25(
                 q, k=args.k, mode=engine.options.mode, hydrate=True,
                 conjunctive=True,
@@ -103,13 +112,16 @@ def main() -> None:
         else:
             rows = engine.search(q, k=args.k, hydrate=True).collect()
         ms = (time.monotonic() - t0) * 1000
-        print(json.dumps({
+        out = {
             "query": q,
             "ms": round(ms, 1),
             "results": [
                 {k: r[k] for k in r.asDict() if k != "html"} for r in rows
             ],
-        }, default=str))
+        }
+        if syn_map is not None:
+            out["synonyms"] = syn_map
+        print(json.dumps(out, default=str))
 
     for p in args.phrase:
         t0 = time.monotonic()

@@ -51,6 +51,7 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
             "--phrase", "french hotel",
             "--boolean", "+french +(hotel OR castle) turtle",
             "--suggest", "hotl frnch",
+            "--synonyms", '{"turtle": ["castle"]}',
             "--k", "5",
             "--shard-size", "64",
             "--waves", "2",
@@ -69,6 +70,9 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
     result = json.loads(lines[1])
     assert result["query"] == "turtle hotel"
     assert len(result["results"]) == 5
+    # --synonyms switches --query to SynonymQuery-semantics scoring
+    assert result["synonyms"] == {"turtle": ["castle"]}
+    assert all("score" in r and "url" in r for r in result["results"])
     phr = json.loads(lines[2])
     assert phr["phrase"] == "french hotel"
     assert phr["results"], "phrase must match docs in the synthetic corpus"
