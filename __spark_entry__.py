@@ -532,6 +532,39 @@ def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.facet_counts(" ".join(Q_TERMS), facet="lang")
 
 
+def _facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram facet (date-histogram analog): distinct matching docs per
+    50-token bucket of analyzed doc length, full OR match set."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    return fts.facet_histogram(" ".join(Q_TERMS), col="doclen", width=50)
+
+
+def _boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time document boosting: bm25 * (1 + (doc_id % 5) * 0.25) — a
+    deterministic stand-in for a recency/quality prior, joined on url so
+    the url→dense-id resolution path is exercised."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    boost = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit(1.0) + (F.col("doc_id") % 5).cast("double") * F.lit(0.25)).alias(
+            "boost"
+        ),
+    )
+    out = fts.search_bm25_boosted(
+        " ".join(Q_TERMS), k=10, boost=boost, hydrate=True
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k with best-window highlighted snippets (rows-only check)."""
     from fts_engine_spark.operators.snippets import search_with_snippets
@@ -785,6 +818,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # facet panel: distinct matching docs per lang over the FULL
         # match set (doc-blob-only decode, no tf/dl bytes, no scoring)
         "fts_facet_counts": _facet_counts,
+        # histogram facet (date-histogram analog): distinct matching docs
+        # per 50-token doclen bucket, same doc-blob-only match set
+        "fts_facet_histogram": _facet_histogram,
+        # query-time document boosting (FunctionScoreQuery analog):
+        # bm25 * per-doc prior joined on url, relational accumulate plan
+        "fts_boosted_bm25": _boosted_search,
         # best-window highlighted snippets for the top-k (rows-only
         # check: best-window selection over analyzed token space is not
         # SQL-expressible; the kernel is golden-tested in
@@ -1113,6 +1152,32 @@ SELECT d.lang AS lang, count(*)::BIGINT AS n_docs
 FROM matches m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY 1 ORDER BY n_docs DESC, lang
 """
+    # histogram facet: distinct matching docs per 50-token analyzed-length
+    # bucket (dl doubles as the docs table's doclen column)
+    hist_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+matches AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term))
+SELECT (dl.doc_len // 50) * 50 AS bucket, count(*)::BIGINT AS n_docs
+FROM matches m JOIN dl ON dl.doc_id = m.doc_id
+GROUP BY 1 ORDER BY bucket
+"""
+    # query-time boosting: bm25 * (1 + (doc_id % 5) * 0.25), a
+    # deterministic per-doc prior; order/round on the BOOSTED score
+    _boost_expr = "(1.0 + (doc_id % 5) * 0.25)"
+    bm25_boosted = bm25.replace(
+        "SELECT doc_id, round(raw, 4) AS score FROM scored",
+        f"SELECT doc_id, round(raw * {_boost_expr}, 4) AS score FROM scored",
+    ).replace(
+        "ORDER BY round(raw, 6) DESC, doc_id LIMIT 10",
+        f"ORDER BY round(raw * {_boost_expr}, 6) DESC, doc_id LIMIT 10",
+    )
+    assert (  # both splice targets must exist in the template
+        f"round(raw * {_boost_expr}, 4)" in bm25_boosted
+        and f"round(raw * {_boost_expr}, 6)" in bm25_boosted
+    )
     # conjunctive: every distinct query term must match; tf is unique per
     # (term, doc), so the group's row count is the distinct-match count
     bm25_and = bm25.replace(
@@ -1371,6 +1436,8 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_all": bm25_all,
         "fts_index_bm25_page2": bm25_page2,
         "fts_facet_counts": facet_sql,
+        "fts_facet_histogram": hist_sql,
+        "fts_boosted_bm25": bm25_boosted,
         "fts_incremental_bm25": bm25,
         "fts_merge_bm25": bm25,
         "fts_update_bm25": bm25_update,

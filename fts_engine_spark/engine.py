@@ -196,6 +196,33 @@ class FtsEngine:
         the full match set (see :meth:`FtsIndex.facet_counts`)."""
         return self.index.facet_counts(query, facet=facet)
 
+    def facet_histogram(
+        self, query: str, col: str = "doclen", width: int = 50
+    ) -> DataFrame:
+        """Histogram facet (date-histogram analog): distinct matching docs
+        per fixed-width bucket of an ordered docs column (see
+        :meth:`FtsIndex.facet_histogram`)."""
+        return self.index.facet_histogram(query, col=col, width=width)
+
+    def search_boosted(
+        self,
+        query: str,
+        k: int | None = None,
+        boost: DataFrame | None = None,
+        default_boost: float = 1.0,
+        hydrate: bool = False,
+    ) -> DataFrame:
+        """Query-time document boosting: ``bm25 * boost(url)`` with a
+        (url, boost) DataFrame prior — recency decay, quality signal,
+        source weighting (see :meth:`FtsIndex.search_bm25_boosted`)."""
+        return self.index.search_bm25_boosted(
+            query,
+            self.options.k if k is None else k,
+            boost=boost,
+            default_boost=default_boost,
+            hydrate=hydrate,
+        )
+
     def search_full(
         self,
         query: str,

@@ -900,6 +900,51 @@ class FtsIndex:
             .orderBy(F.desc("n_docs"), F.asc(facet))
         )
 
+    def facet_histogram(
+        self,
+        query: str,
+        col: str = "doclen",
+        width: int = 50,
+        preset: str | None = None,
+    ) -> DataFrame:
+        """Histogram facet over an ordered docs-table column — the
+        date-histogram analog (Elasticsearch ``date_histogram`` /
+        Lucene range facets) for any numeric column the index's docs
+        table carries (``doclen`` ships by default; a ``warc_ts``-derived
+        epoch column slots in the same way when the corpus has one).
+
+        Distinct matching documents (full OR match set, same
+        normalization as :meth:`search_bm25`) are counted per fixed-width
+        bucket: ``bucket = floor(col / width) * width``. Same plan shape
+        as :meth:`facet_counts` — the match set comes from the
+        doc-blob-ONLY decode (tf/dl bytes never read), tombstones are
+        anti-joined, and the matches⋈docs join is the only wide shuffle;
+        the groupBy collapses map-side into at most
+        |range(col)| / width rows per partition, so the result is tiny
+        regardless of corpus size.
+
+        Returns (bucket, n_docs) ordered by bucket asc.
+        """
+        if width <= 0:
+            raise ValueError(f"width must be > 0, got {width}")
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self.spark.range(0).select(
+                F.col("id").alias("bucket"), F.col("id").alias("n_docs")
+            )
+        matches = self._match_count_df(mult)
+        docs = self.docs().select("doc_id", col)
+        bucket = (
+            F.floor(F.col(col).cast("double") / F.lit(float(width)))
+            * F.lit(int(width))
+        ).cast("long")
+        return (
+            matches.join(docs, "doc_id")
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy(F.asc("bucket"))
+        )
+
     # ---- searches ------------------------------------------------------
     def search_reference(
         self, query: str, k: int = 10, preset: str | None = None, hydrate: bool = False
@@ -1151,6 +1196,70 @@ class FtsIndex:
         if k > 0:
             out = out.where(F.col("_rn") <= offset + k)
         return out.drop("_rn").orderBy(F.desc("score"), F.asc("doc_id"))
+
+    def search_bm25_boosted(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        boost: "DataFrame | None" = None,
+        default_boost: float = 1.0,
+        hydrate: bool = False,
+    ) -> DataFrame:
+        """Query-time document boosting — the Lucene
+        ``FunctionScoreQuery`` / Elasticsearch ``function_score`` analog:
+        ``final = bm25(doc) * boost(doc)``. ``boost`` is a DataFrame of
+        (url string, boost double) — a per-document multiplicative prior
+        (recency decay over a timestamp column, a pagerank-ish quality
+        signal, per-source weighting). Documents absent from ``boost``
+        score with ``default_boost``; ordering stays deterministic
+        (boosted score desc, doc_id asc).
+
+        Plan: this runs the relational accumulate (the same dense shape
+        wide-OR queries use), NOT WAND — per-term block upper bounds
+        bound the UNBOOSTED score, so block skipping against a boosted
+        threshold is only sound scaled by global max(boost), at which
+        point the bound is loose enough that the "optimization" decodes
+        nearly everything anyway. The honest plan scores all matches and
+        applies the boost as a distributed join: boost(url) resolves to
+        dense doc ids through the docs table, then left-joins the scored
+        aggregate on doc_id — both sides hash-partition on the key and
+        AQE broadcasts whenever the boost side is small. BM25 stats are
+        untouched: the boost reweights final scores, it never leaks into
+        idf/avgdl.
+        """
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self._maybe_hydrate(
+                self._empty_bm25_result(), hydrate, bounded=True
+            )
+        scored = self._bm25_scored(mult)
+        if boost is not None:
+            b = (
+                boost.select(
+                    F.col("url").cast("string").alias("url"),
+                    F.col("boost").cast("double").alias("boost"),
+                )
+                .join(self.docs().select("doc_id", "url"), "url")
+                .select("doc_id", "boost")
+            )
+            scored = (
+                scored.join(b, "doc_id", "left")
+                .withColumn(
+                    "score",
+                    F.col("score")
+                    * F.coalesce(F.col("boost"), F.lit(float(default_boost))),
+                )
+                .drop("boost")
+            )
+        elif default_boost != 1.0:
+            scored = scored.withColumn(
+                "score", F.col("score") * F.lit(float(default_boost))
+            )
+        scored = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        if k > 0:
+            scored = scored.limit(k)
+        return self._maybe_hydrate(scored, hydrate, bounded=k > 0)
 
     # ---- dictionary-expanded queries (prefix / fuzzy) -------------------
 

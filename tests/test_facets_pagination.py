@@ -127,3 +127,68 @@ def test_facet_counts_exclude_tombstones(fts, spark, small_index, tmp_path):
     assert after.get(lang, 0) == before[lang] - 1
     for other in set(before) - {lang}:
         assert after.get(other) == before[other]
+
+
+def test_facet_histogram_matches_ground_truth(fts):
+    """Histogram facet (date-histogram analog): bucket counts equal a
+    hand-built histogram over the full OR match set's doclen values."""
+    from collections import Counter
+
+    hits = [int(r["doc_id"]) for r in fts.search_bm25(QUERY, k=0).collect()]
+    dl = {
+        int(r["doc_id"]): int(r["doclen"])
+        for r in fts.docs().select("doc_id", "doclen").collect()
+    }
+    exp = Counter((dl[d] // 50) * 50 for d in hits)
+    got = [
+        (int(r["bucket"]), int(r["n_docs"]))
+        for r in fts.facet_histogram(QUERY, col="doclen", width=50).collect()
+    ]
+    assert got == sorted(exp.items())
+
+
+def test_facet_histogram_validation_and_empty_query(fts):
+    with pytest.raises(ValueError):
+        fts.facet_histogram(QUERY, width=0)
+    assert fts.facet_histogram("zzzznotaterm").count() == 0
+
+
+def test_boosted_search_applies_prior_and_default(fts):
+    """bm25 * boost(url): a boosted low-ranked doc rises to the top with
+    exactly base*boost; docs absent from the boost table keep base order
+    (default_boost=1)."""
+    base = dict(_rows(fts.search_bm25(QUERY, k=0)))
+    urls = {
+        int(r["doc_id"]): r["url"]
+        for r in fts.docs().select("doc_id", "url").collect()
+    }
+    low = min(base, key=lambda d: (base[d], -d))
+    boost = fts.spark.createDataFrame(
+        [(urls[low], 100.0)], "url string, boost double"
+    )
+    out = _rows(fts.search_bm25_boosted(QUERY, k=5, boost=boost))
+    assert out[0][0] == low
+    assert out[0][1] == pytest.approx(base[low] * 100.0, rel=1e-6)
+    expected_rest = sorted(
+        ((d, s) for d, s in base.items() if d != low),
+        key=lambda t: (-t[1], t[0]),
+    )[:4]
+    assert [d for d, _ in out[1:]] == [d for d, _ in expected_rest]
+    for (_, got_s), (_, exp_s) in zip(out[1:], expected_rest):
+        assert got_s == pytest.approx(exp_s, rel=1e-9)
+
+
+def test_boosted_search_default_boost_scales_uniformly(fts):
+    base = _rows(fts.search_bm25(QUERY, k=3))
+    out = _rows(fts.search_bm25_boosted(QUERY, k=3, default_boost=2.0))
+    assert [d for d, _ in out] == [d for d, _ in base]
+    for (_, got_s), (_, base_s) in zip(out, base):
+        assert got_s == pytest.approx(base_s * 2.0, rel=1e-9)
+
+
+def test_boosted_search_hydrates_and_handles_empty(fts):
+    out = fts.search_bm25_boosted(QUERY, k=2, hydrate=True)
+    rows = out.collect()
+    assert len(rows) == 2 and {"url", "url_md5"} <= set(out.columns)
+    assert all(r["url"] for r in rows)
+    assert fts.search_bm25_boosted("zzzznotaterm", k=5).count() == 0

@@ -432,3 +432,29 @@ def test_phrase_verify_falls_back_to_join_over_cap(spark, docs, tmp_path_factory
     a = sorted((r["url"], int(r["phrase_count"])) for r in joined.collect())
     b = sorted((r["url"], int(r["phrase_count"])) for r in pushed.collect())
     assert a == b and a
+
+
+def test_facet_histogram_plan_prunes_blobs_and_docs_columns(spark, small_index):
+    """The histogram facet rides the same doc-blob-only decode as the
+    facet panel, and its docs-table scan reads ONLY (doc_id, doclen) —
+    the bucketing expression must not widen the scan."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    df = fts.facet_histogram("turtle hotel", col="doclen", width=50)
+    assert_plan(df, "ReadSchema: struct<term:string,doc_blob:binary>")
+    assert_plan(df, "ReadSchema: struct<doc_id:bigint,doclen:int>")
+    assert_plan_absent(df, "tf_blob", "dl_blob", "url_md5")
+
+
+def test_boosted_search_docs_scan_reads_key_and_url_only(spark, small_index):
+    """search_bm25_boosted resolves boost urls through the docs table:
+    that scan must read ONLY (doc_id, url) — hydration columns and doclen
+    stay pruned — and the scored side keeps the posting-pruned point
+    lookup (In(term) pushdown)."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    boost = spark.createDataFrame([("u1", 2.0)], "url string, boost double")
+    df = fts.search_bm25_boosted("turtle hotel", k=10, boost=boost)
+    assert_plan(df, "ReadSchema: struct<doc_id:bigint,url:string>")
+    assert_plan(df, "PushedFilters: [In(term")
+    assert_plan_absent(df, "url_md5", "doclen:")
