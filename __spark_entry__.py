@@ -532,6 +532,25 @@ def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.facet_counts(" ".join(Q_TERMS), facet="lang")
 
 
+def _explain_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-explain analog: per-term BM25 contribution rows for the
+    top-10 docs; sum(contrib) per doc equals the fts_index_bm25_wand
+    score."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.explain_bm25(" ".join(Q_TERMS), k=10)
+    docs = fts.docs().select("doc_id", "url")
+    return out.join(docs, "doc_id").select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("contrib"), 4).alias("contrib"),
+    )
+
+
 def _facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram facet (date-histogram analog): distinct matching docs per
     50-token bucket of analyzed doc length, full OR match set."""
@@ -821,6 +840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram facet (date-histogram analog): distinct matching docs
         # per 50-token doclen bucket, same doc-blob-only match set
         "fts_facet_histogram": _facet_histogram,
+        # Lucene-explain analog: per-term BM25 contribution rows for the
+        # top-10 (sum(contrib) per doc == the bm25 row's score)
+        "fts_explain_bm25": _explain_search,
         # query-time document boosting (FunctionScoreQuery analog):
         # bm25 * per-doc prior joined on url, relational accumulate plan
         "fts_boosted_bm25": _boosted_search,
@@ -1164,6 +1186,28 @@ SELECT (dl.doc_len // 50) * 50 AS bucket, count(*)::BIGINT AS n_docs
 FROM matches m JOIN dl ON dl.doc_id = m.doc_id
 GROUP BY 1 ORDER BY bucket
 """
+    # Lucene-explain analog: per-(doc, term) BM25 contribution rows for
+    # the top-10 docs of the same bm25 order
+    explain_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(doc_len) FROM dl) AS avgdl),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+contribs AS (
+  SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, s.df,
+         q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.avgdl)) AS contrib
+  FROM tf JOIN q USING (term) JOIN stats s USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN params p),
+scored AS (SELECT doc_id, sum(contrib) AS raw FROM contribs GROUP BY doc_id),
+top AS (SELECT doc_id FROM scored ORDER BY round(raw, 6) DESC, doc_id LIMIT 10)
+SELECT c.doc_id, c.term, c.tf, c.df, round(c.contrib, 4) AS contrib
+FROM contribs c JOIN top USING (doc_id)
+ORDER BY c.doc_id, c.term
+"""
     # query-time boosting: bm25 * (1 + (doc_id % 5) * 0.25), a
     # deterministic per-doc prior; order/round on the BOOSTED score
     _boost_expr = "(1.0 + (doc_id % 5) * 0.25)"
@@ -1437,6 +1481,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_page2": bm25_page2,
         "fts_facet_counts": facet_sql,
         "fts_facet_histogram": hist_sql,
+        "fts_explain_bm25": explain_sql,
         "fts_boosted_bm25": bm25_boosted,
         "fts_incremental_bm25": bm25,
         "fts_merge_bm25": bm25,

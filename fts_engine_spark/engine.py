@@ -204,6 +204,13 @@ class FtsEngine:
         :meth:`FtsIndex.facet_histogram`)."""
         return self.index.facet_histogram(query, col=col, width=width)
 
+    def explain(self, query: str, k: int | None = None) -> DataFrame:
+        """Lucene ``Explanation`` analog: per-term BM25 contribution rows
+        for the top-k (see :meth:`FtsIndex.explain_bm25`)."""
+        return self.index.explain_bm25(
+            query, self.options.k if k is None else k
+        )
+
     def search_boosted(
         self,
         query: str,

@@ -1261,6 +1261,64 @@ class FtsIndex:
             scored = scored.limit(k)
         return self._maybe_hydrate(scored, hydrate, bounded=k > 0)
 
+    def explain_bm25(
+        self, query: str, k: int = 10, preset: str | None = None
+    ) -> DataFrame:
+        """Lucene ``Explanation`` analog: the per-term BM25 score breakdown
+        for a query's top-k documents. One row per (doc, term) hit —
+        (doc_id, term, tf, df, contrib) with sum(contrib) per doc equal to
+        the doc's :meth:`search_bm25` score — so a relevance engineer can
+        see WHY a document ranked where it did (which term carried it,
+        idf vs tf-saturation).
+
+        Plan: the same decoded-postings join the relational scorer uses,
+        kept at per-term granularity; the top-k doc set (one aggregate +
+        TakeOrdered — exactly search_bm25's plan) gates the per-term rows
+        via a broadcast semi-join. Two passes over the QUERY TERMS'
+        postings, never over the corpus; ``k <= 0`` explains every
+        matching document (one pass, no gate).
+        """
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self.spark.range(0).select(
+                F.col("id").alias("doc_id"),
+                F.col("id").cast("string").alias("term"),
+                F.col("id").alias("tf"),
+                F.col("id").alias("df"),
+                F.col("id").cast("double").alias("contrib"),
+            )
+        avgdl = self.avgdl
+        tf = F.col("tf").cast("double")
+        norm = F.lit(K1) * (
+            F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        rows = (
+            self.decoded_postings(list(mult), mult)
+            .join(F.broadcast(self._mult_df(mult)), "term")
+            .join(F.broadcast(self._query_stats(mult)), "term")
+            .withColumn("idf", self._idf_col())
+            .withColumn(
+                "contrib",
+                F.col("mult") * F.col("idf") * tf * F.lit(K1 + 1.0) / (tf + norm),
+            )
+        )
+        rows = self._exclude_dead(rows)
+        if k > 0:
+            top = (
+                self._bm25_scored(mult)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .select("doc_id")
+            )
+            rows = rows.join(F.broadcast(top), "doc_id", "left_semi")
+        return rows.select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("contrib").cast("double").alias("contrib"),
+        ).orderBy("doc_id", "term")
+
     # ---- dictionary-expanded queries (prefix / fuzzy) -------------------
 
     def expand_terms(
