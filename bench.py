@@ -701,6 +701,69 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_facets_ms"] = facets_ms
 
+    # histogram facet (date-histogram analog over doclen buckets)
+    fts.facet_histogram(pg_q, col="doclen", width=50).collect()  # warm-up
+
+    def _histogram_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                fts.facet_histogram(qd["query"], col="doclen", width=50).collect()
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    histogram_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_histogram",
+        STEAL_SERVE_TICKS, _histogram_once,
+    )
+    timings["query_histogram_ms"] = histogram_ms
+
+    # query-time document boosting: a corpus-sized (url, boost) prior —
+    # the realistic cost shape (scores-all-matches + distributed boost join)
+    boost_df = docs.select(
+        "url",
+        (
+            F.lit(1.0) + (F.crc32(F.col("url")) % 5).cast("double") * F.lit(0.25)
+        ).alias("boost"),
+    )
+    fts.search_bm25_boosted(pg_q, k=10, boost=boost_df).collect()  # warm-up
+
+    def _boosted_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                fts.search_bm25_boosted(
+                    qd["query"], k=10, boost=boost_df
+                ).collect()
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    boosted_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_boosted",
+        STEAL_SERVE_TICKS, _boosted_once,
+    )
+    timings["query_boosted_ms"] = boosted_ms
+
+    # score explain: per-term contribution rows for the top-10
+    fts.explain_bm25(pg_q, k=10).collect()  # warm-up
+
+    def _explain_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                fts.explain_bm25(qd["query"], k=10).collect()
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    explain_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_explain",
+        STEAL_SERVE_TICKS, _explain_once,
+    )
+    timings["query_explain_ms"] = explain_ms
+
     # snippets: search + a k-row highlighted-fragment pass whose docs
     # scan is In()-pushed to the hit rows (two bounded jobs)
     from fts_engine_spark.operators.snippets import search_with_snippets
