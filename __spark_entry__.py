@@ -42,6 +42,7 @@ Q_DUP = ["value", "value"]
 # distance-1 typos of real terms (querry->query, valu->value)
 PREFIX_QUERY = "data s*"
 FUZZY_QUERY = "querry valu"
+WILDCARD_QUERY = "t*le va?ue data"
 EXPAND_MAX = 64
 # boolean NOT row: both exclusion terms overlap ~80% of the Q_TERMS match
 # set at every sf, so the exclusion genuinely reshapes the top-k
@@ -561,6 +562,17 @@ def _facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.facet_histogram(" ".join(Q_TERMS), col="doclen", width=50)
 
 
+def _facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats facet (Elasticsearch ``stats`` aggregation analog): one row of
+    count/min/max/avg/sum of analyzed doc length over the full OR match
+    set — doc-blob-only decode, single matches⋈docs shuffle."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    return fts.facet_stats(" ".join(Q_TERMS), col="doclen")
+
+
 def _boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time document boosting: bm25 * (1 + (doc_id % 5) * 0.25) — a
     deterministic stand-in for a recency/quality prior, joined on url so
@@ -664,6 +676,10 @@ def _expanded_search(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     if kind == "prefix":
         out = fts.search_bm25_prefix(
             PREFIX_QUERY, k=10, hydrate=True, max_expand=EXPAND_MAX
+        )
+    elif kind == "wildcard":
+        out = fts.search_bm25_wildcard(
+            WILDCARD_QUERY, k=10, hydrate=True, max_expand=EXPAND_MAX
         )
     else:
         out = fts.search_bm25_fuzzy(
@@ -840,6 +856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram facet (date-histogram analog): distinct matching docs
         # per 50-token doclen bucket, same doc-blob-only match set
         "fts_facet_histogram": _facet_histogram,
+        # stats facet (Elasticsearch stats-agg analog): one
+        # count/min/max/avg/sum row of doclen over the full match set
+        "fts_facet_stats": _facet_stats,
         # Lucene-explain analog: per-term BM25 contribution rows for the
         # top-10 (sum(contrib) per doc == the bm25 row's score)
         "fts_explain_bm25": _explain_search,
@@ -870,6 +889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the index's terms table and scored through the WAND kernel
         "fts_prefix_bm25": lambda s, d: _expanded_search(s, d, "prefix"),
         "fts_fuzzy_bm25": lambda s, d: _expanded_search(s, d, "fuzzy"),
+        # Lucene WildcardQuery analog: mid-string */? patterns, SQL LIKE
+        # semantics against the terms table (leading-* = full dict scan)
+        "fts_wildcard_bm25": lambda s, d: _expanded_search(s, d, "wildcard"),
         # k<=0 = the reference's "return all" (engine.go:136-149 truncates
         # only when k>0): EVERY matching doc scored through the WAND
         # kernel with pruning disabled — oracle is the same BM25 SQL
@@ -1186,6 +1208,19 @@ SELECT (dl.doc_len // 50) * 50 AS bucket, count(*)::BIGINT AS n_docs
 FROM matches m JOIN dl ON dl.doc_id = m.doc_id
 GROUP BY 1 ORDER BY bucket
 """
+    # stats facet: count/min/max/avg/sum of analyzed doc length over the
+    # distinct match set (one row; avg rounded for float stability)
+    stats_facet_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+matches AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term))
+SELECT count(*)::BIGINT AS n_docs, min(dl.doc_len)::BIGINT AS min_v,
+       max(dl.doc_len)::BIGINT AS max_v, round(avg(dl.doc_len), 4) AS avg_v,
+       sum(dl.doc_len)::BIGINT AS sum_v
+FROM matches m JOIN dl ON dl.doc_id = m.doc_id
+"""
     # Lucene-explain analog: per-(doc, term) BM25 contribution rows for
     # the top-10 docs of the same bm25 order
     explain_sql = f"""
@@ -1386,9 +1421,24 @@ WHERE rn = 1 ORDER BY token
         f"ORDER BY df DESC, term LIMIT {EXPAND_MAX})), "
         "q AS (SELECT term, sum(mult)::INT AS mult FROM expq GROUP BY term)"
     )
+    # wildcard rewrite: mid-string * / single-char ? patterns, SQL LIKE
+    # semantics — the engine's LIKE translation is exactly DuckDB's LIKE
+    wildcard_q = (
+        "expq AS ("
+        "SELECT term, 1 AS mult FROM (SELECT term FROM stats "
+        "WHERE term LIKE 't%le' "
+        f"ORDER BY df DESC, term LIMIT {EXPAND_MAX}) "
+        "UNION ALL "
+        "SELECT term, 1 FROM (SELECT term FROM stats "
+        "WHERE term LIKE 'va_ue' "
+        f"ORDER BY df DESC, term LIMIT {EXPAND_MAX}) "
+        "UNION ALL SELECT 'data', 1), "
+        "q AS (SELECT term, sum(mult)::INT AS mult FROM expq GROUP BY term)"
+    )
     bm25_prefix = bm25.replace(_q_lit, prefix_q)
     bm25_fuzzy = bm25.replace(_q_lit, fuzzy_q)
-    assert bm25_prefix != bm25 and bm25_fuzzy != bm25
+    bm25_wildcard = bm25.replace(_q_lit, wildcard_q)
+    assert bm25_prefix != bm25 and bm25_fuzzy != bm25 and bm25_wildcard != bm25
     # phrase: contiguous occurrence count over the filtered token LIST
     # (1-based DuckDB list indexing; same tokenization + stoplist as _TOKS)
     _ppred = " AND ".join(
@@ -1474,6 +1524,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_suggest": suggest_sql,
         "fts_prefix_bm25": bm25_prefix,
         "fts_fuzzy_bm25": bm25_fuzzy,
+        "fts_wildcard_bm25": bm25_wildcard,
         "fts_phrase_scan": phrase_sql,
         "fts_phrase_search": phrase_sql,
         "fts_phrase_positional": phrase_sql,
@@ -1481,6 +1532,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_page2": bm25_page2,
         "fts_facet_counts": facet_sql,
         "fts_facet_histogram": hist_sql,
+        "fts_facet_stats": stats_facet_sql,
         "fts_explain_bm25": explain_sql,
         "fts_boosted_bm25": bm25_boosted,
         "fts_incremental_bm25": bm25,

@@ -562,6 +562,7 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     # verify over only those docs).
     prefix_qs = ["sci*", "sch* hotel", "stu*"]
     fuzzy_qs = ["querry", "hotl", "scince"]
+    wildcard_qs = ["sc?en*", "h*el", "*tion"]
     for q in prefix_qs:
         want = [
             (int(r["doc_id"]), float(r["score"]))
@@ -576,9 +577,16 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
         ]
         if fts.search_bm25_point_fuzzy(q, k=10) != want:
             raise RuntimeError(f"point fuzzy parity failure on {q!r}")
+    for q in wildcard_qs:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts.search_bm25_wildcard(q, k=10).collect()
+        ]
+        if fts.search_bm25_point_wildcard(q, k=10) != want:
+            raise RuntimeError(f"point wildcard parity failure on {q!r}")
 
     def _rewrites_once():
-        pre, fuz = [], []
+        pre, fuz, wld = [], [], []
         for _ in range(3):
             for q in prefix_qs:
                 t0 = time.monotonic()
@@ -588,17 +596,23 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
                 t0 = time.monotonic()
                 fts.search_bm25_point_fuzzy(q, k=10)
                 fuz.append((time.monotonic() - t0) * 1000)
+            for q in wildcard_qs:
+                t0 = time.monotonic()
+                fts.search_bm25_point_wildcard(q, k=10)
+                wld.append((time.monotonic() - t0) * 1000)
         return (
             round(statistics.median(pre), 2),
             round(statistics.median(fuz), 2),
+            round(statistics.median(wld), 2),
         )
 
-    (pre_p50, fuz_p50), _ = gated_phase(
+    (pre_p50, fuz_p50, wld_p50), _ = gated_phase(
         meter, contaminated, steal_log, "query_point_rewrites",
         STEAL_SERVE_TICKS, _rewrites_once,
     )
     timings["query_point_prefix_p50_ms"] = pre_p50
     timings["query_point_fuzzy_p50_ms"] = fuz_p50
+    timings["query_point_wildcard_p50_ms"] = wld_p50
 
     # ---- 3d2b. boolean query strings (+MUST groups, NOT, patterns in
     # one parsed surface) on both tiers — point-vs-distributed parity
@@ -718,6 +732,25 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
         STEAL_SERVE_TICKS, _histogram_once,
     )
     timings["query_histogram_ms"] = histogram_ms
+
+    # stats facet (count/min/max/avg/sum over the full match set) — same
+    # doc-blob-only match plan as the other facets, O(1) result
+    fts.facet_stats(pg_q, col="doclen").collect()  # warm-up
+
+    def _facet_stats_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                fts.facet_stats(qd["query"], col="doclen").collect()
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    facet_stats_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_facet_stats",
+        STEAL_SERVE_TICKS, _facet_stats_once,
+    )
+    timings["query_facet_stats_ms"] = facet_stats_ms
 
     # query-time document boosting: a corpus-sized (url, boost) prior —
     # the realistic cost shape (scores-all-matches + distributed boost join)

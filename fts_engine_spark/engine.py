@@ -204,6 +204,12 @@ class FtsEngine:
         :meth:`FtsIndex.facet_histogram`)."""
         return self.index.facet_histogram(query, col=col, width=width)
 
+    def facet_stats(self, query: str, col: str = "doclen") -> DataFrame:
+        """Stats facet (Elasticsearch ``stats`` aggregation analog):
+        count/min/max/avg/sum of a numeric docs column over the full
+        match set (see :meth:`FtsIndex.facet_stats`)."""
+        return self.index.facet_stats(query, col=col)
+
     def explain(self, query: str, k: int | None = None) -> DataFrame:
         """Lucene ``Explanation`` analog: per-term BM25 contribution rows
         for the top-k (see :meth:`FtsIndex.explain_bm25`)."""
@@ -343,6 +349,20 @@ class FtsEngine:
         Lucene-style multi-term rewrite) — extension beyond the
         reference's exact-term search."""
         return self.index.search_bm25_prefix(
+            query,
+            self.options.k if k is None else k,
+            mode=self.options.mode,
+            hydrate=True,
+            max_expand=max_expand,
+        )
+
+    def search_wildcard(
+        self, query: str, k: int | None = None, max_expand: int = 64
+    ) -> DataFrame:
+        """BM25 with Lucene-style wildcard patterns (``*``/``?``,
+        mid-string and leading positions) — dictionary-expanded multi-term
+        rewrite, extension beyond the reference's exact-term search."""
+        return self.index.search_bm25_wildcard(
             query,
             self.options.k if k is None else k,
             mode=self.options.mode,

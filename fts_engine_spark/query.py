@@ -28,6 +28,7 @@ import heapq
 import json
 import math
 import os
+import re
 import threading
 import time
 from collections import OrderedDict
@@ -111,6 +112,50 @@ def _levenshtein_leq(a: str, b: str, max_dist: int) -> bool:
             return False
         prev = cur
     return prev[lb] <= max_dist
+
+
+def _wildcard_to_like(pattern: str) -> str:
+    """Translate a Lucene-style wildcard pattern (``*`` = any run, ``?`` =
+    any single char) into a SQL LIKE pattern with ``\\`` escaping. Spark's
+    ``Column.like`` and DuckDB's ``LIKE`` share these semantics exactly,
+    which is what makes the wildcard rewrite SQL-oracle-reproducible."""
+    out: list[str] = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _wildcard_regex(pattern: str) -> "re.Pattern[str]":
+    """Compiled full-match regex with the SAME semantics as
+    :func:`_wildcard_to_like` — the point tier must accept exactly the
+    dictionary terms the distributed LIKE predicate accepts."""
+    parts: list[str] = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return re.compile("".join(parts) + r"\Z", re.DOTALL)
+
+
+def _wildcard_literal_prefix(pattern: str) -> str:
+    """The literal run before the first wildcard metacharacter — used to
+    push a ``StartsWith`` conjunct into the parquet terms scan (LIKE with
+    a leading literal prunes row groups; a bare LIKE does not) and to
+    bound the point tier's bisect range."""
+    for i, ch in enumerate(pattern):
+        if ch in ("*", "?"):
+            return pattern[:i]
+    return pattern
 
 
 def normalize_query(query: str, preset: str) -> list[str]:
@@ -945,6 +990,49 @@ class FtsIndex:
             .orderBy(F.asc("bucket"))
         )
 
+    def facet_stats(
+        self, query: str, col: str = "doclen", preset: str | None = None
+    ) -> DataFrame:
+        """Stats facet (Elasticsearch ``stats`` aggregation analog): one
+        row of count / min / max / avg / sum of a numeric docs-table
+        column over the FULL match set (OR semantics, same normalization
+        as :meth:`search_bm25`).
+
+        Same plan shape as :meth:`facet_counts` — doc-blob-ONLY decode
+        for the match set (tf/dl bytes never read), tombstones
+        anti-joined, one matches⋈docs shuffle, and the aggregate
+        collapses map-side to a single row per partition before the final
+        exchange, so the result is O(1) regardless of corpus size.
+
+        Returns (n_docs, min_v, max_v, avg_v, sum_v); avg rounded to 4
+        decimals for cross-engine float stability.
+        """
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self.spark.range(0).select(
+                F.col("id").alias("n_docs"),
+                F.col("id").alias("min_v"),
+                F.col("id").alias("max_v"),
+                F.col("id").cast("double").alias("avg_v"),
+                F.col("id").alias("sum_v"),
+            )
+        matches = self._match_count_df(mult)
+        docs = self.docs().select("doc_id", col)
+        return (
+            matches.join(docs, "doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.min(col).cast("long").alias("min_v"),
+                F.max(col).cast("long").alias("max_v"),
+                F.round(F.avg(col), 4).alias("avg_v"),
+                F.sum(col).cast("long").alias("sum_v"),
+            )
+            # a global agg yields one all-null row on an empty match set;
+            # drop it so "no matches" reads as zero rows, like the other
+            # facet surfaces
+            .where(F.col("n_docs") > 0)
+        )
+
     # ---- searches ------------------------------------------------------
     def search_reference(
         self, query: str, k: int = 10, preset: str | None = None, hydrate: bool = False
@@ -1333,6 +1421,11 @@ class FtsIndex:
         ``kind='prefix'``: every dictionary term starting with ``pattern``.
         ``kind='fuzzy'``: every dictionary term within levenshtein distance
         ``max_dist`` of ``pattern`` (the term itself included when present).
+        ``kind='wildcard'``: every dictionary term matching a Lucene-style
+        wildcard pattern (``*`` = any run, ``?`` = one char) — SQL
+        ``LIKE`` semantics, so mid-string and leading wildcards work; a
+        literal prefix (when present) is pushed as a ``StartsWith``
+        conjunct so the terms scan still prunes row groups.
 
         Returns at most ``max_expand`` terms, preferring highest document
         frequency (Lucene's rewrite preference — common terms first), ties
@@ -1360,6 +1453,11 @@ class FtsIndex:
             cond = band & (
                 F.levenshtein(F.col("term"), F.lit(pattern)) <= max_dist
             )
+        elif kind == "wildcard":
+            cond = F.col("term").like(_wildcard_to_like(pattern))
+            lit = _wildcard_literal_prefix(pattern)
+            if lit:
+                cond = F.col("term").startswith(lit) & cond
         else:
             raise ValueError(f"unknown expansion kind {kind!r}")
         rows = (
@@ -1414,6 +1512,65 @@ class FtsIndex:
             ).items():
                 mult[t] = mult.get(t, 0) + m
         return mult
+
+    def _wildcard_mult(
+        self, query: str, preset: str, max_expand: int, point: bool = False
+    ) -> dict[str, int]:
+        """Shared wildcard-rewrite term selection (one copy — the point
+        tier mirrors the distributed rewrite exactly): tokens containing
+        ``*`` or ``?`` lowercase (Go-lower; the pattern addresses the
+        post-pipeline dictionary, never stemmed) and expand with
+        ``kind='wildcard'``; everything else normalizes like
+        :meth:`search_bm25`."""
+        mult: dict[str, int] = {}
+        exact_parts: list[str] = []
+        for tok in query.split():
+            if len(tok) > 1 and ("*" in tok or "?" in tok):
+                pat = go_lower(tok)
+                expanded = (
+                    self._point_expand(pat, "wildcard", 0, max_expand)
+                    if point
+                    else self.expand_terms(pat, "wildcard", max_expand=max_expand)
+                )
+                for t in expanded:
+                    mult[t] = mult.get(t, 0) + 1
+            else:
+                exact_parts.append(tok)
+        if exact_parts:
+            for t, m in self._query_mult(
+                " ".join(exact_parts), preset
+            ).items():
+                mult[t] = mult.get(t, 0) + m
+        return mult
+
+    def search_bm25_wildcard(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        mode: str = "wand",
+        hydrate: bool = False,
+        max_expand: int = 64,
+    ) -> DataFrame:
+        """BM25 with Lucene-style wildcard patterns (``*`` any run, ``?``
+        one char, mid-string and leading positions included) — the
+        WildcardQuery analog of :meth:`search_bm25_prefix`, an extension
+        over the reference's exact-term search (``engine.go:82-158``).
+
+        Tokens containing a wildcard metacharacter expand against the
+        term dictionary with SQL ``LIKE`` semantics (df desc, term asc,
+        LIMIT ``max_expand`` — deterministic, SQL-reproducible); other
+        tokens normalize exactly like :meth:`search_bm25`. The union
+        OR-accumulates, each expanded term scored with its own idf.
+        Leading-wildcard patterns cannot prune the terms scan (the known
+        Lucene caveat — a full dictionary pass, still one bounded lookup
+        job); patterns with a literal prefix prune like prefix queries.
+        """
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        mult = self._wildcard_mult(query, preset, max_expand)
+        return self._expanded_search(mult, k, mode, hydrate)
 
     def search_bm25_prefix(
         self,
@@ -2342,6 +2499,25 @@ class FtsIndex:
                 for t in self._len_buckets.get(ln, ())
                 if _levenshtein_leq(t, pattern, max_dist)
             ]
+        elif kind == "wildcard":
+            # bisect the literal-prefix range when one exists (same prune
+            # the distributed StartsWith conjunct gives the parquet scan);
+            # a leading wildcard degrades to a full dictionary regex scan
+            rx = _wildcard_regex(pattern)
+            lit = _wildcard_literal_prefix(pattern)
+            if lit:
+                lo = bisect.bisect_left(self._sorted_terms, lit)
+                hi = (
+                    bisect.bisect_left(
+                        self._sorted_terms, lit[:-1] + chr(ord(lit[-1]) + 1)
+                    )
+                    if lit[-1] != "\U0010ffff"
+                    else len(self._sorted_terms)
+                )
+                pool = self._sorted_terms[lo:hi]
+            else:
+                pool = self._sorted_terms
+            cands = [t for t in pool if rx.match(t)]
         else:
             raise ValueError(f"unknown expansion kind {kind!r}")
         cands.sort(key=lambda t: (-self._term_dict[t][0], t))
@@ -2372,6 +2548,36 @@ class FtsIndex:
             mult,
             k,
             lambda: self.search_bm25_prefix(
+                query, k=k, preset=preset, max_expand=max_expand
+            ),
+        )
+
+    def search_bm25_point_wildcard(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        max_expand: int = 64,
+    ) -> list[tuple[int, float]]:
+        """:meth:`search_bm25_wildcard` on the point tier: the wildcard
+        regex scans the driver dictionary (literal-prefix bisect bound
+        when the pattern has one), the sweep runs in-process; results are
+        exactly the distributed rewrite's."""
+        if self._point_cache is None or self._term_dict is None:
+            return [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self.search_bm25_wildcard(
+                    query, k=k, preset=preset, max_expand=max_expand
+                ).collect()
+            ]
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        mult = self._wildcard_mult(query, preset, max_expand, point=True)
+        return self._point_mult_search(
+            mult,
+            k,
+            lambda: self.search_bm25_wildcard(
                 query, k=k, preset=preset, max_expand=max_expand
             ),
         )

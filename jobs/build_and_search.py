@@ -45,6 +45,13 @@ def main() -> None:
     ap.add_argument("--phrase", action="append", default=[],
                     help="positional phrase query (repeatable; analyzed-"
                          "token-space contiguous match)")
+    ap.add_argument("--wildcard", action="append", default=[],
+                    help="wildcard query: tokens may contain * (any run) "
+                         "and ? (one char), mid-string/leading included "
+                         "(repeatable)")
+    ap.add_argument("--facet-stats", default=None, metavar="QUERY",
+                    help="print count/min/max/avg/sum of doclen over the "
+                         "full match set of QUERY")
     ap.add_argument("--synonyms", default=None,
                     help='JSON map of query-time synonym groups, e.g. '
                          '\'{"fast": ["quick"]}\' — each --query then '
@@ -129,6 +136,28 @@ def main() -> None:
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({
             "phrase": p,
+            "ms": round(ms, 1),
+            "results": [r.asDict() for r in rows],
+        }, default=str))
+
+    for q in args.wildcard:
+        t0 = time.monotonic()
+        rows = engine.search_wildcard(q, k=args.k).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "wildcard": q,
+            "ms": round(ms, 1),
+            "results": [
+                {k: r[k] for k in r.asDict() if k != "html"} for r in rows
+            ],
+        }, default=str))
+
+    if args.facet_stats:
+        t0 = time.monotonic()
+        rows = engine.facet_stats(args.facet_stats).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "facet_stats": args.facet_stats,
             "ms": round(ms, 1),
             "results": [r.asDict() for r in rows],
         }, default=str))

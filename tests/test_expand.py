@@ -119,10 +119,78 @@ def test_fuzzy_search_finds_typo_docs(index):
     assert fuzzy == exact and fuzzy
 
 
+def test_wildcard_expansion_semantics(index):
+    """expand_terms(kind='wildcard') == a regex-filtered dictionary scan:
+    mid-string *, single-char ?, and leading * (no prunable prefix) all
+    honor SQL LIKE semantics."""
+    import re
+
+    all_terms = {
+        r["term"] for r in index._read_terms().select("term").collect()
+    }
+    for pattern in ["s*e", "t?ble", "*ta", "s*", "?????"]:
+        rx = re.compile(
+            "".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in pattern
+            )
+            + r"\Z"
+        )
+        got = index.expand_terms(pattern, "wildcard", max_expand=100000)
+        assert set(got) == {t for t in all_terms if rx.match(t)}, pattern
+
+
+def test_wildcard_generalizes_prefix(index):
+    """A trailing-* wildcard expands to exactly the prefix expansion (same
+    df-desc/term-asc preference), so the two rewrites can never drift."""
+    assert index.expand_terms("s*", "wildcard", max_expand=1000) == (
+        index.expand_terms("s", "prefix", max_expand=1000)
+    )
+    assert index.expand_terms("s*", "wildcard", max_expand=3) == (
+        index.expand_terms("s", "prefix", max_expand=3)
+    )
+
+
+def test_wildcard_search_equals_manual_expansion(index):
+    """search_bm25_wildcard == _bm25_wand over the hand-built union mult,
+    and both modes agree."""
+    mult = {t: 1 for t in index.expand_terms("s*e", "wildcard")}
+    for t, m in index._query_mult("data").items():
+        mult[t] = mult.get(t, 0) + m
+    manual = sorted(
+        (r["doc_id"], round(r["score"], 6))
+        for r in index._bm25_wand(mult, 0, hydrate=False).collect()
+    )
+    for mode in ("wand", "relational"):
+        got = sorted(
+            (r["doc_id"], round(r["score"], 6))
+            for r in index.search_bm25_wildcard(
+                "data s*e", k=0, mode=mode
+            ).collect()
+        )
+        assert got == manual, mode
+    assert manual
+
+
+def test_wildcard_to_like_escaping():
+    from fts_engine_spark.query import (
+        _wildcard_literal_prefix,
+        _wildcard_to_like,
+    )
+
+    assert _wildcard_to_like("t*le") == "t%le"
+    assert _wildcard_to_like("va?ue") == "va_ue"
+    assert _wildcard_to_like("a%b_c\\d") == "a\\%b\\_c\\\\d"
+    assert _wildcard_literal_prefix("abc*def") == "abc"
+    assert _wildcard_literal_prefix("?x") == ""
+    assert _wildcard_literal_prefix("plain") == "plain"
+
+
 def test_no_match_patterns_empty(index):
     assert index.search_bm25_prefix("zzzz*", k=5).collect() == []
     assert index.search_bm25_fuzzy("zzzzzzzz", k=5).collect() == []
     assert index.search_bm25_prefix("", k=5).collect() == []
+    assert index.search_bm25_wildcard("zz*zz", k=5).collect() == []
 
 
 def test_bare_star_is_not_a_pattern(index):

@@ -153,6 +153,29 @@ def test_facet_histogram_validation_and_empty_query(fts):
     assert fts.facet_histogram("zzzznotaterm").count() == 0
 
 
+def test_facet_stats_matches_ground_truth(fts):
+    """Stats facet: the single count/min/max/avg/sum row equals a
+    hand-built aggregate over the full OR match set's doclen values."""
+    hits = [int(r["doc_id"]) for r in fts.search_bm25(QUERY, k=0).collect()]
+    dl = {
+        int(r["doc_id"]): int(r["doclen"])
+        for r in fts.docs().select("doc_id", "doclen").collect()
+    }
+    vals = [dl[d] for d in hits]
+    row = fts.facet_stats(QUERY, col="doclen").collect()[0]
+    assert int(row["n_docs"]) == len(vals) > 0
+    assert int(row["min_v"]) == min(vals)
+    assert int(row["max_v"]) == max(vals)
+    assert float(row["avg_v"]) == pytest.approx(
+        round(sum(vals) / len(vals), 4), abs=1e-9
+    )
+    assert int(row["sum_v"]) == sum(vals)
+
+
+def test_facet_stats_empty_query(fts):
+    assert fts.facet_stats("zzzznotaterm").count() == 0
+
+
 def test_boosted_search_applies_prior_and_default(fts):
     """bm25 * boost(url): a boosted low-ranked doc rises to the top with
     exactly base*boost; docs absent from the boost table keep base order

@@ -223,6 +223,19 @@ def test_point_prefix_matches_distributed(spark, point_fts):
         assert got == want, q
 
 
+def test_point_wildcard_matches_distributed(spark, point_fts):
+    """Point-tier wildcard rewrite == distributed search_bm25_wildcard:
+    mid-string *, single-char ?, leading * (full dictionary scan), and a
+    mixed exact+pattern query."""
+    for q in ["t*le", "va?ue", "*ta", "data t*le", "s?st*"]:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in point_fts.search_bm25_wildcard(q, k=10).collect()
+        ]
+        got = point_fts.search_bm25_point_wildcard(q, k=10)
+        assert got == want, q
+
+
 def test_point_fuzzy_matches_distributed(spark, point_fts):
     for q, d in [("querry", 1), ("valu", 1), ("tabel", 2)]:
         want = [
@@ -236,7 +249,12 @@ def test_point_fuzzy_matches_distributed(spark, point_fts):
 def test_point_expand_equals_distributed_expand(point_fts):
     """The driver-side expansion structures reproduce expand_terms exactly,
     including the max_expand truncation order."""
-    for pattern, kind, dist in [("s", "prefix", 0), ("quer", "fuzzy", 1)]:
+    for pattern, kind, dist in [
+        ("s", "prefix", 0),
+        ("quer", "fuzzy", 1),
+        ("t*le", "wildcard", 0),
+        ("*alu?", "wildcard", 0),
+    ]:
         for cap in (3, 1000):
             assert point_fts._point_expand(pattern, kind, dist, cap) == (
                 point_fts.expand_terms(

@@ -49,6 +49,8 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
             "--index", index_dir,
             "--query", "turtle hotel",
             "--phrase", "french hotel",
+            "--wildcard", "h?tel t*le",
+            "--facet-stats", "turtle hotel",
             "--boolean", "+french +(hotel OR castle) turtle",
             "--suggest", "hotl frnch",
             "--synonyms", '{"turtle": ["castle"]}',
@@ -77,9 +79,15 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
     assert phr["phrase"] == "french hotel"
     assert phr["results"], "phrase must match docs in the synthetic corpus"
     assert all(r["phrase_count"] >= 1 for r in phr["results"])
-    boo = json.loads(lines[3])
+    wc = json.loads(lines[3])
+    assert wc["wildcard"] == "h?tel t*le" and wc["results"]
+    fs = json.loads(lines[4])
+    assert fs["facet_stats"] == "turtle hotel"
+    (fs_row,) = fs["results"]
+    assert fs_row["n_docs"] > 0 and fs_row["min_v"] <= fs_row["max_v"]
+    boo = json.loads(lines[5])
     assert boo["boolean"].startswith("+french") and boo["results"]
-    sug = json.loads(lines[4])
+    sug = json.loads(lines[6])
     assert sug["suggest"] == "hotl frnch"
     assert {r["suggestion"] for r in sug["results"]} & {"hotel", "french"}
     assert os.path.exists(os.path.join(index_dir, "meta.json"))
