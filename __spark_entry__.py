@@ -413,6 +413,27 @@ def _index_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITHIN_MOD = 3  # restriction filter: only docs with source doc_id % 3 == 0
 
 
+def _search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (Elasticsearch ``search_after``): page 1's last
+    (score, doc_id) becomes the cursor; the second page is the top-10
+    strictly after it in the (round6(score) desc, doc_id asc) serving
+    order. Unlike ``offset``, deep pages cost page-1 work — the oracle
+    computes the same cursor via a rank-10 subquery."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    page1 = fts.search_bm25(" ".join(Q_TERMS), k=10, mode="wand").collect()
+    cur = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    out = fts.search_bm25(
+        " ".join(Q_TERMS), k=10, mode="wand", after=cur, hydrate=True
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _index_search(
     spark: SparkSession,
     sf_dir: str,
@@ -839,6 +860,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_index_bm25_page2": lambda s, d: _index_search(
             s, d, "wand", k=10, offset=10
         ),
+        # cursor pagination (search_after): page 2 via the page-1
+        # boundary cursor — deep paging whose cost does not grow with
+        # page number (the kernel admits only post-cursor docs)
+        "fts_search_after_bm25": _search_after,
         # boolean query string: +MUST groups (bitmask coverage in the
         # kernel) + NOT in one parsed surface (queryparse.py)
         "fts_boolean_bm25": _bool_search,
@@ -1184,6 +1209,19 @@ SELECT doc_id, round(raw, 4) AS score FROM scored
 ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
 """
     bm25_all = bm25.replace(" LIMIT 10", "")
+    # cursor pagination: the cursor is rank 10's (round6 score, doc_id);
+    # the page is everything strictly after it in serving order — the
+    # same rows as OFFSET 10, produced through the cursor mechanism
+    bm25_after = bm25.replace(
+        "SELECT doc_id, round(raw, 4) AS score FROM scored\n"
+        "ORDER BY round(raw, 6) DESC, doc_id LIMIT 10",
+        "SELECT doc_id, round(raw, 4) AS score FROM scored CROSS JOIN (\n"
+        "  SELECT round(raw, 6) AS cs, doc_id AS cd FROM scored\n"
+        "  ORDER BY round(raw, 6) DESC, doc_id LIMIT 1 OFFSET 9) cur\n"
+        "WHERE round(raw, 6) < cs OR (round(raw, 6) = cs AND doc_id > cd)\n"
+        "ORDER BY round(raw, 6) DESC, doc_id LIMIT 10",
+    )
+    assert bm25_after != bm25
     # pagination: page 2 = ranks 11-20 of the same deterministic order
     bm25_page2 = bm25.replace(" LIMIT 10", " LIMIT 10 OFFSET 10")
     # facet panel: distinct matching docs (OR semantics) per lang
@@ -1530,6 +1568,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_phrase_positional": phrase_sql,
         "fts_index_bm25_all": bm25_all,
         "fts_index_bm25_page2": bm25_page2,
+        "fts_search_after_bm25": bm25_after,
         "fts_facet_counts": facet_sql,
         "fts_facet_histogram": hist_sql,
         "fts_facet_stats": stats_facet_sql,

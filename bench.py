@@ -698,6 +698,45 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     timings["query_page2_ms"] = page2_ms
     timings["query_point_page2_ms"] = point_page2_ms
 
+    # cursor pagination (search_after): the scale-correct deep-paging
+    # mode — page 2 via the page-1 boundary cursor must equal the offset
+    # page exactly (asserted before timing, distributed AND point tier)
+    cur = (p1[-1][1], p1[-1][0])
+    pc = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fts.search_bm25(pg_q, k=10, after=cur, mode="wand").collect()
+    ]
+    if pc != p2:
+        raise RuntimeError(f"cursor/offset page mismatch on {pg_q!r}")
+    if fts.search_bm25_point(pg_q, k=10, after=cur) != p2:
+        raise RuntimeError(f"point-tier cursor parity failure on {pg_q!r}")
+
+    def _cursor_once():
+        dist, pnt = [], []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                head = fts.search_bm25_point(qd["query"], k=10)
+                c = (head[-1][1], head[-1][0]) if head else (0.0, -1)
+                t0 = time.monotonic()
+                fts.search_bm25(
+                    qd["query"], k=10, after=c, mode="wand"
+                ).collect()
+                dist.append((time.monotonic() - t0) * 1000)
+                t0 = time.monotonic()
+                fts.search_bm25_point(qd["query"], k=10, after=c)
+                pnt.append((time.monotonic() - t0) * 1000)
+        return (
+            round(statistics.median(dist), 1),
+            round(statistics.median(pnt), 2),
+        )
+
+    (cursor_ms, point_cursor_ms), _ = gated_phase(
+        meter, contaminated, steal_log, "query_cursor",
+        STEAL_SERVE_TICKS, _cursor_once,
+    )
+    timings["query_cursor_ms"] = cursor_ms
+    timings["query_point_cursor_ms"] = point_cursor_ms
+
     fts.facet_counts(pg_q, facet="lang").collect()  # warm-up
 
     def _facets_once():

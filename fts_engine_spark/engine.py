@@ -167,27 +167,32 @@ class FtsEngine:
         within=None,
         min_match: int | None = None,
         offset: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """``conjunctive`` (AND), ``exclude`` (NOT), ``within``
         (restriction filter: url list/DataFrame, the ``site:``/sub-corpus
-        search), ``min_match`` (minimum-should-match) and ``offset``
-        (pagination) extend the reference's OR-accumulate; bm25 scorer
-        only (the reference scorer keeps its exact ``engine.go:82-158``
-        surface)."""
+        search), ``min_match`` (minimum-should-match), ``offset``
+        (pagination) and ``after`` (cursor pagination — the previous
+        page's last (score, doc_id); deep pages cost page-1 work) extend
+        the reference's OR-accumulate; bm25 scorer only (the reference
+        scorer keeps its exact ``engine.go:82-158`` surface)."""
         k = self.options.k if k is None else k
         scorer = scorer or self.options.scorer
         if scorer == "reference":
-            if conjunctive or exclude or within is not None or min_match or offset:
+            if (
+                conjunctive or exclude or within is not None or min_match
+                or offset or after is not None
+            ):
                 raise ValueError(
-                    "conjunctive/exclude/within/min_match/offset require "
-                    "scorer='bm25'"
+                    "conjunctive/exclude/within/min_match/offset/after "
+                    "require scorer='bm25'"
                 )
             return self.index.search_reference(query, k, hydrate=hydrate)
         if scorer == "bm25":
             return self.index.search_bm25(
                 query, k, mode=mode or self.options.mode, hydrate=hydrate,
                 conjunctive=conjunctive, exclude=exclude, within=within,
-                min_match=min_match, offset=offset,
+                min_match=min_match, offset=offset, after=after,
             )
         raise ValueError(f"unknown scorer {scorer!r}")
 

@@ -84,6 +84,28 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _round6(x: float) -> float:
+    """Half-up rounding to 6 decimals — the cursor canonicalization for
+    ``search_after``. Matches Spark's ``F.round`` and DuckDB's ``round``
+    for the positive scores BM25 produces (python/numpy ``round`` are
+    half-to-even, which would disagree at exact .5 boundaries)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _after_keep(
+    uniq: np.ndarray, acc: np.ndarray, after: tuple[float, int]
+) -> np.ndarray:
+    """Cursor-pagination admission mask: keep docs strictly AFTER the
+    cursor in the (round6(score) desc, doc_id asc) serving order — the
+    Elasticsearch ``search_after`` contract. Comparison happens at the
+    same 6-decimal precision the serving order is defined at, so a page
+    boundary splitting a round-6 tie is resolved by doc_id on both sides
+    of the cut, never by last-bit float noise."""
+    s6 = np.floor(acc * 1e6 + 0.5) / 1e6
+    cs, cd = after
+    return (s6 < cs) | ((s6 == cs) & (uniq > cd))
+
+
 def _levenshtein_leq(a: str, b: str, max_dist: int) -> bool:
     """Banded levenshtein early-exit: O(len(a) * max_dist) — only the
     diagonal band that can stay within ``max_dist`` is computed, and the
@@ -1170,6 +1192,7 @@ class FtsIndex:
         within: "DataFrame | list[str] | None" = None,
         min_match: int | None = None,
         offset: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Top-k BM25 (k1=1.2, b=0.75), deterministic (score desc, doc_id
         asc). ``mode='relational'`` is the declarative plan; ``mode='wand'``
@@ -1183,6 +1206,20 @@ class FtsIndex:
         rescore — and slices on the driver side of the global merge.
         Deterministic ordering (doc_id tiebreak) makes pages stable and
         non-overlapping across requests.
+
+        ``after`` is CURSOR pagination (Elasticsearch ``search_after``):
+        a ``(score, doc_id)`` pair — normally the last row of the
+        previous page — and only documents strictly after it in the
+        (round6(score) desc, doc_id asc) serving order are returned.
+        Unlike ``offset``, the cost of page N does not grow with N (the
+        sweep keeps k candidates, not k·N), which is why deep paging at
+        web scale uses cursors: offset-paging page 1000 makes every
+        shard rank 10,000 docs; a cursor page is the same work as page
+        1. The cursor score is canonicalized to 6 decimals (half-up —
+        the serving order's own precision), so a page boundary inside a
+        round-6 tie is resolved by doc_id, deterministically, on every
+        path (wand kernel, relational plan, point tier). Mutually
+        exclusive with ``offset``.
 
         ``conjunctive=True`` is AND semantics (the default mode of most
         web search boxes): only documents containing EVERY distinct query
@@ -1223,6 +1260,12 @@ class FtsIndex:
             raise ValueError("pass either conjunctive or min_match, not both")
         if offset < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
+        if after is not None:
+            if offset:
+                raise ValueError(
+                    "pass either offset or after (cursor), not both"
+                )
+            after = (_round6(float(after[0])), int(after[1]))
         mult = self._query_mult(query, preset)
         if not mult:
             return self._maybe_hydrate(
@@ -1255,13 +1298,15 @@ class FtsIndex:
             incl_ids = self._within_ids(incl_df)
             if incl_ids is None or incl_ids is not _INCLUDE_TOO_BIG:
                 out = self._bm25_wand(
-                    mult, k_eff, hyd_inner, require_n, excl, incl_ids
+                    mult, k_eff, hyd_inner, require_n, excl, incl_ids,
+                    after=after,
                 )
         if out is None:
             # include set too large for a driver array — the relational
             # semi-join handles it distributed
             out = self._bm25_relational(
-                mult, k_eff, hyd_inner, require_n, excl, incl_df
+                mult, k_eff, hyd_inner, require_n, excl, incl_df,
+                after=after,
             )
         if offset:
             out = self._apply_offset(out, k, offset)
@@ -2275,11 +2320,16 @@ class FtsIndex:
         within=None,
         min_match: int | None = None,
         offset: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 for ONE query, served from the driver when possible.
 
         ``offset`` paginates exactly like :meth:`search_bm25` (the sweep
         keeps k+offset candidates, the page is sliced in-process).
+        ``after`` is cursor pagination (see :meth:`search_bm25`) — the
+        scale-correct deep-paging mode, here at point-tier latency: the
+        in-process sweep admits only post-cursor docs, so page 1000
+        costs the same few milliseconds as page 1.
 
         Results are EXACTLY :meth:`search_bm25`'s (same kernel, same
         float64 arithmetic, same (score desc, doc_id asc) order; asserted
@@ -2308,13 +2358,19 @@ class FtsIndex:
                 for r in self.search_bm25(
                     query, k=k, preset=preset, mode="wand",
                     conjunctive=conjunctive, exclude=exclude, within=within,
-                    min_match=min_match, offset=offset,
+                    min_match=min_match, offset=offset, after=after,
                 ).collect()
             ]
         if min_match is not None and conjunctive:
             raise ValueError("pass either conjunctive or min_match, not both")
         if offset < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
+        if after is not None:
+            if offset:
+                raise ValueError(
+                    "pass either offset or after (cursor), not both"
+                )
+            after = (_round6(float(after[0])), int(after[1]))
         mult = self._query_mult(query, preset)
         excl = self._query_mult(exclude, preset) if exclude else {}
         require_n = len(mult) if conjunctive else max(0, int(min_match or 0))
@@ -2348,12 +2404,13 @@ class FtsIndex:
                 for r in self.search_bm25(
                     query, k=k, preset=preset, mode="wand",
                     conjunctive=conjunctive, exclude=exclude,
-                    min_match=min_match, offset=offset,
+                    min_match=min_match, offset=offset, after=after,
                 ).collect()
             ]
         k_eff = k + offset if (offset and k > 0) else k
         rows = self._point_sweep(
-            present, k_eff, require_n, frozenset(excl_present) or None
+            present, k_eff, require_n, frozenset(excl_present) or None,
+            after=after,
         )
         return rows[offset:] if offset else rows
 
@@ -2365,6 +2422,7 @@ class FtsIndex:
         excl_terms: frozenset[str] | None = None,
         term_gmask: dict[str, int] | None = None,
         full_mask: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """In-process sweep over the point cache for a resolved
         term -> (mult, df) map: fetch missing terms (one pruned job),
@@ -2433,7 +2491,7 @@ class FtsIndex:
                     weighted, k, shard * self.shard_size, self.avgdl, None,
                     require_n, excl,
                     group_masks=gms if full_mask else None,
-                    full_mask=full_mask,
+                    full_mask=full_mask, after=after,
                 )
                 for doc, sc in zip(docs.tolist(), scores.tolist()):
                     if k <= 0 or len(heap) < k:
@@ -2800,8 +2858,17 @@ class FtsIndex:
         incl_df: DataFrame | None = None,
         term_gmask: dict[str, int] | None = None,
         full_mask: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         scored = self._bm25_scored(mult, require_n, term_gmask, full_mask)
+        if after is not None:
+            # cursor pagination at the serving order's own precision
+            # (round-6, matching _after_keep's kernel-side mask)
+            s6 = F.round(F.col("score"), 6)
+            scored = scored.where(
+                (s6 < F.lit(after[0]))
+                | ((s6 == F.lit(after[0])) & (F.col("doc_id") > F.lit(after[1])))
+            )
         if excl_mult:
             # NOT: anti-join the doc-blob-only match set of the excluded
             # terms (same decode path as the pre-truncation count)
@@ -2829,6 +2896,7 @@ class FtsIndex:
         incl_ids: np.ndarray | None = None,
         term_gmask: dict[str, int] | None = None,
         full_mask: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Document-partitioned block-max WAND: each shard's posting rows for
         the query terms are processed by one kernel that decodes only the
@@ -2863,7 +2931,7 @@ class FtsIndex:
                 )
             return self._bm25_relational(
                 mult, k, hydrate, require_n, excl_mult, incl_df,
-                term_gmask=term_gmask, full_mask=full_mask,
+                term_gmask=term_gmask, full_mask=full_mask, after=after,
             )
         dead_bc = self._dead_broadcast()
         incl_bc = (
@@ -2906,7 +2974,7 @@ class FtsIndex:
                 term_stats=present, require_n=require_n,
                 exclude_terms=frozenset(excl_present) or None,
                 dead_bcast=dead_bc, include_bcast=incl_bc,
-                term_gmask=term_gmask, full_mask=full_mask,
+                term_gmask=term_gmask, full_mask=full_mask, after=after,
             )
         else:
             # exclusion terms ride the same stats-joined scan at mult=0;
@@ -2920,7 +2988,7 @@ class FtsIndex:
                 require_n=require_n,
                 exclude_terms=frozenset(excl_mult) or None,
                 dead_bcast=dead_bc, include_bcast=incl_bc,
-                term_gmask=term_gmask, full_mask=full_mask,
+                term_gmask=term_gmask, full_mask=full_mask, after=after,
             )
         local_topk = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_SCHEMA
@@ -3135,6 +3203,7 @@ def _dense_accumulate(
     incl_docs: np.ndarray | None = None,
     group_masks: list[int] | None = None,
     full_mask: int = 0,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact OR-accumulate over FULLY decoded postings — the many-term
     plan (more-like-this, wide boolean queries): one vectorized
@@ -3179,6 +3248,9 @@ def _dense_accumulate(
         else:
             keep &= False
     uniq, acc = uniq[keep], acc[keep]
+    if after is not None and uniq.size:
+        keep = _after_keep(uniq, acc, after)
+        uniq, acc = uniq[keep], acc[keep]
     if k > 0 and len(uniq) > k:
         order = np.lexsort((uniq, -acc))[:k]
         uniq, acc = uniq[order], acc[order]
@@ -3196,8 +3268,16 @@ def _wand_sweep(
     incl_docs: np.ndarray | None = None,
     group_masks: list[int] | None = None,
     full_mask: int = 0,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over weighted term tables -> (doc_ids, scores).
+
+    ``after`` is cursor pagination (``search_after``): only documents
+    strictly after the ``(round6(score), doc_id)`` cursor in serving
+    order are admitted — see :func:`_after_keep`. Theta pruning stays
+    safe: the cursor only REMOVES candidates (like exclusion), so block
+    upper bounds remain conservative and the heap holds only admissible
+    docs.
 
     Sweep doc-space segments between block boundaries in order; skip a
     segment when the sum of active weighted block UBs < current theta —
@@ -3247,7 +3327,7 @@ def _wand_sweep(
     if len(weighted) >= _DENSE_TERM_THRESHOLD:
         return _dense_accumulate(
             weighted, k, base, avgdl, counters, require_n,
-            excl_docs, incl_docs, group_masks, full_mask,
+            excl_docs, incl_docs, group_masks, full_mask, after,
         )
     bounds = np.unique(
         np.concatenate(
@@ -3350,6 +3430,11 @@ def _wand_sweep(
             if not keep.any():
                 continue
             uniq, acc = uniq[keep], acc[keep]
+        if after is not None and uniq.size:
+            keep = _after_keep(uniq, acc, after)
+            if not keep.any():
+                continue
+            uniq, acc = uniq[keep], acc[keep]
         for doc, sc in zip(uniq.tolist(), acc.tolist()):
             if k <= 0 or len(heap) < k:
                 heapq.heappush(heap, (sc, -doc))
@@ -3402,8 +3487,14 @@ def make_wand_kernel(
     include_bcast=None,
     term_gmask: dict[str, int] | None = None,
     full_mask: int = 0,
+    after: tuple[float, int] | None = None,
 ):
     """Build the per-shard block-max WAND applyInPandas kernel.
+
+    ``after``: cursor pagination — only docs strictly after the
+    ``(round6(score), doc_id)`` cursor are admitted (see
+    :func:`_after_keep`); each shard's local top-k is then the top-k of
+    its admissible docs, so the global merge is exact.
 
     ``term_gmask`` / ``full_mask``: boolean MUST-group constraints (see
     :func:`_wand_sweep`) — per-term bitmasks of required-group
@@ -3490,7 +3581,7 @@ def make_wand_kernel(
             return pd.DataFrame({"doc_id": [], "score": []})
         docs, scores = _wand_sweep(
             weighted, k, base, avgdl, counters, require_n, excl_docs,
-            incl_docs, gmasks if full_mask else None, full_mask,
+            incl_docs, gmasks if full_mask else None, full_mask, after,
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
