@@ -544,6 +544,24 @@ def _suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_terms(fts, SUGGEST_QUERY, max_dist=2)
 
 
+def _collapsed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (Elasticsearch ``collapse``): best doc per lang
+    over the full match set, top-k groups by best score. The per-group
+    argmax is a map-side-combinable max_by aggregation (no window — a
+    skewed group costs one combiner row per partition)."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25_collapsed(" ".join(Q_TERMS), collapse="lang", k=10)
+    docs = fts.docs().select("doc_id", "url")
+    return out.join(docs, "doc_id").select(
+        F.col("lang"),
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet panel over the compressed index: distinct matching docs per
     lang, full OR match set (doc-blob-only decode, no scoring)."""
@@ -878,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # facet panel: distinct matching docs per lang over the FULL
         # match set (doc-blob-only decode, no tf/dl bytes, no scoring)
         "fts_facet_counts": _facet_counts,
+        # field collapsing: single best doc per lang, top-k groups
+        "fts_collapse_bm25": _collapsed_search,
         # histogram facet (date-histogram analog): distinct matching docs
         # per 50-token doclen bucket, same doc-blob-only match set
         "fts_facet_histogram": _facet_histogram,
@@ -1259,6 +1279,18 @@ SELECT count(*)::BIGINT AS n_docs, min(dl.doc_len)::BIGINT AS min_v,
        sum(dl.doc_len)::BIGINT AS sum_v
 FROM matches m JOIN dl ON dl.doc_id = m.doc_id
 """
+    # field collapsing: best doc per lang (argmax at round-6 with doc_id
+    # tiebreak), then top-10 groups by their best score
+    collapse_sql = bm25.replace(
+        "SELECT doc_id, round(raw, 4) AS score FROM scored\n"
+        "ORDER BY round(raw, 6) DESC, doc_id LIMIT 10",
+        "SELECT lang, doc_id, round(raw, 4) AS score FROM (\n"
+        "  SELECT d.lang AS lang, s.doc_id, s.raw, row_number() OVER (\n"
+        "    PARTITION BY d.lang ORDER BY round(s.raw, 6) DESC, s.doc_id\n"
+        "  ) AS rn FROM scored s JOIN documents d USING (doc_id))\n"
+        "WHERE rn = 1 ORDER BY round(raw, 6) DESC, doc_id LIMIT 10",
+    )
+    assert "PARTITION BY d.lang" in collapse_sql
     # Lucene-explain analog: per-(doc, term) BM25 contribution rows for
     # the top-10 docs of the same bm25 order
     explain_sql = f"""
@@ -1570,6 +1602,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_page2": bm25_page2,
         "fts_search_after_bm25": bm25_after,
         "fts_facet_counts": facet_sql,
+        "fts_collapse_bm25": collapse_sql,
         "fts_facet_histogram": hist_sql,
         "fts_facet_stats": stats_facet_sql,
         "fts_explain_bm25": explain_sql,

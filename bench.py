@@ -791,6 +791,27 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_facet_stats_ms"] = facet_stats_ms
 
+    # field collapsing: best doc per lang over the full match set (the
+    # max_by aggregation plan — map-side combine, no per-group window)
+    fts.search_bm25_collapsed(pg_q, collapse="lang", k=10).collect()
+
+    def _collapse_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                fts.search_bm25_collapsed(
+                    qd["query"], collapse="lang", k=10
+                ).collect()
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    collapse_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_collapse",
+        STEAL_SERVE_TICKS, _collapse_once,
+    )
+    timings["query_collapse_ms"] = collapse_ms
+
     # query-time document boosting: a corpus-sized (url, boost) prior —
     # the realistic cost shape (scores-all-matches + distributed boost join)
     boost_df = docs.select(

@@ -196,6 +196,16 @@ class FtsEngine:
             )
         raise ValueError(f"unknown scorer {scorer!r}")
 
+    def search_collapsed(
+        self, query: str, collapse: str = "lang", k: int | None = None
+    ) -> DataFrame:
+        """Field collapsing (Elasticsearch ``collapse``): the best doc
+        per value of a docs column, top-k groups by best score (see
+        :meth:`FtsIndex.search_bm25_collapsed`)."""
+        return self.index.search_bm25_collapsed(
+            query, collapse=collapse, k=self.options.k if k is None else k
+        )
+
     def facet_counts(self, query: str, facet: str = "lang") -> DataFrame:
         """Facet panel: distinct matching docs per docs-column value over
         the full match set (see :meth:`FtsIndex.facet_counts`)."""

@@ -1055,6 +1055,62 @@ class FtsIndex:
             .where(F.col("n_docs") > 0)
         )
 
+    def search_bm25_collapsed(
+        self,
+        query: str,
+        collapse: str = "lang",
+        k: int = 10,
+        preset: str | None = None,
+    ) -> DataFrame:
+        """Field collapsing — the Elasticsearch ``collapse`` / Lucene
+        grouping analog: the single BEST document per value of a
+        docs-table column (site dedup, one hit per language/source),
+        then the top-k groups by their best score. Returns
+        ``(<collapse>, doc_id, score)`` ordered (score desc, doc_id asc).
+
+        Plan: collapsing needs the per-group maximum over the FULL match
+        set, so this runs the relational accumulate (WAND's top-k prune
+        is unsound here — a group's best doc can sit below the global
+        top-k). The per-group argmax is a ``max_by`` AGGREGATION, not a
+        window: it partial-aggregates map-side (each partition emits at
+        most |groups| rows before the exchange), so a skewed group —
+        half the corpus in one language — costs one combiner row, where
+        a window would shuffle and sort the group's full match set on
+        one task. Tie-break inside a group and across groups is doc_id
+        asc, deterministic. The matches⋈docs join is the only wide
+        shuffle (AQE-planned, same shape as :meth:`facet_counts`).
+        """
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self.spark.range(0).select(
+                F.col("id").cast("string").alias(collapse),
+                F.col("id").alias("doc_id"),
+                F.col("id").cast("double").alias("score"),
+            )
+        scored = self._bm25_scored(mult)
+        docs = self.docs().select("doc_id", collapse)
+        # argmax by (score asc, -doc_id asc): max score, ties -> smaller
+        # doc_id — the same deterministic order every serving path uses
+        best = (
+            scored.join(docs, "doc_id")
+            .groupBy(collapse)
+            .agg(
+                F.expr(
+                    "max_by(named_struct('doc_id', doc_id, 'score', score),"
+                    " named_struct('s', score, 'd', -doc_id))"
+                ).alias("best")
+            )
+            .select(
+                F.col(collapse),
+                F.col("best.doc_id").alias("doc_id"),
+                F.col("best.score").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        if k > 0:
+            best = best.limit(k)
+        return best
+
     # ---- searches ------------------------------------------------------
     def search_reference(
         self, query: str, k: int = 10, preset: str | None = None, hydrate: bool = False
