@@ -43,6 +43,10 @@ Q_DUP = ["value", "value"]
 PREFIX_QUERY = "data s*"
 FUZZY_QUERY = "querry valu"
 WILDCARD_QUERY = "t*le va?ue data"
+# regexp row (Lucene RegexpQuery): full-match against the dictionary in
+# the Java/RE2/Python common subset; expands to {scan, sort, slow}
+REGEXP_QUERY = "data /s(can|ort|low)/"
+REGEXP_PATTERN = "s(can|ort|low)"
 EXPAND_MAX = 64
 # boolean NOT row: both exclusion terms overlap ~80% of the Q_TERMS match
 # set at every sf, so the exclusion genuinely reshapes the top-k
@@ -720,6 +724,10 @@ def _expanded_search(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         out = fts.search_bm25_wildcard(
             WILDCARD_QUERY, k=10, hydrate=True, max_expand=EXPAND_MAX
         )
+    elif kind == "regexp":
+        out = fts.search_bm25_regexp(
+            REGEXP_QUERY, k=10, hydrate=True, max_expand=EXPAND_MAX
+        )
     else:
         out = fts.search_bm25_fuzzy(
             FUZZY_QUERY, k=10, hydrate=True, max_dist=1, max_expand=EXPAND_MAX
@@ -937,6 +945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lucene WildcardQuery analog: mid-string */? patterns, SQL LIKE
         # semantics against the terms table (leading-* = full dict scan)
         "fts_wildcard_bm25": lambda s, d: _expanded_search(s, d, "wildcard"),
+        # regexp rewrite (Lucene RegexpQuery): full-match dictionary
+        # expansion in the Java/RE2/Python common regex subset
+        "fts_regexp_bm25": lambda s, d: _expanded_search(s, d, "regexp"),
         # k<=0 = the reference's "return all" (engine.go:136-149 truncates
         # only when k>0): EVERY matching doc scored through the WAND
         # kernel with pruning disabled — oracle is the same BM25 SQL
@@ -1505,6 +1516,19 @@ WHERE rn = 1 ORDER BY token
         "UNION ALL SELECT 'data', 1), "
         "q AS (SELECT term, sum(mult)::INT AS mult FROM expq GROUP BY term)"
     )
+    # regexp rewrite: RE2 full-match — same semantics as the engine's
+    # anchored Java rlike and the point tier's re.fullmatch on the
+    # documented common subset
+    regexp_q = (
+        "expq AS ("
+        "SELECT term, 1 AS mult FROM (SELECT term FROM stats "
+        f"WHERE regexp_full_match(term, '{REGEXP_PATTERN}') "
+        f"ORDER BY df DESC, term LIMIT {EXPAND_MAX}) "
+        "UNION ALL SELECT 'data', 1), "
+        "q AS (SELECT term, sum(mult)::INT AS mult FROM expq GROUP BY term)"
+    )
+    bm25_regexp = bm25.replace(_q_lit, regexp_q)
+    assert bm25_regexp != bm25
     bm25_prefix = bm25.replace(_q_lit, prefix_q)
     bm25_fuzzy = bm25.replace(_q_lit, fuzzy_q)
     bm25_wildcard = bm25.replace(_q_lit, wildcard_q)
@@ -1595,6 +1619,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_prefix_bm25": bm25_prefix,
         "fts_fuzzy_bm25": bm25_fuzzy,
         "fts_wildcard_bm25": bm25_wildcard,
+        "fts_regexp_bm25": bm25_regexp,
         "fts_phrase_scan": phrase_sql,
         "fts_phrase_search": phrase_sql,
         "fts_phrase_positional": phrase_sql,

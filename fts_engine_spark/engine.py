@@ -385,6 +385,21 @@ class FtsEngine:
             max_expand=max_expand,
         )
 
+    def search_regexp(
+        self, query: str, k: int | None = None, max_expand: int = 64
+    ) -> DataFrame:
+        """BM25 with ``/regexp/`` term patterns (Lucene ``RegexpQuery``):
+        full-match dictionary expansion in the Java/RE2/Python common
+        regex subset — dictionary-expanded multi-term rewrite, extension
+        beyond the reference's exact-term search."""
+        return self.index.search_bm25_regexp(
+            query,
+            self.options.k if k is None else k,
+            mode=self.options.mode,
+            hydrate=True,
+            max_expand=max_expand,
+        )
+
     def search_fuzzy(
         self,
         query: str,

@@ -180,6 +180,27 @@ def _wildcard_literal_prefix(pattern: str) -> str:
     return pattern
 
 
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """The literal run before the first regex metacharacter — pushed as a
+    ``StartsWith`` conjunct into the terms scan (same row-group prune the
+    wildcard rewrite gets) and used to bound the point tier's bisect.
+    Conservative: any metacharacter ends the literal run (a trailing
+    quantifier can shorten what precedes it, so the char BEFORE a
+    quantifier is excluded too)."""
+    lit = []
+    for i, ch in enumerate(pattern):
+        if ch in _REGEX_META:
+            # a quantifier makes the previous char optional/repeating
+            if ch in "*+?{" and lit:
+                lit.pop()
+            break
+        lit.append(ch)
+    return "".join(lit)
+
+
 def normalize_query(query: str, preset: str) -> list[str]:
     """Driver-side query normalization — same pipeline as documents;
     duplicates KEPT (``engine.go:91``, the unique-match double-count quirk)."""
@@ -1527,6 +1548,10 @@ class FtsIndex:
         ``LIKE`` semantics, so mid-string and leading wildcards work; a
         literal prefix (when present) is pushed as a ``StartsWith``
         conjunct so the terms scan still prunes row groups.
+        ``kind='regexp'``: every dictionary term FULLY matching a regular
+        expression (Lucene ``RegexpQuery`` semantics); the literal run
+        before the first metacharacter pushes down like the wildcard
+        prefix.
 
         Returns at most ``max_expand`` terms, preferring highest document
         frequency (Lucene's rewrite preference — common terms first), ties
@@ -1557,6 +1582,17 @@ class FtsIndex:
         elif kind == "wildcard":
             cond = F.col("term").like(_wildcard_to_like(pattern))
             lit = _wildcard_literal_prefix(pattern)
+            if lit:
+                cond = F.col("term").startswith(lit) & cond
+        elif kind == "regexp":
+            # full-match anchoring (Lucene RegexpQuery semantics; Spark's
+            # rlike alone is an unanchored find). Patterns should stay in
+            # the Java/RE2/Python common subset — char classes, groups,
+            # alternation, quantifiers; no backreferences/lookaround —
+            # so the DuckDB oracle (regexp_full_match, RE2) and the point
+            # tier (python re.fullmatch) accept identical term sets.
+            cond = F.col("term").rlike(f"^(?:{pattern})$")
+            lit = _regex_literal_prefix(pattern)
             if lit:
                 cond = F.col("term").startswith(lit) & cond
         else:
@@ -1643,6 +1679,70 @@ class FtsIndex:
             ).items():
                 mult[t] = mult.get(t, 0) + m
         return mult
+
+    def _regexp_mult(
+        self, query: str, preset: str, max_expand: int, point: bool = False
+    ) -> dict[str, int]:
+        """Shared regexp-rewrite term selection (one copy — the point
+        tier mirrors the distributed rewrite exactly): tokens wrapped in
+        ``/.../`` (the Lucene query-syntax regexp marker) lowercase
+        (Go-lower; the pattern addresses the post-pipeline dictionary)
+        and expand with ``kind='regexp'``; everything else normalizes
+        like :meth:`search_bm25`."""
+        mult: dict[str, int] = {}
+        exact_parts: list[str] = []
+        for tok in query.split():
+            if len(tok) > 2 and tok.startswith("/") and tok.endswith("/"):
+                pat = go_lower(tok[1:-1])
+                expanded = (
+                    self._point_expand(pat, "regexp", 0, max_expand)
+                    if point
+                    else self.expand_terms(pat, "regexp", max_expand=max_expand)
+                )
+                for t in expanded:
+                    mult[t] = mult.get(t, 0) + 1
+            else:
+                exact_parts.append(tok)
+        if exact_parts:
+            for t, m in self._query_mult(
+                " ".join(exact_parts), preset
+            ).items():
+                mult[t] = mult.get(t, 0) + m
+        return mult
+
+    def search_bm25_regexp(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        mode: str = "wand",
+        hydrate: bool = False,
+        max_expand: int = 64,
+    ) -> DataFrame:
+        """BM25 with regexp term patterns — the Lucene ``RegexpQuery``
+        analog, completing the multi-term-rewrite family (prefix /
+        wildcard / fuzzy). Tokens wrapped in ``/.../`` (Lucene query
+        syntax) are regular expressions FULLY matched against the term
+        dictionary (df desc, term asc, LIMIT ``max_expand`` — the same
+        deterministic rewrite preference); other tokens normalize like
+        :meth:`search_bm25`. The union OR-accumulates, each expanded
+        term scored with its own idf.
+
+        Patterns should stay in the Java/RE2/Python common subset (char
+        classes, groups, alternation, quantifiers — no backreferences or
+        lookaround): the distributed scan matches with Java regex, the
+        point tier with Python ``re``, and the SQL oracle with RE2, and
+        the rewrite is only engine-portable on that subset. The literal
+        run before the first metacharacter is pushed as a ``StartsWith``
+        conjunct (row-group pruning); a pattern with a leading
+        metacharacter pays a full dictionary scan — the known Lucene
+        leading-wildcard caveat, one bounded lookup job here.
+        """
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        mult = self._regexp_mult(query, preset, max_expand)
+        return self._expanded_search(mult, k, mode, hydrate)
 
     def search_bm25_wildcard(
         self,
@@ -2613,12 +2713,17 @@ class FtsIndex:
                 for t in self._len_buckets.get(ln, ())
                 if _levenshtein_leq(t, pattern, max_dist)
             ]
-        elif kind == "wildcard":
+        elif kind in ("wildcard", "regexp"):
             # bisect the literal-prefix range when one exists (same prune
             # the distributed StartsWith conjunct gives the parquet scan);
-            # a leading wildcard degrades to a full dictionary regex scan
-            rx = _wildcard_regex(pattern)
-            lit = _wildcard_literal_prefix(pattern)
+            # a leading wildcard/metachar degrades to a full dictionary
+            # regex scan
+            if kind == "wildcard":
+                rx = _wildcard_regex(pattern)
+                lit = _wildcard_literal_prefix(pattern)
+            else:
+                rx = re.compile(f"(?:{pattern})\\Z", re.DOTALL)
+                lit = _regex_literal_prefix(pattern)
             if lit:
                 lo = bisect.bisect_left(self._sorted_terms, lit)
                 hi = (
@@ -2692,6 +2797,36 @@ class FtsIndex:
             mult,
             k,
             lambda: self.search_bm25_wildcard(
+                query, k=k, preset=preset, max_expand=max_expand
+            ),
+        )
+
+    def search_bm25_point_regexp(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        max_expand: int = 64,
+    ) -> list[tuple[int, float]]:
+        """:meth:`search_bm25_regexp` on the point tier: the regexp
+        fully matches against the driver dictionary (literal-prefix
+        bisect bound when the pattern has one), the sweep runs
+        in-process; results are exactly the distributed rewrite's."""
+        if self._point_cache is None or self._term_dict is None:
+            return [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self.search_bm25_regexp(
+                    query, k=k, preset=preset, max_expand=max_expand
+                ).collect()
+            ]
+        preset = preset or (
+            "multilingual" if self.preset == "by_lang" else self.preset
+        )
+        mult = self._regexp_mult(query, preset, max_expand, point=True)
+        return self._point_mult_search(
+            mult,
+            k,
+            lambda: self.search_bm25_regexp(
                 query, k=k, preset=preset, max_expand=max_expand
             ),
         )

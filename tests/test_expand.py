@@ -218,3 +218,89 @@ def test_engine_wrappers(spark, small_index, small_corpus):
     assert rows and all(r["url"] for r in rows)
     rows = eng.search_fuzzy("querry", k=5).collect()
     assert rows and all(r["url"] for r in rows)
+
+
+# ---- regexp (Lucene RegexpQuery analog) ---------------------------------
+
+
+def test_regexp_expansion_semantics(index):
+    import re
+
+    terms = index.expand_terms("s.*", "regexp", max_expand=1000)
+    assert terms and all(t.startswith("s") for t in terms)
+    # full-match anchoring: 'a' must NOT match dictionary terms merely
+    # CONTAINING 'a'
+    for t in index.expand_terms("s[aeiou]rt", "regexp", max_expand=1000):
+        assert re.fullmatch("s[aeiou]rt", t)
+    # regexp generalizes wildcard
+    assert set(index.expand_terms("s.*", "regexp", max_expand=1000)) == set(
+        index.expand_terms("s*", "wildcard", max_expand=1000)
+    )
+
+
+def test_regexp_literal_prefix():
+    from fts_engine_spark.query import _regex_literal_prefix
+
+    assert _regex_literal_prefix("abc.*") == "abc"
+    assert _regex_literal_prefix("abc+") == "ab"  # quantifier eats 'c'
+    assert _regex_literal_prefix("a(b|c)") == "a"
+    assert _regex_literal_prefix(".*x") == ""
+    assert _regex_literal_prefix("plain") == "plain"
+    assert _regex_literal_prefix("ab?c") == "a"
+
+
+def test_regexp_search_equals_manual_expansion(index):
+    mult = {t: 1 for t in index.expand_terms("s(cienc|ystem)", "regexp")}
+    for t, m in index._query_mult("data").items():
+        mult[t] = mult.get(t, 0) + m
+    manual = sorted(
+        (r["doc_id"], round(r["score"], 6))
+        for r in index._bm25_wand(mult, 0, hydrate=False).collect()
+    )
+    for mode in ("wand", "relational"):
+        got = sorted(
+            (r["doc_id"], round(r["score"], 6))
+            for r in index.search_bm25_regexp(
+                "data /s(cienc|ystem)/", k=0, mode=mode
+            ).collect()
+        )
+        assert got == manual, mode
+    assert manual
+
+
+def test_regexp_point_tier_matches_distributed(index):
+    index.warm().enable_point_serving()
+    try:
+        dist = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in index.search_bm25_regexp(
+                "data /s(chool.*|tudent)/", k=10
+            ).collect()
+        ]
+        point = [
+            (d, round(s, 9))
+            for d, s in index.search_bm25_point_regexp(
+                "data /s(chool.*|tudent)/", k=10
+            )
+        ]
+        assert point == dist and dist
+        # point expansion mirrors the distributed expansion exactly
+        assert index._point_expand("s(cienc|ystem)", "regexp", 0, 64) == (
+            index.expand_terms("s(cienc|ystem)", "regexp", max_expand=64)
+        )
+    finally:
+        index.close()
+
+
+def test_regexp_no_match_and_plain_tokens(index):
+    assert index.search_bm25_regexp("/zz+q/", k=5).collect() == []
+    # tokens not wrapped in /.../ normalize as exact terms
+    got = sorted(
+        (r["doc_id"], round(r["score"], 6))
+        for r in index.search_bm25_regexp("data", k=0).collect()
+    )
+    exact = sorted(
+        (r["doc_id"], round(r["score"], 6))
+        for r in index.search_bm25("data", k=0).collect()
+    )
+    assert got == exact
