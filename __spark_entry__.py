@@ -566,6 +566,18 @@ def _collapsed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (ES significant_terms): terms
+    over-represented in the match set vs the corpus, scored by the pure
+    integer lift (fg_df/|matches|) / (bg_df/n_docs) — deterministic and
+    SQL-reproducible. Foreground counts decode doc blobs only."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    return fts.significant_terms(" ".join(Q_TERMS), k=20, min_fg_df=3)
+
+
 def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet panel over the compressed index: distinct matching docs per
     lang, full OR match set (doc-blob-only decode, no scoring)."""
@@ -906,6 +918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_facet_counts": _facet_counts,
         # field collapsing: single best doc per lang, top-k groups
         "fts_collapse_bm25": _collapsed_search,
+        # significant terms: what the match set is ABOUT — integer-lift
+        # over-representation vs the corpus background
+        "fts_significant_terms": _significant_terms,
         # histogram facet (date-histogram analog): distinct matching docs
         # per 50-token doclen bucket, same doc-blob-only match set
         "fts_facet_histogram": _facet_histogram,
@@ -1302,6 +1317,23 @@ FROM matches m JOIN dl ON dl.doc_id = m.doc_id
         "WHERE rn = 1 ORDER BY round(raw, 6) DESC, doc_id LIMIT 10",
     )
     assert "PARTITION BY d.lang" in collapse_sql
+    # significant terms: per-term lift over the match set, integer-exact
+    sig_terms_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+matches AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term)),
+params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM matches)::DOUBLE AS m),
+fg AS (SELECT tf.term, count(*)::BIGINT AS fg_df
+       FROM tf JOIN matches mt ON mt.doc_id = tf.doc_id GROUP BY 1)
+SELECT term, fg_df, s.df AS bg_df,
+       round(fg_df * p.n / (s.df * p.m), 4) AS lift
+FROM fg JOIN stats s USING (term) CROSS JOIN params p
+WHERE fg_df >= 3
+ORDER BY round(fg_df * p.n / (s.df * p.m), 6) DESC, term LIMIT 20
+"""
     # Lucene-explain analog: per-(doc, term) BM25 contribution rows for
     # the top-10 docs of the same bm25 order
     explain_sql = f"""
@@ -1628,6 +1660,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_search_after_bm25": bm25_after,
         "fts_facet_counts": facet_sql,
         "fts_collapse_bm25": collapse_sql,
+        "fts_significant_terms": sig_terms_sql,
         "fts_facet_histogram": hist_sql,
         "fts_facet_stats": stats_facet_sql,
         "fts_explain_bm25": explain_sql,

@@ -812,6 +812,19 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_collapse_ms"] = collapse_ms
 
+    # significant terms: full-index doc-blob decode + match semi-join —
+    # the analytics-shaped aggregation, timed once (not a serving path)
+    def _sig_terms_once():
+        t0 = time.monotonic()
+        fts.significant_terms(pg_q, k=20, min_fg_df=3).collect()
+        return round((time.monotonic() - t0) * 1000, 1)
+
+    sig_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_significant_terms",
+        STEAL_SERVE_TICKS, _sig_terms_once,
+    )
+    timings["query_significant_terms_ms"] = sig_ms
+
     # query-time document boosting: a corpus-sized (url, boost) prior —
     # the realistic cost shape (scores-all-matches + distributed boost join)
     boost_df = docs.select(

@@ -206,6 +206,14 @@ class FtsEngine:
             query, collapse=collapse, k=self.options.k if k is None else k
         )
 
+    def significant_terms(
+        self, query: str, k: int = 20, min_fg_df: int = 3
+    ) -> DataFrame:
+        """Significant-terms aggregation (Elasticsearch
+        ``significant_terms``): terms over-represented in the match set
+        vs the corpus (see :meth:`FtsIndex.significant_terms`)."""
+        return self.index.significant_terms(query, k=k, min_fg_df=min_fg_df)
+
     def facet_counts(self, query: str, facet: str = "lang") -> DataFrame:
         """Facet panel: distinct matching docs per docs-column value over
         the full match set (see :meth:`FtsIndex.facet_counts`)."""

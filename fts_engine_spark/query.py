@@ -955,6 +955,107 @@ class FtsIndex:
             .distinct()
         )
 
+    def _decoded_term_docs(self) -> DataFrame:
+        """(term, doc_id) rows for EVERY posting in the index, decoding
+        ONLY the doc blobs (~1/3 of the posting bytes; tf/dl never read —
+        the projection happens before ``mapInPandas`` so the scan prunes
+        the blob columns). The significant-terms foreground count is the
+        one consumer: an analytics-shaped full-index pass, not a serving
+        path."""
+        shard_size = self.shard_size
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    base = int(row.shard_id) * shard_size
+                    deltas = varbyte_decode(bytes(row.doc_blob))
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": row.term,
+                                "doc_id": np.cumsum(
+                                    deltas.astype(np.int64)
+                                ) + base,
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        src = self._read_postings().select("term", "shard_id", "doc_blob")
+        return src.mapInPandas(decode, schema="term string, doc_id long")
+
+    def significant_terms(
+        self,
+        query: str,
+        k: int = 20,
+        min_fg_df: int = 3,
+        preset: str | None = None,
+    ) -> DataFrame:
+        """Significant-terms aggregation (the Elasticsearch
+        ``significant_terms`` analog): terms OVER-REPRESENTED in the
+        query's match set relative to the whole corpus — "what is this
+        result set about". For each term, ``fg_df`` = matching docs that
+        contain it, ``bg_df`` = its corpus df, and the score is the lift
+        ``(fg_df / |matches|) / (bg_df / n_docs)`` — a pure integer
+        ratio, so ordering is deterministic and SQL-reproducible (no
+        log-likelihood float folklore). Returns
+        ``(term, fg_df, bg_df, lift)`` ordered (lift desc at 6 decimals,
+        term asc), terms with ``fg_df < min_fg_df`` dropped (the ES
+        ``min_doc_count`` guard against one-doc flukes). The query's own
+        terms usually rank top — by construction they are maximally
+        over-represented; callers wanting "related terms only" filter
+        them out of the result.
+
+        Plan: the match set is the doc-blob-only decode of the query
+        terms (no tf/dl bytes); the foreground count decodes the doc
+        blobs of the WHOLE postings table once — an honest
+        analytics-shaped job (ES pays a fielddata pass over the
+        foreground docs the same way), NOT a serving path. The
+        term_docs⋈matches semi-join is the one wide shuffle (both sides
+        hash on doc_id); the per-term count partial-aggregates map-side;
+        the stats join keys on term against the (already small)
+        dictionary slice. Stats-staleness under pending tombstones
+        matches every other surface (deleted docs leave the match set
+        immediately; bg_df/n_docs refresh at compaction)."""
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self.spark.range(0).select(
+                F.col("id").cast("string").alias("term"),
+                F.col("id").alias("fg_df"),
+                F.col("id").alias("bg_df"),
+                F.col("id").cast("double").alias("lift"),
+            )
+        matches = self._match_count_df(mult)
+        m_df = matches.agg(F.count("*").cast("double").alias("_m"))
+        fg = (
+            self._decoded_term_docs()
+            .join(matches, "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("fg_df"))
+        )
+        stats = self._read_terms().select("term", "df")
+        lift = (
+            F.col("fg_df").cast("double")
+            * F.lit(float(self.n_docs))
+            / (F.col("df").cast("double") * F.col("_m"))
+        )
+        return (
+            fg.join(stats, "term")
+            .crossJoin(F.broadcast(m_df))
+            .where(F.col("fg_df") >= int(min_fg_df))
+            .withColumn("_lift", lift)
+            .orderBy(F.desc(F.round(F.col("_lift"), 6)), F.asc("term"))
+            .limit(k)
+            .select(
+                "term",
+                "fg_df",
+                F.col("df").cast("long").alias("bg_df"),
+                F.round(F.col("_lift"), 4).alias("lift"),
+            )
+        )
+
     def facet_counts(
         self, query: str, facet: str = "lang", preset: str | None = None
     ) -> DataFrame:
