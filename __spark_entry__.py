@@ -67,6 +67,9 @@ SUGGEST_QUERY = "querry tabel value zzzzqqqq"
 # df must ignore it)
 SYNONYMS = {"fast": ["slow", "quick"], "table": ["row"]}
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+# hybrid search (RRF fusion): BM25 top-N for Q_TERMS fused with cosine
+# top-N around this embedding row (vec_id == source doc_id)
+HYBRID_VEC_ID, HYBRID_N, HYBRID_K, HYBRID_C = 0, 20, 10, 60
 JACCARD_THRESHOLD = 0.12
 # the driver's synthetic embeddings have max pairwise cos ~0.51; 0.42 keeps
 # a small non-empty near-dup set at every sf (production default is ~0.95)
@@ -566,6 +569,23 @@ def _collapsed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-N (WAND, mapped back to
+    source doc ids) fused with brute-force cosine top-N around the
+    HYBRID_VEC_ID embedding via Reciprocal Rank Fusion — rank-based, so
+    the fused score is a sum of exact rationals 1/(c+r) and the SQL
+    oracle reproduces it bit-for-bit."""
+    from fts_engine_spark.operators.hybrid import hybrid_search_rrf
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    return hybrid_search_rrf(
+        fts, _emb(spark, sf_dir), " ".join(Q_TERMS), HYBRID_VEC_ID,
+        k=HYBRID_K, n_candidates=HYBRID_N, c=HYBRID_C,
+    )
+
+
 def _significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Significant-terms aggregation (ES significant_terms): terms
     over-represented in the match set vs the corpus, scored by the pure
@@ -921,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # significant terms: what the match set is ABOUT — integer-lift
         # over-representation vs the corpus background
         "fts_significant_terms": _significant_terms,
+        # hybrid lexical+vector search: BM25 ∪ ANN cosine, RRF-fused
+        "hybrid_rrf_topk": _hybrid_search,
         # histogram facet (date-histogram analog): distinct matching docs
         # per 50-token doclen bucket, same doc-blob-only match set
         "fts_facet_histogram": _facet_histogram,
@@ -1317,6 +1339,45 @@ FROM matches m JOIN dl ON dl.doc_id = m.doc_id
         "WHERE rn = 1 ORDER BY round(raw, 6) DESC, doc_id LIMIT 10",
     )
     assert "PARTITION BY d.lang" in collapse_sql
+    # hybrid RRF: bm25 top-N ranks (round-6 order) ∪ cosine top-N ranks
+    # (round-4 cos, the ANN contract) -> 1/(c+r) sums, integer-exact
+    hybrid_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(doc_len) FROM dl) AS avgdl),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.avgdl))) AS raw
+  FROM tf JOIN q USING (term) JOIN stats s USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN params p
+  GROUP BY tf.doc_id),
+lex AS (SELECT doc_id, row_number() OVER (
+          ORDER BY round(raw, 6) DESC, doc_id) AS rl
+        FROM scored ORDER BY round(raw, 6) DESC, doc_id LIMIT {HYBRID_N}),
+base AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+         FROM embeddings),
+qv AS (SELECT v AS qv FROM base WHERE id = {HYBRID_VEC_ID}),
+cos AS (SELECT b.id AS doc_id,
+               round(list_sum(list_transform(generate_series(1, len(qv)),
+                     i -> qv[i] * b.v[i]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS c
+        FROM base b CROSS JOIN qv WHERE b.id <> {HYBRID_VEC_ID}),
+vec AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rv
+        FROM cos ORDER BY c DESC, doc_id LIMIT {HYBRID_N}),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         coalesce(1.0 / ({HYBRID_C} + lex.rl), 0.0)
+           + coalesce(1.0 / ({HYBRID_C} + vec.rv), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {HYBRID_K}
+"""
     # significant terms: per-term lift over the match set, integer-exact
     sig_terms_sql = f"""
 WITH toks AS ({_TOKS}),
@@ -1661,6 +1722,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_facet_counts": facet_sql,
         "fts_collapse_bm25": collapse_sql,
         "fts_significant_terms": sig_terms_sql,
+        "hybrid_rrf_topk": hybrid_sql,
         "fts_facet_histogram": hist_sql,
         "fts_facet_stats": stats_facet_sql,
         "fts_explain_bm25": explain_sql,

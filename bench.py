@@ -825,6 +825,35 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_significant_terms_ms"] = sig_ms
 
+    # hybrid RRF: BM25 top-20 ∪ brute-force cosine top-20 over the
+    # driver embeddings table, rank-fused — two bounded jobs + a 40-row
+    # fusion. The bench corpus's urls don't encode embedding ids (the
+    # contract row hybrid_rrf_topk covers id-aligned semantics); fusion
+    # cost is id-agnostic, so this times the real three-stage plan.
+    def _hybrid_once():
+        from pyspark.sql import functions as FF
+
+        from fts_engine_spark.operators.hybrid import rrf_fuse
+        from fts_engine_spark.operators.similarity import ann_bruteforce_topk
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        lat = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            lexical = fts.search_bm25(pg_q, k=20, mode="wand")
+            ann = ann_bruteforce_topk(emb, [0], k=20).select(
+                FF.col("neighbor_id").alias("doc_id"), "cos"
+            )
+            rrf_fuse(lexical, ann, k=10).collect()
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    hybrid_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_hybrid",
+        STEAL_SERVE_TICKS, _hybrid_once,
+    )
+    timings["query_hybrid_ms"] = hybrid_ms
+
     # query-time document boosting: a corpus-sized (url, boost) prior —
     # the realistic cost shape (scores-all-matches + distributed boost join)
     boost_df = docs.select(
