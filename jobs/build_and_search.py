@@ -49,6 +49,20 @@ def main() -> None:
                     help="wildcard query: tokens may contain * (any run) "
                          "and ? (one char), mid-string/leading included "
                          "(repeatable)")
+    ap.add_argument("--regexp", action="append", default=[],
+                    help="regexp query: /pattern/ tokens fully match "
+                         "the term dictionary (Lucene RegexpQuery; "
+                         "repeatable)")
+    ap.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                    help="cursor pagination for each --query: return "
+                         "the page strictly after this (score, doc_id) "
+                         "boundary — deep paging at page-1 cost")
+    ap.add_argument("--collapse", default=None, metavar="COLUMN",
+                    help="field collapsing for each --query: best doc "
+                         "per COLUMN value, top-k groups")
+    ap.add_argument("--significant-terms", default=None, metavar="QUERY",
+                    help="print the terms over-represented in QUERY's "
+                         "match set vs the corpus (integer lift)")
     ap.add_argument("--facet-stats", default=None, metavar="QUERY",
                     help="print count/min/max/avg/sum of doclen over the "
                          "full match set of QUERY")
@@ -107,9 +121,20 @@ def main() -> None:
 
     syn_map = json.loads(args.synonyms) if args.synonyms else None
 
+    after = None
+    if args.after:
+        s, d = args.after.split(",")
+        after = (float(s), int(d))
+
     for q in args.query:
         t0 = time.monotonic()
-        if syn_map is not None:
+        if args.collapse is not None:
+            rows = engine.search_collapsed(
+                q, collapse=args.collapse, k=args.k
+            ).collect()
+        elif after is not None:
+            rows = engine.search(q, k=args.k, hydrate=True, after=after).collect()
+        elif syn_map is not None:
             rows = engine.search_synonyms(q, syn_map, k=args.k).collect()
         elif args.conjunctive:
             rows = engine.index.search_bm25(
@@ -150,6 +175,28 @@ def main() -> None:
             "results": [
                 {k: r[k] for k in r.asDict() if k != "html"} for r in rows
             ],
+        }, default=str))
+
+    for q in args.regexp:
+        t0 = time.monotonic()
+        rows = engine.search_regexp(q, k=args.k).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "regexp": q,
+            "ms": round(ms, 1),
+            "results": [
+                {k: r[k] for k in r.asDict() if k != "html"} for r in rows
+            ],
+        }, default=str))
+
+    if args.significant_terms:
+        t0 = time.monotonic()
+        rows = engine.significant_terms(args.significant_terms).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "significant_terms": args.significant_terms,
+            "ms": round(ms, 1),
+            "results": [r.asDict() for r in rows],
         }, default=str))
 
     if args.facet_stats:

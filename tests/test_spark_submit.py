@@ -50,6 +50,8 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
             "--query", "turtle hotel",
             "--phrase", "french hotel",
             "--wildcard", "h?tel t*le",
+            "--regexp", "/h.tel/ turtle",
+            "--significant-terms", "turtle hotel",
             "--facet-stats", "turtle hotel",
             "--boolean", "+french +(hotel OR castle) turtle",
             "--suggest", "hotl frnch",
@@ -81,13 +83,20 @@ def test_spark_submit_pyfiles_roundtrip(small_corpus, tmp_path):
     assert all(r["phrase_count"] >= 1 for r in phr["results"])
     wc = json.loads(lines[3])
     assert wc["wildcard"] == "h?tel t*le" and wc["results"]
-    fs = json.loads(lines[4])
+    rx = json.loads(lines[4])
+    assert rx["regexp"] == "/h.tel/ turtle" and rx["results"]
+    sig = json.loads(lines[5])
+    assert sig["significant_terms"] == "turtle hotel"
+    assert sig["results"] and all(
+        r["fg_df"] <= r["bg_df"] for r in sig["results"]
+    )
+    fs = json.loads(lines[6])
     assert fs["facet_stats"] == "turtle hotel"
     (fs_row,) = fs["results"]
     assert fs_row["n_docs"] > 0 and fs_row["min_v"] <= fs_row["max_v"]
-    boo = json.loads(lines[5])
+    boo = json.loads(lines[7])
     assert boo["boolean"].startswith("+french") and boo["results"]
-    sug = json.loads(lines[6])
+    sug = json.loads(lines[8])
     assert sug["suggest"] == "hotl frnch"
     assert {r["suggestion"] for r in sug["results"]} & {"hotel", "french"}
     assert os.path.exists(os.path.join(index_dir, "meta.json"))
