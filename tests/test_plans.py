@@ -458,3 +458,38 @@ def test_boosted_search_docs_scan_reads_key_and_url_only(spark, small_index):
     assert_plan(df, "ReadSchema: struct<doc_id:bigint,url:string>")
     assert_plan(df, "PushedFilters: [In(term")
     assert_plan_absent(df, "url_md5", "doclen:")
+
+
+def test_significant_terms_plan_prunes_tf_dl_blobs(spark, small_index):
+    """Both decodes inside significant_terms are doc-blob-only: the
+    foreground pass over the WHOLE postings table must never read
+    tf_blob/dl_blob — at production blob sizes that projection is the
+    difference between scanning ~1/3 of the index and all of it. The
+    per-term count must also partial-aggregate (map-side combine) before
+    the exchange."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    df = fts.significant_terms("turtle hotel", k=10, min_fg_df=1)
+    assert_plan(df, "ReadSchema: struct<term:string,doc_blob:binary>")
+    assert_plan_absent(df, "tf_blob", "dl_blob")
+    from fts_engine_spark.plans.review import formatted_plan
+
+    assert "partial_count" in formatted_plan(df)
+
+
+def test_collapse_plan_partial_aggregates(spark, small_index):
+    """The per-group argmax is a max_by AGGREGATION: the plan must show
+    a partial aggregate before the group exchange (the property that
+    makes a skewed group cost one combiner row per partition, where a
+    window would sort the whole group on one task) and no window
+    operator at all."""
+    index_dir, _ = small_index
+    fts = FtsIndex(spark, index_dir)
+    df = fts.search_bm25_collapsed("turtle hotel", collapse="lang", k=5)
+    from fts_engine_spark.plans.review import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    # the docs-side scan reads only the key and the collapse column
+    assert_plan(df, "ReadSchema: struct<doc_id:bigint,lang:string>")
