@@ -807,6 +807,29 @@ def _phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESCORE_N, RESCORE_W = 100, 1.0
+
+
+def _rescored_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase retrieval (ES rescore): BM25 top-RESCORE_N candidates,
+    then final = bm25 + RESCORE_W * phrase_count('merge sort') over
+    ONLY those candidates — the expensive scorer never touches the rest
+    of the corpus."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir, positions=True)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25_rescored(
+        " ".join(Q_TERMS), " ".join(PHRASE), k=10,
+        n_candidates=RESCORE_N, weight=RESCORE_W,
+    )
+    docs = fts.docs().select("doc_id", "url")
+    return out.join(docs, "doc_id").select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _point_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver-side point-serving tier under the hash gate: the query is
     answered IN-PROCESS (no Spark job for the sweep — ``search_bm25_point``
@@ -943,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_significant_terms": _significant_terms,
         # hybrid lexical+vector search: BM25 ∪ ANN cosine, RRF-fused
         "hybrid_rrf_topk": _hybrid_search,
+        # two-phase rescoring (ES rescore): phrase-count boost applied
+        # to the BM25 top-N only
+        "fts_rescore_phrase": _rescored_search,
         # histogram facet (date-histogram analog): distinct matching docs
         # per 50-token doclen bucket, same doc-blob-only match set
         "fts_facet_histogram": _facet_histogram,
@@ -1641,6 +1667,38 @@ WHERE rn = 1 ORDER BY token
         f"i -> {_ppred}))::BIGINT AS phrase_count FROM base) "
         "SELECT doc_id, phrase_count FROM cnt WHERE phrase_count > 0"
     )
+    # two-phase rescore: top-N bm25 candidates re-sorted by
+    # raw + W * phrase_count (docs without the phrase keep their score)
+    rescore_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(doc_len) FROM dl) AS avgdl),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.avgdl))) AS raw
+  FROM tf JOIN q USING (term) JOIN stats s USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN params p
+  GROUP BY tf.doc_id),
+cand AS (SELECT doc_id, raw FROM scored
+         ORDER BY round(raw, 6) DESC, doc_id LIMIT {RESCORE_N}),
+pbase AS (SELECT doc_id,
+  list_filter(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{Nd}}]+'),
+    t -> (strlen(t) >= 3 OR regexp_full_match(t, '[0-9]{{1,19}}'))
+         AND t NOT IN ({_STOP_IN})) AS ts FROM documents),
+pcnt AS (SELECT doc_id,
+  len(list_filter(generate_series(1, greatest(len(ts)-{len(PHRASE)-1}, 0)),
+      i -> {_ppred}))::BIGINT AS phrase_count FROM pbase),
+resc AS (SELECT c.doc_id,
+                c.raw + {RESCORE_W} * coalesce(p.phrase_count, 0) AS fin
+         FROM cand c LEFT JOIN pcnt p USING (doc_id))
+SELECT doc_id, round(fin, 4) AS score FROM resc
+ORDER BY round(fin, 6) DESC, doc_id LIMIT 10
+"""
     # per-query (query_id, term, mult) after 'simple'-preset normalization
     # of BATCH_QUERIES — single simple words, multiplicity 1 each
     batch_q_values = ", ".join(
@@ -1723,6 +1781,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_collapse_bm25": collapse_sql,
         "fts_significant_terms": sig_terms_sql,
         "hybrid_rrf_topk": hybrid_sql,
+        "fts_rescore_phrase": rescore_sql,
         "fts_facet_histogram": hist_sql,
         "fts_facet_stats": stats_facet_sql,
         "fts_explain_bm25": explain_sql,

@@ -1151,6 +1151,25 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
         STEAL_SERVE_TICKS, _phrase_point_once,
     )
     timings["query_point_phrase_ms"] = phrase_point_ms
+
+    # two-phase rescore (ES rescore analog): BM25 top-100 + phrase-count
+    # boost over only those candidates — phase 1 one WAND job, phase 2
+    # one positional job against a LocalRelation candidate list
+    def _rescore_once():
+        lat = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fts_pos.search_bm25_rescored(
+                pg_q, "french hotel", k=10, n_candidates=100
+            ).collect()
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    rescore_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_rescore",
+        STEAL_SERVE_TICKS, _rescore_once,
+    )
+    timings["query_rescore_ms"] = rescore_ms
     fts_pos.close()
 
     # ---- 3e. batch scoring: the whole reference query set in ONE Spark

@@ -206,6 +206,22 @@ class FtsEngine:
             query, collapse=collapse, k=self.options.k if k is None else k
         )
 
+    def search_rescored(
+        self,
+        query: str,
+        phrase: str,
+        k: int | None = None,
+        n_candidates: int = 100,
+        weight: float = 1.0,
+    ) -> DataFrame:
+        """Two-phase retrieval (Elasticsearch ``rescore``): BM25 top-N,
+        then final = bm25 + weight * phrase_count over only those N
+        (see :meth:`FtsIndex.search_bm25_rescored`)."""
+        return self.index.search_bm25_rescored(
+            query, phrase, k=self.options.k if k is None else k,
+            n_candidates=n_candidates, weight=weight,
+        )
+
     def significant_terms(
         self, query: str, k: int = 20, min_fg_df: int = 3
     ) -> DataFrame:

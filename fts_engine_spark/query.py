@@ -1177,6 +1177,62 @@ class FtsIndex:
             .where(F.col("n_docs") > 0)
         )
 
+    def search_bm25_rescored(
+        self,
+        query: str,
+        phrase: str,
+        k: int = 10,
+        n_candidates: int = 100,
+        weight: float = 1.0,
+        preset: str | None = None,
+    ) -> DataFrame:
+        """Two-phase retrieval (the Elasticsearch ``rescore`` analog):
+        a cheap BM25 first pass takes the top ``n_candidates`` (WAND,
+        block-partial decode), then ONLY those candidates are rescored
+        by an expensive secondary signal — here exact phrase-occurrence
+        count from the positional sidecar:
+        ``final = bm25 + weight * phrase_count(doc)``. Docs without the
+        phrase keep their BM25 score; the re-sorted top-k is returned as
+        ``(doc_id, score)``.
+
+        This is the standard serving economics at scale: the expensive
+        scorer runs on N docs, not the corpus. Phase 2 costs one
+        positional query — itself bounded by the phrase terms' posting
+        sizes — and a broadcast join against the N-row candidate set; no
+        source-table scan, no per-candidate re-analysis. Requires a
+        ``store_positions=True`` build (raises
+        ``PositionsUnavailableError`` otherwise, like
+        :meth:`search_phrase_positional`)."""
+        # materialize the N-row candidate list locally (the search_full
+        # pattern): phase 1 runs ONCE, and both phase-2 joins reference a
+        # LocalRelation instead of re-executing the WAND lineage
+        phase1 = self.search_bm25(
+            query, k=n_candidates, preset=preset, mode="wand"
+        )
+        cand = self.spark.createDataFrame(phase1.collect(), phase1.schema)
+        # the phrase-match set is corpus-dependent (unbounded); restrict
+        # it to the N candidates FIRST — the broadcast ships the N-row
+        # candidate ids, and the final join's right side is then <= N
+        # rows, so both joins stay broadcast-sized at any corpus scale
+        ph = (
+            self.search_phrase_positional(phrase, k=0)
+            .select("doc_id", "phrase_count")
+            .join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+        )
+        final = (
+            F.col("score")
+            + F.lit(float(weight))
+            * F.coalesce(F.col("phrase_count").cast("double"), F.lit(0.0))
+        )
+        out = (
+            cand.join(F.broadcast(ph), "doc_id", "left")
+            .select("doc_id", final.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        if k > 0:
+            out = out.limit(k)
+        return out
+
     def search_bm25_collapsed(
         self,
         query: str,

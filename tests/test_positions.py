@@ -414,3 +414,60 @@ def test_phrase_point_excludes_tombstones(spark, pos_docs, tmp_path_factory):
         assert dead_id not in got
     finally:
         fts.close()
+
+
+# ------------------------------------------------- two-phase rescoring
+
+
+def test_rescore_matches_hand_computation(spark, pos_index):
+    """final = bm25 + weight * phrase_count over the top-N candidates,
+    re-sorted — computed by hand from the two phase outputs."""
+    fts = FtsIndex(spark, pos_index)
+    cand = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fts.search_bm25("merge sort data", k=5).collect()
+    ]
+    counts = {
+        int(r["doc_id"]): int(r["phrase_count"])
+        for r in fts.search_phrase_positional("merge sort", k=0).collect()
+    }
+    w = 0.5
+    expect = sorted(
+        ((d, s + w * counts.get(d, 0)) for d, s in cand),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fts.search_bm25_rescored(
+            "merge sort data", "merge sort", k=3, n_candidates=5, weight=w
+        ).collect()
+    ]
+    assert [(d, round(s, 9)) for d, s in got] == [
+        (d, round(s, 9)) for d, s in expect
+    ]
+
+
+def test_rescore_actually_reorders(spark, pos_index):
+    """Doc 4 (three phrase hits) must overtake pure-BM25 leaders when the
+    phrase weight is large."""
+    fts = FtsIndex(spark, pos_index)
+    base = [
+        int(r["doc_id"])
+        for r in fts.search_bm25("merge sort data", k=5).collect()
+    ]
+    resc = [
+        int(r["doc_id"])
+        for r in fts.search_bm25_rescored(
+            "merge sort data", "merge sort", k=5, n_candidates=5, weight=10.0
+        ).collect()
+    ]
+    assert set(resc) == set(base)  # rescoring reorders, never re-retrieves
+    assert resc[0] == 4 and resc != base
+
+
+def test_rescore_without_positions_raises(spark, small_index):
+    from fts_engine_spark.positions import PositionsUnavailableError
+
+    fts = FtsIndex(spark, small_index[0])
+    with pytest.raises(PositionsUnavailableError):
+        fts.search_bm25_rescored("turtle hotel", "french hotel", k=5)
