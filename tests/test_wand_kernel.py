@@ -603,3 +603,66 @@ def test_dense_path_bit_identical_to_segment_sweep():
         assert set(d_d) == set(d_s)
         for doc in d_d:
             assert d_d[doc] == d_s[doc], (doc, d_d[doc], d_s[doc])
+
+
+def test_cursor_pages_tile_full_ordering_property():
+    """Property test for search_after inside the kernel: on randomized
+    corpora with adversarial block sizes, chained cursor pages —
+    admission at round-6 with doc_id tiebreaks (_after_keep) — must tile
+    the full (round6(score) desc, doc_id asc) ordering exactly, for
+    every page size, with no doc repeated, dropped, or reordered."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fts_engine_spark.query import _round6, make_wand_kernel
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(10, 300),
+        skip=st.sampled_from([1, 3, 16, 128]),
+        page=st.sampled_from([1, 3, 7, 10]),
+        n_terms=st.integers(1, 10),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, skip, page, n_terms, seed):
+        rng = np.random.default_rng(seed)
+        dls_all = rng.integers(1, 200, size=n).astype(np.int64)
+        avgdl = float(dls_all.mean())
+        rows = []
+        for ti in range(n_terms):
+            m = int(rng.integers(1, n + 1))
+            local = np.sort(rng.choice(n, size=m, replace=False))
+            tfs = rng.integers(1, 50, size=m).astype(np.int64)
+            rows.append(
+                _make_row_skip(
+                    f"t{ti}", local, tfs, dls_all[local],
+                    mult=int(rng.integers(1, 4)), df=m, skip=skip,
+                    shard_id=0,
+                )
+            )
+        pdf = pd.DataFrame(rows)
+        full_kernel = make_wand_kernel(n, SHARD_SIZE, avgdl, 0)
+        out = full_kernel(None, pdf)
+        full = sorted(
+            zip(out["doc_id"].astype(int), out["score"].astype(float)),
+            key=lambda r: (-_round6(r[1]), r[0]),
+        )
+        pages, cursor = [], None
+        for _ in range(len(full) // page + 2):
+            kern = make_wand_kernel(
+                n, SHARD_SIZE, avgdl, page, after=cursor
+            )
+            o = kern(None, pdf)
+            rows_p = sorted(
+                zip(o["doc_id"].astype(int), o["score"].astype(float)),
+                key=lambda r: (-_round6(r[1]), r[0]),
+            )
+            if not rows_p:
+                break
+            pages.extend(rows_p)
+            cursor = (_round6(rows_p[-1][1]), rows_p[-1][0])
+        assert [d for d, _ in pages] == [d for d, _ in full]
+        for (_, sa), (_, sb) in zip(pages, full):
+            assert abs(sa - sb) < 1e-12
+
+    check()
