@@ -1170,6 +1170,37 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
         STEAL_SERVE_TICKS, _rescore_once,
     )
     timings["query_rescore_ms"] = rescore_ms
+
+    # point-tier rescore: both phases in-process (parity asserted first)
+    pt_re = fts_pos.search_bm25_rescored_point(
+        pg_q, "french hotel", k=10, n_candidates=100
+    )
+    di_re = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fts_pos.search_bm25_rescored(
+            pg_q, "french hotel", k=10, n_candidates=100
+        ).collect()
+    ]
+    if [(d, round(s, 9)) for d, s in pt_re] != [
+        (d, round(s, 9)) for d, s in di_re
+    ]:
+        raise RuntimeError("point-tier rescore parity failure")
+
+    def _rescore_point_once():
+        lat = []
+        for _ in range(10):
+            t0 = time.monotonic()
+            fts_pos.search_bm25_rescored_point(
+                pg_q, "french hotel", k=10, n_candidates=100
+            )
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 2)
+
+    rescore_pt_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_point_rescore",
+        STEAL_SERVE_TICKS, _rescore_point_once,
+    )
+    timings["query_point_rescore_ms"] = rescore_pt_ms
     fts_pos.close()
 
     # ---- 3e. batch scoring: the whole reference query set in ONE Spark

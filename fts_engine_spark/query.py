@@ -1233,6 +1233,32 @@ class FtsIndex:
             out = out.limit(k)
         return out
 
+    def search_bm25_rescored_point(
+        self,
+        query: str,
+        phrase: str,
+        k: int = 10,
+        n_candidates: int = 100,
+        weight: float = 1.0,
+        preset: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """:meth:`search_bm25_rescored` below the Spark job floor: the
+        point BM25 tier supplies the top-N candidates and the positional
+        point tier the phrase counts; the boost + re-sort is driver-side
+        arithmetic over N rows. Each tier falls back to its distributed
+        plan independently when it cannot serve, so results are always
+        exactly the distributed rescore's (asserted in
+        tests/test_positions.py)."""
+        cand = self.search_bm25_point(
+            query, k=n_candidates, preset=preset
+        )
+        counts = dict(self.search_phrase_point(phrase, k=0))
+        out = [
+            (d, s + float(weight) * counts.get(d, 0)) for d, s in cand
+        ]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k] if k > 0 else out
+
     def search_bm25_collapsed(
         self,
         query: str,

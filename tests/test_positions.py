@@ -471,3 +471,26 @@ def test_rescore_without_positions_raises(spark, small_index):
     fts = FtsIndex(spark, small_index[0])
     with pytest.raises(PositionsUnavailableError):
         fts.search_bm25_rescored("turtle hotel", "french hotel", k=5)
+
+
+def test_rescore_point_tier_matches_distributed(spark, pos_index):
+    fts = FtsIndex(spark, pos_index)
+    fts.warm().enable_point_serving()
+    try:
+        dist = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in fts.search_bm25_rescored(
+                "merge sort data", "merge sort", k=5, n_candidates=5,
+                weight=2.0,
+            ).collect()
+        ]
+        point = [
+            (d, round(s, 9))
+            for d, s in fts.search_bm25_rescored_point(
+                "merge sort data", "merge sort", k=5, n_candidates=5,
+                weight=2.0,
+            )
+        ]
+        assert point == dist and dist
+    finally:
+        fts.close()
