@@ -187,11 +187,23 @@ def _regex_literal_prefix(pattern: str) -> str:
     """The literal run before the first regex metacharacter — pushed as a
     ``StartsWith`` conjunct into the terms scan (same row-group prune the
     wildcard rewrite gets) and used to bound the point tier's bisect.
-    Conservative: any metacharacter ends the literal run (a trailing
-    quantifier can shorten what precedes it, so the char BEFORE a
-    quantifier is excluded too)."""
+    Conservative on two fronts: any metacharacter ends the literal run
+    (a trailing quantifier can shorten what precedes it, so the char
+    BEFORE a quantifier is excluded too), and a TOP-LEVEL alternation
+    voids the prefix entirely — in ``scan|sort`` the run "scan" is not a
+    required prefix of every match, so pushing it would silently drop
+    the other branch (the alternation must sit inside a group, as in
+    ``s(can|ort)``, for the prefix to survive)."""
+    depth = 0
+    for ch in pattern:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
     lit = []
-    for i, ch in enumerate(pattern):
+    for ch in pattern:
         if ch in _REGEX_META:
             # a quantifier makes the previous char optional/repeating
             if ch in "*+?{" and lit:

@@ -247,6 +247,10 @@ def test_regexp_literal_prefix():
     assert _regex_literal_prefix(".*x") == ""
     assert _regex_literal_prefix("plain") == "plain"
     assert _regex_literal_prefix("ab?c") == "a"
+    # top-level alternation voids the prefix — "scan" is not a required
+    # prefix of 'scan|sort' matches; grouped alternation keeps it
+    assert _regex_literal_prefix("scan|sort") == ""
+    assert _regex_literal_prefix("s(can|ort)") == "s"
 
 
 def test_regexp_search_equals_manual_expansion(index):
@@ -290,6 +294,11 @@ def test_regexp_point_tier_matches_distributed(index):
         )
     finally:
         index.close()
+
+
+def test_regexp_toplevel_alternation_matches_both_branches(index):
+    both = index.expand_terms("school|student", "regexp", max_expand=100)
+    assert set(both) == {"school", "student"}
 
 
 def test_regexp_no_match_and_plain_tokens(index):
