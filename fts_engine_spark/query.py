@@ -1490,8 +1490,18 @@ class FtsIndex:
         1. The cursor score is canonicalized to 6 decimals (half-up —
         the serving order's own precision), so a page boundary inside a
         round-6 tie is resolved by doc_id, deterministically, on every
-        path (wand kernel, relational plan, point tier). Mutually
-        exclusive with ``offset``.
+        path (wand kernel, relational plan, point tier) — round-6 is
+        what makes a cursor produced by one path valid on another (raw
+        float sums differ in late bits between the kernel, the
+        relational aggregate, and any SQL twin). Mutually exclusive
+        with ``offset``. Known tie caveat: if two documents' raw scores
+        DIFFER but round to the same 6th decimal, the engine's
+        raw-order emission inside that tie can disagree with the
+        cursor's round-6 order, and a boundary landing exactly there
+        may skip a tie member — the same latent tie ambiguity every
+        result ordering has at 1e-6 granularity; real BM25 score sets
+        are round-6-clean in practice (property-tested on clean
+        corpora in tests/test_wand_kernel.py).
 
         ``conjunctive=True`` is AND semantics (the default mode of most
         web search boxes): only documents containing EVERY distinct query
