@@ -55,6 +55,12 @@ NOT_EXCLUDE = ["merge", "sort"]
 # mult 1 each, so the oracle reuses the bm25 CTE; gates: MUST 'table',
 # MUST (value OR fast), NOT 'merge'
 BOOL_QUERY = "+table +(value OR fast) data -merge"
+# query-string row: the full ES/Lucene query_string composition — a
+# term boost (fast^2.5 -> mult 2.5 in the oracle's q VALUES), a MUST
+# term, a NOT term, a metadata equality filter (lang:en) and a numeric
+# metadata range filter (doclen, the stored analyzed token count ==
+# the oracle's dl CTE) in ONE parsed string
+QS_QUERY = "value fast^2.5 +table -merge lang:en doclen:[40 TO 400]"
 # more-like-this row: source doc (original id), selection bound — the
 # characteristic terms of that doc (tf desc, df asc, term asc LIMIT n)
 # run as an OR BM25 query with the source excluded
@@ -474,6 +480,24 @@ def _index_search(
         conjunctive=conjunctive, exclude=exclude, within=within,
         min_match=min_match, offset=offset,
     )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+def _query_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full query-string composition (QS_QUERY): boost + MUST + NOT +
+    metadata equality/range filters in one parsed string. Boosts ride
+    the mult column/closure (weight = mult * idf, so the oracle models
+    them as fractional q VALUES); field filters resolve against the
+    stored docs table into the within restriction — they never touch
+    the inverted index."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_boolean(QS_QUERY, k=10, hydrate=True)
     return out.select(
         F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
         F.round(F.col("score"), 4).alias("score"),
@@ -948,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boolean query string: +MUST groups (bitmask coverage in the
         # kernel) + NOT in one parsed surface (queryparse.py)
         "fts_boolean_bm25": _bool_search,
+        "fts_query_string_bm25": _query_string_search,
         # query-time synonym groups, Lucene SynonymQuery semantics
         # (group tf-sum / df-max — not an OR rewrite)
         "fts_synonym_bm25": _synonym_search,
@@ -1528,6 +1553,33 @@ ORDER BY c.doc_id, c.term
         "AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')",
     )
     assert bm25_bool != bm25
+    # query string (QS_QUERY): boosted weights are fractional mults in
+    # q VALUES (weight = mult * idf, exactly the engine's factoring);
+    # MUST/NOT gate like the boolean row; the lang filter reads the
+    # documents table, the doclen range the dl CTE (the stored doclen
+    # column IS the analyzed token count dl computes)
+    bm25_qs = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(doc_len) FROM dl) AS avgdl),
+q(term, mult) AS (VALUES ('value', 1.0), ('fast', 2.5), ('table', 1.0)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.avgdl))) AS raw
+  FROM tf JOIN q USING (term) JOIN stats s USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN params p
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')
+  AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  AND doc_id IN (SELECT doc_id FROM dl WHERE doc_len BETWEEN 40 AND 400)
+ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
+"""
     # synonym groups (Lucene SynonymQuery): one row per analyzed member
     # with its group id; per (doc, group) the tfs SUM, the group df is
     # the MAX member df, one idf/saturation per group — the exact shape
@@ -1764,6 +1816,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_and": bm25_and,
         "fts_index_bm25_not": bm25_not,
         "fts_boolean_bm25": bm25_bool,
+        "fts_query_string_bm25": bm25_qs,
         "fts_synonym_bm25": bm25_syn,
         "fts_more_like_this": bm25_mlt,
         "fts_suggest": suggest_sql,

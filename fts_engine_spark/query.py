@@ -523,9 +523,12 @@ class FtsIndex:
             out.append(QueryTermStats(t, m, df, cf, bm25_idf(self.n_docs, df)))
         return out
 
-    def _mult_df(self, mult: dict[str, int]) -> DataFrame:
+    def _mult_df(self, mult: dict[str, float]) -> DataFrame:
+        # double, not int: boosted queries (queryparse `word^2.5`) carry
+        # fractional weights; the column only ever multiplies idf, so
+        # unboosted queries score bit-identically to the old int column
         return self.spark.createDataFrame(
-            list(mult.items()), "term string, mult int"
+            [(t, float(m)) for t, m in mult.items()], "term string, mult double"
         )
 
     def _query_postings(self, mult: dict[str, int]) -> DataFrame:
@@ -569,12 +572,12 @@ class FtsIndex:
         collect per query."""
         if self._term_dict is not None:
             rows = [
-                (t, m, self._term_dict[t][0])
+                (t, float(m), self._term_dict[t][0])
                 for t, m in mult.items()
                 if t in self._term_dict
             ]
             rel = self.spark.createDataFrame(
-                rows, "term string, mult int, df long"
+                rows, "term string, mult double, df long"
             )
             df = self._read_postings().join(F.broadcast(rel), "term")
             if dict(df.dtypes).get("shard_id") != "bigint":
@@ -666,6 +669,34 @@ class FtsIndex:
             .where(F.col("url").isin(list(within)))
             .select("doc_id")
         )
+
+    def _filters_df(self, filters) -> DataFrame:
+        """Resolve queryparse ``FieldFilter``s to a (doc_id) restriction
+        over the stored docs table. Equality compares the column as a
+        string; range endpoints cast to the column's own type (so
+        ``doclen:[100 TO 500]`` is numeric, not lexicographic). SQL NULL
+        semantics apply: a document with NULL metadata matches no filter,
+        negated or not. Unknown fields raise (a typo'd field silently
+        matching nothing is the worse failure)."""
+        docs = self.docs()
+        available = set(docs.columns) - {"doc_id", "url_md5"}
+        cond = None
+        for f in filters:
+            if f.field not in available:
+                raise ValueError(
+                    f"unknown filter field {f.field!r}; stored doc "
+                    f"fields: {sorted(available)}"
+                )
+            col = F.col(f.field)
+            if f.value is not None:
+                c = col.cast("string") == f.value
+            else:
+                dt = docs.schema[f.field].dataType
+                c = col.between(F.lit(f.lo).cast(dt), F.lit(f.hi).cast(dt))
+            if f.negate:
+                c = ~c
+            cond = c if cond is None else cond & c
+        return docs.where(cond).select("doc_id")
 
     def _within_ids(self, incl_df: DataFrame | None):
         """Sorted include-id array for the WAND broadcast, or the
@@ -2322,12 +2353,19 @@ class FtsIndex:
         provably empty (a required pattern with zero dictionary
         expansions, or a required group wholly excluded). Analyzer-empty
         required clauses (pure stopwords) drop like Lucene's."""
-        mult: dict[str, int] = {}
-        for t in self._resolve_atoms(bq.should, preset, max_expand, point):
-            mult[t] = mult.get(t, 0) + 1
+        mult: dict[str, float] = {}
+        # per-atom resolution so a `word^2.5` boost weights exactly its
+        # own expansions (duplicates still accumulate, like repeated words)
+        for a in bq.should:
+            for t in self._resolve_atoms([a], preset, max_expand, point):
+                mult[t] = mult.get(t, 0) + a.boost
         groups: list[set[str]] = []
         for g in bq.groups:
-            terms = self._resolve_atoms(g, preset, max_expand, point)
+            terms: list[str] = []
+            for a in g:
+                for t in self._resolve_atoms([a], preset, max_expand, point):
+                    mult[t] = mult.get(t, 0) + a.boost
+                    terms.append(t)
             if not terms:
                 if any(a.kind != "term" for a in g):
                     # a required pattern with zero dictionary expansions
@@ -2336,8 +2374,6 @@ class FtsIndex:
                 # required clause entirely removed by the analyzer
                 # (stopwords / min-len): the clause drops, not the query
                 continue
-            for t in terms:
-                mult[t] = mult.get(t, 0) + 1
             groups.append(set(terms))
         excl: dict[str, int] = {}
         for t in self._resolve_atoms(bq.must_not, preset, max_expand, point):
@@ -2384,9 +2420,18 @@ class FtsIndex:
         groups: every result matches at least one term of every
         required group), ``-word`` / ``-(a b)`` (MUST NOT), ``"a b"``
         (required phrase, positional table), ``pre*`` (prefix
-        expansion), ``word~N`` (fuzzy expansion) — grammar and
-        semantics in :mod:`fts_engine_spark.queryparse`. An extension
-        over the reference's plain OR query (``engine.go:82-158``).
+        expansion), ``word~N`` (fuzzy expansion), ``word^2.5`` (term
+        boost: multiplies the word's BM25 weight, riding the same
+        ``mult`` column/closure the multiplicity weight uses — WAND
+        block bounds stay exact because the kernel's upper bounds are
+        weight-scaled per term), and ``field:value`` /
+        ``field:[lo TO hi]`` metadata filters (``-field:...`` negated)
+        resolved against the stored docs table and intersected into the
+        ``within`` restriction — grammar and semantics in
+        :mod:`fts_engine_spark.queryparse`. A filters-only query (no
+        scoring clause) returns empty like a pure-negative one: the
+        engine ranks, it is not a metadata SELECT. An extension over
+        the reference's plain OR query (``engine.go:82-158``).
 
         Scoring is plain OR-accumulate BM25 over ALL scoring terms
         (should + group + phrase terms); the boolean structure only
@@ -2420,6 +2465,13 @@ class FtsIndex:
         mult, groups, excl = resolved
 
         incl_df = self._within_df(within)
+        if bq.filters:
+            fdf = self._filters_df(bq.filters)
+            incl_df = (
+                fdf
+                if incl_df is None
+                else incl_df.join(fdf, "doc_id", "left_semi")
+            )
         for ph in bq.phrases:
             ph_docs = self.search_phrase_positional(ph, k=0).select("doc_id")
             incl_df = (
@@ -3111,7 +3163,8 @@ class FtsIndex:
         ):
             return fallback()
         bq = parse_query(query)
-        if bq.phrases:
+        if bq.phrases or bq.filters:
+            # positional match / metadata gate both need a Spark job
             return fallback()
         preset = preset or (
             "multilingual" if self.preset == "by_lang" else self.preset
@@ -3470,7 +3523,7 @@ def _parse_posting_row(row, base: int, counters) -> dict | None:
         "tf_off": np.asarray(row.skip_tf_off, dtype=np.int64),
         "dl_off": np.asarray(row.skip_dl_off, dtype=np.int64),
         "count": int(cnt),
-        "row_mult": int(getattr(row, "mult", 1)),
+        "row_mult": float(getattr(row, "mult", 1)),
         "row_df": int(getattr(row, "df", 0)),
         "decoded": None,  # full-decode cache (tiny lists)
         "blocks": {},  # block idx -> (doc_ids, base_scores)
@@ -3961,7 +4014,7 @@ def make_wand_kernel(
                     # pruning='none' (a valid strategy) passes every shard
                     # term through; non-query terms score nothing
                     continue
-                mult, df_ = int(stats[0]), int(stats[1])
+                mult, df_ = float(stats[0]), int(stats[1])
             else:
                 mult, df_ = t["row_mult"], t["row_df"]
             weighted.append((mult * bm25_idf(n_docs, df_), t))
@@ -4024,7 +4077,7 @@ def make_wand_batch_kernel(
         for qid in sorted(per_query):
             require_n = len(per_query[qid]) if conjunctive else 0
             weighted = [
-                (int(m) * bm25_idf(n_docs, int(df_)), term_map[t])
+                (float(m) * bm25_idf(n_docs, int(df_)), term_map[t])
                 for t, (m, df_) in per_query[qid].items()
                 if t in term_map
             ]

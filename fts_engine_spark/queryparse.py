@@ -3,12 +3,15 @@
 Grammar (whitespace-separated clauses, one line):
 
     query   := clause+
-    clause  := ['+' | '-'] atom
+    clause  := ['+' | '-'] (atom | filter)
     atom    := group | phrase | word
     group   := '(' word (['OR'] word)* ')'
     phrase  := '"' word+ '"'
-    word    := text['*']          -- trailing * = prefix pattern
-             | text'~'[digits]    -- trailing ~[N] = fuzzy pattern (default 1)
+    word    := pattern['^' float]  -- trailing ^N = term boost (weight)
+    pattern := text['*']           -- trailing * = prefix pattern
+             | text'~'[digits]     -- trailing ~[N] = fuzzy pattern (default 1)
+    filter  := ident ':' value     -- metadata equality gate (lang:en)
+             | ident ':[' v ' TO ' v ']'  -- inclusive metadata range
 
 Semantics (resolved by ``FtsIndex.search_boolean``):
 
@@ -25,6 +28,13 @@ Semantics (resolved by ``FtsIndex.search_boolean``):
 * prefix/fuzzy words expand against the index dictionary at search
   time; inside a ``+`` clause the whole expansion is ONE required group
   ("at least one word with this prefix"), matching ``term LIKE 'p%'``.
+* ``word^2.5`` — BOOST: multiplies the word's BM25 weight (Lucene's
+  ``^``); on a pattern the boost applies to every expanded term.
+* ``field:value`` / ``field:[lo TO hi]`` — FIELD FILTER: required
+  metadata gate against a stored docs-table column (``lang:en``,
+  ``doclen:[100 TO 500]``); ``-field:...`` negates. Filters never touch
+  the inverted index — they resolve to a doc-id restriction (the
+  ``within`` mechanism) intersected with the scored candidates.
 
 Top-level ``OR`` / ``AND`` keywords are separators only (space already
 means OR; use ``+`` for AND) — they are skipped case-insensitively so
@@ -39,11 +49,18 @@ subset that web search boxes expose.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
-__all__ = ["Atom", "BooleanQuery", "parse_query"]
+__all__ = ["Atom", "BooleanQuery", "FieldFilter", "parse_query"]
 
 _SEPARATORS = {"or", "and", "||", "&&"}
+
+# a clause is a field filter when it looks like `ident:rest` with a
+# non-empty rest that is not a URL-ish `//...` (so a literal token like
+# doc://5 keeps parsing as a word — the analyzer splits it anyway)
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(?!//)(.+)$", re.S)
+_RANGE_RE = re.compile(r"^\[\s*(\S+)\s+TO\s+(\S+)\s*\]$", re.I)
 
 
 @dataclass(frozen=True)
@@ -51,8 +68,25 @@ class Atom:
     """One query word: exact term, prefix pattern, or fuzzy pattern."""
 
     kind: str  # 'term' | 'prefix' | 'fuzzy'
-    text: str  # raw text, pre-normalization (no trailing * / ~N)
+    text: str  # raw text, pre-normalization (no trailing * / ~N / ^boost)
     max_dist: int = 1  # fuzzy only
+    boost: float = 1.0  # multiplicative term weight (`word^2.5`)
+
+
+@dataclass(frozen=True)
+class FieldFilter:
+    """Metadata gate `field:value` / `field:[lo TO hi]` — the ES
+    ``query_string`` field-query analog, restricted to stored document
+    metadata (it never touches the inverted index). `-field:...`
+    negates. Equality compares the stored column as a string; range
+    endpoints are cast to the column's type at resolution time, both
+    ends inclusive (Lucene's `[a TO b]`)."""
+
+    field: str
+    negate: bool = False
+    value: str | None = None  # equality (exclusive with lo/hi)
+    lo: str | None = None  # range, inclusive
+    hi: str | None = None
 
 
 @dataclass
@@ -61,23 +95,60 @@ class BooleanQuery:
     groups: list[list[Atom]] = field(default_factory=list)  # required, OR within
     must_not: list[Atom] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)  # required, raw text
+    filters: list[FieldFilter] = field(default_factory=list)  # all required
 
     def is_empty(self) -> bool:
-        return not (self.should or self.groups or self.must_not or self.phrases)
+        return not (
+            self.should
+            or self.groups
+            or self.must_not
+            or self.phrases
+            or self.filters
+        )
 
 
-def _classify(token: str) -> Atom:
-    """term / trailing-* prefix / trailing-~N fuzzy."""
+def _split_boost(token: str, where: str) -> tuple[str, float]:
+    """Strip a trailing `^<float>` boost. `^` is not an analyzer
+    character, so a bare trailing caret is always a malformed boost —
+    raise rather than silently searching for a literal caret."""
+    caret = token.rfind("^")
+    if caret <= 0:
+        return token, 1.0
+    suffix = token[caret + 1:]
+    try:
+        boost = float(suffix)
+    except ValueError:
+        raise ValueError(f"malformed boost {token!r} in {where}") from None
+    if not boost > 0:
+        raise ValueError(f"boost must be > 0: {token!r} in {where}")
+    return token[:caret], boost
+
+
+def _classify(token: str, where: str = "query") -> Atom:
+    """term / trailing-* prefix / trailing-~N fuzzy, each with an
+    optional trailing ^boost (`word^2`, `pre*^1.5`, `word~2^3`)."""
+    token, boost = _split_boost(token, where)
     if len(token) > 1 and token.endswith("*"):
-        return Atom("prefix", token[:-1])
+        return Atom("prefix", token[:-1], boost=boost)
     tilde = token.rfind("~")
     if tilde > 0:  # at least one char before ~
         suffix = token[tilde + 1:]
         if suffix == "":
-            return Atom("fuzzy", token[:tilde], 1)
+            return Atom("fuzzy", token[:tilde], 1, boost)
         if suffix.isdigit():
-            return Atom("fuzzy", token[:tilde], max(1, int(suffix)))
-    return Atom("term", token)
+            return Atom("fuzzy", token[:tilde], max(1, int(suffix)), boost)
+    return Atom("term", token, boost=boost)
+
+
+def _field_filter(name: str, rest: str, negate: bool) -> FieldFilter:
+    m = _RANGE_RE.match(rest)
+    if m:
+        return FieldFilter(name, negate, lo=m.group(1), hi=m.group(2))
+    if rest.startswith("["):
+        raise ValueError(
+            f"malformed range filter {name}:{rest!r} (want [lo TO hi])"
+        )
+    return FieldFilter(name, negate, value=rest)
 
 
 def parse_query(query: str) -> BooleanQuery:
@@ -139,11 +210,25 @@ def parse_query(query: str) -> BooleanQuery:
             j += 1
         token = query[i:j]
         i = j
+        # a field range filter (`ts:[lo TO hi]`) contains spaces — if the
+        # token opens a bracket it did not close, keep scanning to `]`
+        if _FIELD_RE.match(token) and "[" in token and "]" not in token:
+            end = query.find("]", i)
+            if end < 0:
+                raise ValueError(f"unbalanced [ in query {query!r}")
+            token += query[j:end + 1]
+            i = end + 1
         if token.lower() in _SEPARATORS:
             if sign:
                 raise ValueError(f"{sign}{token} is not a clause")
             continue
-        atom = _classify(token)
+        fm = _FIELD_RE.match(token)
+        if fm:
+            bq.filters.append(
+                _field_filter(fm.group(1), fm.group(2), sign == "-")
+            )
+            continue
+        atom = _classify(token, query)
         if sign == "-":
             bq.must_not.append(atom)
         elif sign == "+":

@@ -369,3 +369,160 @@ def test_boolean_phrase_restricts_and_scores(spark, pos_index):
     }
     for r in got.collect():
         assert round(float(r["score"]), 9) == base[int(r["doc_id"])]
+
+
+# --------------------------------------------- boosts + field filters (r5)
+
+
+def test_parse_boosts():
+    bq = parse_query("french^2.5 hote*^1.5 quik~2^3 plain")
+    assert bq.should == [
+        Atom("term", "french", boost=2.5),
+        Atom("prefix", "hote", boost=1.5),
+        Atom("fuzzy", "quik", 2, 3.0),
+        Atom("term", "plain"),
+    ]
+    # boosts parse inside required/negated clauses and groups too
+    bq2 = parse_query("+castle^2 +(french^0.5 OR german) -turtle")
+    assert bq2.groups == [
+        [Atom("term", "castle", boost=2.0)],
+        [Atom("term", "french", boost=0.5), Atom("term", "german")],
+    ]
+
+
+@pytest.mark.parametrize("bad", ["word^", "word^0", "word^-1", "word^x"])
+def test_parse_boost_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def test_parse_field_filters():
+    from fts_engine_spark.queryparse import FieldFilter
+
+    bq = parse_query(
+        "turtle lang:en -lang:ru doclen:[5 TO 30] +source:web"
+    )
+    assert bq.filters == [
+        FieldFilter("lang", value="en"),
+        FieldFilter("lang", negate=True, value="ru"),
+        FieldFilter("doclen", lo="5", hi="30"),
+        FieldFilter("source", value="web"),  # '+' is a no-op: required anyway
+    ]
+    assert [a.text for a in bq.should] == ["turtle"]
+    # URL-ish colon tokens stay words (the analyzer splits them later)
+    assert parse_query("doc://5").should == [Atom("term", "doc://5")]
+    # range keyword is case-insensitive, bracket may contain spaces
+    assert parse_query("warc_ts:[2020-01-01 to 2021-01-01]").filters[0].hi == (
+        "2021-01-01"
+    )
+
+
+@pytest.mark.parametrize("bad", ["lang:[x]", "ts:[1 TO", "lang:[a TO b TO c]"])
+def test_parse_field_filter_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def test_boost_equals_duplicate_multiplicity(fts):
+    """`word^2` must be bit-identical to writing the word twice — both
+    are weight 2.0 on the same mult/idf factoring, in every mode."""
+    for mode in ("wand", "relational"):
+        want = _rows(fts.search_boolean("french french turtle", k=0, mode=mode))
+        got = _rows(fts.search_boolean("french^2 turtle", k=0, mode=mode))
+        assert got == want and got
+
+
+def test_boost_reweights_per_term_scores(fts):
+    """BM25 is per-term additive, so boosted scores must equal the
+    boost-weighted sum of single-term scores."""
+    s_fr = {
+        int(r["doc_id"]): float(r["score"])
+        for r in fts.search_bm25("french", k=0, mode="relational").collect()
+    }
+    s_tu = {
+        int(r["doc_id"]): float(r["score"])
+        for r in fts.search_bm25("turtle", k=0, mode="relational").collect()
+    }
+    got = {
+        int(r["doc_id"]): float(r["score"])
+        for r in fts.search_boolean("french^2.5 turtle^0.5", k=0).collect()
+    }
+    want = {}
+    for d in set(s_fr) | set(s_tu):
+        want[d] = 2.5 * s_fr.get(d, 0.0) + 0.5 * s_tu.get(d, 0.0)
+    assert set(got) == set(want)
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], abs=1e-9), d
+
+
+def test_field_filter_gates_not_rescores(fts):
+    """`lang:en` restricts candidacy via the docs table; surviving docs
+    keep their unfiltered scores, in both modes."""
+    en_ids = {
+        int(r["doc_id"])
+        for r in fts.docs().where(F.col("lang") == "en").select("doc_id").collect()
+    }
+    base = dict(_rows(fts.search_boolean("turtle castle", k=0)))
+    for mode in ("wand", "relational"):
+        got = _rows(fts.search_boolean("turtle castle lang:en", k=0, mode=mode))
+        assert got == sorted(
+            (d, s) for d, s in base.items() if d in en_ids
+        ), mode
+    # negated filter = the complement
+    got_not = _rows(fts.search_boolean("turtle castle -lang:en", k=0))
+    assert got_not == sorted(
+        (d, s) for d, s in base.items() if d not in en_ids
+    )
+
+
+def test_field_range_filter_numeric(fts):
+    """doclen:[lo TO hi] casts to the column type — numeric, inclusive
+    on both ends, composing with the boolean gates."""
+    dlen = {
+        int(r["doc_id"]): int(r["doclen"])
+        for r in fts.docs().select("doc_id", "doclen").collect()
+    }
+    lo, hi = 10, 40
+    base = dict(_rows(fts.search_boolean("turtle +hotel", k=0)))
+    got = _rows(
+        fts.search_boolean(f"turtle +hotel doclen:[{lo} TO {hi}]", k=0)
+    )
+    assert got == sorted(
+        (d, s) for d, s in base.items() if lo <= dlen[d] <= hi
+    )
+    assert got  # the range must actually keep something
+
+
+def test_field_filter_unknown_field_raises(fts):
+    with pytest.raises(ValueError, match="unknown filter field"):
+        fts.search_boolean("turtle nosuchfield:x", k=5).collect()
+
+
+def test_filters_only_query_empty(fts):
+    """No scoring clause -> empty, like a pure-negative query (the
+    engine ranks; it is not a metadata SELECT)."""
+    assert fts.search_boolean("lang:en", k=10).count() == 0
+
+
+def test_boolean_point_boost_matches_distributed(spark, small_index):
+    """Float boosts thread through the point tier's in-process sweep
+    bit-identically to the executors' kernel."""
+    index_dir, _meta = small_index
+    fts2 = FtsIndex(spark, index_dir).enable_point_serving()
+    try:
+        for q in ("french^2.5 turtle^0.5", "+castle^2 turtle"):
+            want = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in fts2.search_boolean(q, k=10).collect()
+            ]
+            assert fts2.search_boolean_point(q, k=10) == want, q
+        # a field filter needs the docs table -> distributed fallback,
+        # same rows
+        q = "turtle castle lang:en"
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts2.search_boolean(q, k=10).collect()
+        ]
+        assert fts2.search_boolean_point(q, k=10) == want
+    finally:
+        fts2.close()
