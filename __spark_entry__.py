@@ -61,6 +61,11 @@ BOOL_QUERY = "+table +(value OR fast) data -merge"
 # metadata range filter (doclen, the stored analyzed token count ==
 # the oracle's dl CTE) in ONE parsed string
 QS_QUERY = "value fast^2.5 +table -merge lang:en doclen:[40 TO 400]"
+# meta-passthrough row: filters on columns that exist ONLY because the
+# build persisted them via BuildConfig.meta_cols (source, n_chars join
+# back onto the docs table after the tokenize pass) — the oracle reads
+# the same columns off the source documents table
+QS_META_QUERY = "value fast +table source:src7 n_chars:[150 TO 450]"
 # more-like-this row: source doc (original id), selection bound — the
 # characteristic terms of that doc (tf desc, df asc, term asc LIMIT n)
 # run as an OR BM25 query with the source excluded
@@ -134,7 +139,9 @@ def _ensure_index(
         st_tag = f":st{STORED_VERSION}"
     else:
         st_tag = ""
-    variant = (":pos" if positions else "") + st_tag
+    # :m1 — docs-table metadata passthrough (meta_cols) added end of r5;
+    # the tag forces a fresh build past any on-disk cache without it
+    variant = ":m1" + (":pos" if positions else "") + st_tag
     key = hashlib.md5(
         f"{sf_dir}:v{META_VERSION}{variant}".encode()
     ).hexdigest()[:10]
@@ -147,10 +154,13 @@ def _ensure_index(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         "text",
         "lang",
+        "source",
+        "n_chars",
     )
     cfg = BuildConfig(
         preset="simple", shard_size=4096, id_buckets=16, n_waves=1,
         store_positions=positions, store_text=stored,
+        meta_cols=("source", "n_chars"),
     )
     build_index(spark, docs, index_dir, cfg, resume=True)
     _INDEX_CACHE[key] = index_dir
@@ -498,6 +508,21 @@ def _query_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _ensure_index(spark, sf_dir)
     fts = FtsIndex(spark, index_dir)
     out = fts.search_boolean(QS_QUERY, k=10, hydrate=True)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+def _query_string_meta_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QS_META_QUERY: field filters on meta_cols passthrough columns
+    (source, n_chars) — stored into the index docs table at build time
+    by one (url, meta) join that never crosses the Python boundary."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_boolean(QS_META_QUERY, k=10, hydrate=True)
     return out.select(
         F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
         F.round(F.col("score"), 4).alias("score"),
@@ -973,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kernel) + NOT in one parsed surface (queryparse.py)
         "fts_boolean_bm25": _bool_search,
         "fts_query_string_bm25": _query_string_search,
+        "fts_query_string_meta": _query_string_meta_search,
         # query-time synonym groups, Lucene SynonymQuery semantics
         # (group tf-sum / df-max — not an OR rewrite)
         "fts_synonym_bm25": _synonym_search,
@@ -1580,6 +1606,30 @@ WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
   AND doc_id IN (SELECT doc_id FROM dl WHERE doc_len BETWEEN 40 AND 400)
 ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
 """
+    # meta-passthrough query string (QS_META_QUERY): same shape, gates on
+    # the documents table's source/n_chars — the Spark side reads them off
+    # the index docs table where the build's meta_cols join persisted them
+    bm25_qs_meta = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(doc_len) FROM dl) AS avgdl),
+q(term, mult) AS (VALUES ('value', 1.0), ('fast', 1.0), ('table', 1.0)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.avgdl))) AS raw
+  FROM tf JOIN q USING (term) JOIN stats s USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN params p
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')
+  AND doc_id IN (SELECT doc_id FROM documents
+                 WHERE source = 'src7' AND n_chars BETWEEN 150 AND 450)
+ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
+"""
     # synonym groups (Lucene SynonymQuery): one row per analyzed member
     # with its group id; per (doc, group) the tfs SUM, the group df is
     # the MAX member df, one idf/saturation per group — the exact shape
@@ -1817,6 +1867,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_index_bm25_not": bm25_not,
         "fts_boolean_bm25": bm25_bool,
         "fts_query_string_bm25": bm25_qs,
+        "fts_query_string_meta": bm25_qs_meta,
         "fts_synonym_bm25": bm25_syn,
         "fts_more_like_this": bm25_mlt,
         "fts_suggest": suggest_sql,

@@ -119,6 +119,13 @@ class BuildConfig:
     # instead of scanning the source table; costs one narrow range
     # shuffle + a copy of the text bytes
     store_text: bool = False
+    # extra input metadata columns persisted into the docs table (e.g.
+    # warc_ts from the web-pages input_hint) so query-time field filters
+    # (`warc_ts:[a TO b]`, queryparse.py) can gate on them. Joined back
+    # on url AFTER the tokenize pass — metadata never crosses the
+    # Python/Arrow boundary; duplicate urls resolve per column via max()
+    # (deterministic; for a recrawl timestamp that is "latest wins")
+    meta_cols: tuple = ()
     extra: dict = field(default_factory=dict)
 
 
@@ -668,6 +675,23 @@ def build_index(
     # Only (url, text, lang) cross the Python stages — payload columns like
     # html:binary would otherwise be Arrow-serialized through every
     # mapInPandas pass (measured 1.8x tokenize cost on the bench corpus).
+    meta_cols = tuple(cfg.meta_cols)
+    if meta_cols:
+        reserved = {"doc_id", "url", "url_md5", "lang", "doclen", "text"}
+        clash = [c for c in meta_cols if c in reserved]
+        if clash:
+            raise ValueError(
+                f"meta_cols {clash} collide with built-in docs columns"
+            )
+        bad = [c for c in meta_cols if c not in docs.columns]
+        if bad:
+            raise ValueError(
+                f"meta_cols {bad} not in the input columns {docs.columns}"
+            )
+        # one narrow relation of (url, meta...) — html/text never ride it
+        meta_df = docs.groupBy("url").agg(
+            *[F.max(c).alias(c) for c in meta_cols]
+        )
     docs = docs.select("url", "text", "lang")
     id_buckets = cfg.id_buckets or max(
         64, spark.sparkContext.defaultParallelism * 4
@@ -694,6 +718,12 @@ def build_index(
         "lang",
         "doclen",
     )
+    if meta_cols:
+        # corpus-sized hash join on url: the one extra shuffle metadata
+        # passthrough costs, and it carries only (url, meta) bytes
+        docs_table = docs_table.join(meta_df, "url", "left").select(
+            "doc_id", "url", "url_md5", "lang", "doclen", *meta_cols
+        )
     docs_path = os.path.join(index_dir, "docs")
     t_phase = time.monotonic()
     if not (resume and manifest.is_done("docs")):
@@ -842,6 +872,10 @@ def build_index(
         # parquet term-bloom filters like the original build did instead
         # of silently falling back to the 65536 default
         "bloom_ndv": int(cfg.bloom_ndv),
+        # persisted so incremental appends / upserts stage their delta
+        # docs table with the SAME metadata columns (a splice without
+        # them would leave delta rows NULL where full rows have values)
+        "meta_cols": list(meta_cols),
         "build_seconds": time.monotonic() - t_start,
         "build_phases": phases,
     }

@@ -44,6 +44,9 @@ class EngineOptions:
     # persist text doc_id-sorted beside the index (stored.py) so
     # snippets/hydration point-read k row groups without the source table
     store_text: bool = False
+    # extra input metadata columns stored in the docs table for
+    # query-time field filters (build.BuildConfig.meta_cols)
+    meta_cols: tuple = ()
 
 
 class FtsEngine:
@@ -67,6 +70,7 @@ class FtsEngine:
             bloom_ndv=o.bloom_ndv,
             store_positions=o.store_positions,
             store_text=o.store_text,
+            meta_cols=o.meta_cols,
         )
         meta = build_index(self.spark, docs, self.index_dir, cfg, resume=resume)
         self._drop_index()

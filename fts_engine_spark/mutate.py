@@ -244,6 +244,13 @@ def merge_indexes(
                 f"merge_indexes requires equal {key}: dst={dst.get(key)!r} "
                 f"src={src.get(key)!r} — compact/rebuild the src to match"
             )
+    if list(dst.get("meta_cols", ())) != list(src.get("meta_cols", ())):
+        # unioned docs tables must share one schema, or field filters on
+        # the merged index would silently see NULLs for half the corpus
+        raise ValueError(
+            "merge_indexes requires equal meta_cols: "
+            f"dst={dst.get('meta_cols', [])!r} src={src.get('meta_cols', [])!r}"
+        )
 
     shard_size = int(dst["shard_size"])
     next_shard = int(dst["n_shards"])

@@ -207,6 +207,10 @@ def _append_batch(
         id_buckets=min(cfg.id_buckets or 64, 16),
         n_waves=1,
         bloom_ndv=int(meta.get("bloom_ndv", cfg.bloom_ndv)),
+        # the index defines its docs-table metadata columns too: a batch
+        # missing one fails loudly in build_index instead of splicing
+        # NULL-schema'd delta rows under full rows
+        meta_cols=tuple(meta.get("meta_cols", ())),
     )
     stage_meta = build_index(spark, batch_df, staging, stage_cfg, resume=False)
 
