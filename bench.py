@@ -652,6 +652,45 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     timings["query_boolean_ms"] = bool_ms
     timings["query_point_boolean_ms"] = point_bool_ms
 
+    # ---- 3d2c. field-filtered query strings (end of r5): the filter
+    # set's include array caches per canonical tuple, so the warm point
+    # path is in-process; parity asserted first, the timed loop measures
+    # the warm (cached-filter) shape interactive use repeats
+    filt_qs = [
+        "+french +(hotel OR castle) turtle -german lang:en",
+        "+engine +(index OR query) search -lang:ru",
+        "+market station -bridge doclen:[20 TO 200]",
+    ]
+    for q in filt_qs:
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in fts.search_boolean(q, k=10).collect()
+        ]
+        if fts.search_boolean_point(q, k=10) != want:
+            raise RuntimeError(f"filtered point parity failure on {q!r}")
+
+    def _filtered_once():
+        dist, pnt = [], []
+        for _ in range(3):
+            for q in filt_qs:
+                t0 = time.monotonic()
+                fts.search_boolean(q, k=10).collect()
+                dist.append((time.monotonic() - t0) * 1000)
+                t0 = time.monotonic()
+                fts.search_boolean_point(q, k=10)
+                pnt.append((time.monotonic() - t0) * 1000)
+        return (
+            round(statistics.median(dist), 1),
+            round(statistics.median(pnt), 2),
+        )
+
+    (filt_ms, point_filt_ms), _ = gated_phase(
+        meter, contaminated, steal_log, "query_filtered",
+        STEAL_SERVE_TICKS, _filtered_once,
+    )
+    timings["query_filtered_ms"] = filt_ms
+    timings["query_point_filtered_ms"] = point_filt_ms
+
     # ---- 3d3. r5 pagination + facet panel. Page 2 must tile with page 1
     # (asserted against the deep top-20 before timing; a wrong page must
     # fail the bench). The facet row times the doc-blob-only full-match

@@ -300,6 +300,13 @@ class FtsIndex:
         ) = None
         self._pos_point_bytes = 0
         self._pos_point_max_bytes = 0
+        # field-filter include-id cache (search_boolean_point): canonical
+        # FieldFilter tuple -> sorted int64 doc_id array, LRU, byte-budgeted
+        self._point_filter_cache: (
+            "OrderedDict[tuple, np.ndarray] | None"
+        ) = None
+        self._point_filter_bytes = 0
+        self._point_filter_max_bytes = 0
         # by_lang point phrases: per-doc pipeline codes (uint8), lazy
         self._pos_pipe_cache: tuple[np.ndarray, dict[str, int]] | str | None = None
         # lazily-built expansion structures over the driver dictionary
@@ -436,6 +443,8 @@ class FtsIndex:
         self._point_cache_bytes = 0
         self._pos_point_cache = None
         self._pos_point_bytes = 0
+        self._point_filter_cache = None
+        self._point_filter_bytes = 0
         self._pos_pipe_cache = None
         # expansion structures are derived from _term_dict — drop together
         self._sorted_terms = None
@@ -2668,6 +2677,14 @@ class FtsIndex:
         self._pos_point_max_bytes = int(pos_cache_max_bytes)
         if self._pos_point_cache is None and self.has_positions:
             self._pos_point_cache = OrderedDict()
+        # include-id arrays for query-string field filters, keyed by the
+        # canonical filter tuple: the FIRST query with a filter set pays
+        # one Spark job (_filters_df — the SAME resolution the distributed
+        # path runs, so semantics match by construction), repeats serve
+        # in-process. 8 B/doc_id; own small LRU budget
+        if self._point_filter_cache is None:
+            self._point_filter_cache = OrderedDict()
+        self._point_filter_max_bytes = 64 << 20
         return self
 
     @staticmethod
@@ -2680,6 +2697,35 @@ class FtsIndex:
                 + 16 * t["count"]  # decode-cache upper bound
             )
         return total
+
+    def _point_filter_ids(self, filters: tuple) -> "np.ndarray | None":
+        """Sorted include-id array for a query-string field-filter set,
+        served from the point tier's per-filter LRU. A MISS pays one
+        Spark job — the SAME :meth:`_filters_df` resolution the
+        distributed path runs, so cast/NULL semantics match by
+        construction — then repeats of the filter set (the common
+        interactive shape: one `lang:en`/time-window across many
+        queries) are in-process. Returns None when the id set exceeds
+        the driver bound (``include_broadcast_max``): the caller falls
+        back to the distributed relational plan, exactly like the
+        distributed WAND path does."""
+        cache = self._point_filter_cache
+        if cache is not None and filters in cache:
+            cache.move_to_end(filters)
+            return cache[filters]
+        ids = self._within_ids(self._filters_df(list(filters)))
+        if ids is None or ids is _INCLUDE_TOO_BIG:
+            return None
+        if cache is not None:
+            cache[filters] = ids
+            self._point_filter_bytes += 8 * int(ids.size)
+            while (
+                self._point_filter_bytes > self._point_filter_max_bytes
+                and len(cache) > 1
+            ):
+                _, old = cache.popitem(last=False)
+                self._point_filter_bytes -= 8 * int(old.size)
+        return ids
 
     def _point_fetch(self, terms: list[str], protect: frozenset[str]) -> None:
         """ONE Spark job fetching the posting rows of every missing term
@@ -2836,6 +2882,7 @@ class FtsIndex:
         term_gmask: dict[str, int] | None = None,
         full_mask: int = 0,
         after: tuple[float, int] | None = None,
+        incl_docs: "np.ndarray | None" = None,
     ) -> list[tuple[int, float]]:
         """In-process sweep over the point cache for a resolved
         term -> (mult, df) map: fetch missing terms (one pruned job),
@@ -2844,7 +2891,9 @@ class FtsIndex:
         ids (doc blob only) form per-shard exclusion sets.
         ``term_gmask``/``full_mask`` are boolean MUST groups (see
         :func:`_wand_sweep`); shards whose terms can't cover every
-        required group are skipped whole, like the distributed kernel."""
+        required group are skipped whole, like the distributed kernel.
+        ``incl_docs`` (global sorted int64 array) is the field-filter
+        restriction — the same array the distributed kernel receives."""
         with self._point_lock:
             all_terms = dict.fromkeys(
                 list(present) + sorted(excl_terms or ())
@@ -2894,15 +2943,24 @@ class FtsIndex:
                     if (shard_mask & full_mask) != full_mask:
                         # a required group has no postings in this shard
                         continue
+                base = shard * self.shard_size
+                if incl_docs is not None:
+                    # whole-shard skip: no include id in this shard's
+                    # doc-id range means nothing here can survive
+                    j = int(np.searchsorted(incl_docs, base))
+                    if j >= incl_docs.size or (
+                        int(incl_docs[j]) >= base + self.shard_size
+                    ):
+                        continue
                 # same slice+union the distributed kernel applies, so the
                 # tiers stay bit-identical under pending deletes
                 excl = _merge_dead(
                     excl_by_shard.get(shard), dead,
-                    shard * self.shard_size, self.shard_size,
+                    base, self.shard_size,
                 )
                 docs, scores = _wand_sweep(
-                    weighted, k, shard * self.shard_size, self.avgdl, None,
-                    require_n, excl,
+                    weighted, k, base, self.avgdl, None,
+                    require_n, excl, incl_docs,
                     group_masks=gms if full_mask else None,
                     full_mask=full_mask, after=after,
                 )
@@ -3138,10 +3196,13 @@ class FtsIndex:
         in-process — MUST-group bitmasks and NOT exclusion run inside the
         same :func:`_wand_sweep` the executors run, so results are
         exactly the distributed surface's (asserted in
-        tests/test_boolean.py). Falls back to the distributed path when
-        the tier is off, a phrase clause is present (positional match
-        needs a Spark job), or any term's posting list exceeds the point
-        budget."""
+        tests/test_boolean.py). Field filters serve warm too: the filter
+        set's include-id array is cached per canonical filter tuple
+        (one `_filters_df` Spark job on first use, in-process after).
+        Falls back to the distributed path when the tier is off, a
+        phrase clause is present (positional match needs a Spark job),
+        the filter id set exceeds the driver include bound, or any
+        term's posting list exceeds the point budget."""
         from .queryparse import parse_query
 
         if offset < 0:
@@ -3163,9 +3224,18 @@ class FtsIndex:
         ):
             return fallback()
         bq = parse_query(query)
-        if bq.phrases or bq.filters:
-            # positional match / metadata gate both need a Spark job
+        if bq.phrases:
+            # positional match needs a Spark job
             return fallback()
+        incl_docs = None
+        if bq.filters:
+            # per-filter-set include cache: a MISS pays one Spark job
+            # (identical _filters_df semantics), repeats are in-process
+            incl_docs = self._point_filter_ids(tuple(bq.filters))
+            if incl_docs is None:  # exceeds the driver include bound
+                return fallback()
+            if not incl_docs.size:
+                return []
         preset = preset or (
             "multilingual" if self.preset == "by_lang" else self.preset
         )
@@ -3200,7 +3270,7 @@ class FtsIndex:
         k_eff = k + offset if (offset and k > 0) else k
         rows = self._point_sweep(
             present, k_eff, 0, frozenset(excl_present) or None,
-            term_gmask, full_mask,
+            term_gmask, full_mask, incl_docs=incl_docs,
         )
         return rows[offset:] if offset else rows
 

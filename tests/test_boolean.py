@@ -516,13 +516,25 @@ def test_boolean_point_boost_matches_distributed(spark, small_index):
                 for r in fts2.search_boolean(q, k=10).collect()
             ]
             assert fts2.search_boolean_point(q, k=10) == want, q
-        # a field filter needs the docs table -> distributed fallback,
-        # same rows
-        q = "turtle castle lang:en"
-        want = [
-            (int(r["doc_id"]), float(r["score"]))
-            for r in fts2.search_boolean(q, k=10).collect()
-        ]
-        assert fts2.search_boolean_point(q, k=10) == want
+        # a field filter resolves ONE _filters_df job on first use, then
+        # the include array serves from the per-filter LRU: identical
+        # rows, and the repeat schedules ZERO Spark jobs
+        for q in (
+            "turtle castle lang:en",
+            "french^2 turtle -lang:ru doclen:[10 TO 40]",
+        ):
+            want = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in fts2.search_boolean(q, k=10).collect()
+            ]
+            assert fts2.search_boolean_point(q, k=10) == want, q
+            tracker = spark.sparkContext.statusTracker()
+            before = set(tracker.getJobIdsForGroup(None) or [])
+            assert fts2.search_boolean_point(q, k=10) == want, q
+            after = set(tracker.getJobIdsForGroup(None) or [])
+            assert after == before, f"warm filtered point query ran a job: {q}"
+        # a filter matching nothing -> empty, no sweep
+        assert fts2.search_boolean_point("turtle lang:xx", k=10) == []
+        assert fts2.search_boolean("turtle lang:xx", k=10).count() == 0
     finally:
         fts2.close()
