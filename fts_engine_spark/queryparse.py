@@ -208,6 +208,12 @@ def parse_query(query: str) -> BooleanQuery:
         j = i
         while j < n and not query[j].isspace() and query[j] not in '()"':
             j += 1
+        if j == i:
+            # the only way to get here without consuming a char is a
+            # stray ')' (quotes and '(' are handled above) — before this
+            # check it was an infinite loop, found by the grammar
+            # property test
+            raise ValueError(f"unbalanced ) in query {query!r}")
         token = query[i:j]
         i = j
         # a field range filter (`ts:[lo TO hi]`) contains spaces — if the

@@ -67,6 +67,8 @@ def test_parse_fuzzy_default_and_star_edge():
         '-"a b"',
         "((nested))",
         "+AND",
+        ")",  # stray close-paren: was an infinite loop pre-fix
+        "foo) bar",
     ],
 )
 def test_parse_errors(bad):
