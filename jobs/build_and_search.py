@@ -37,7 +37,9 @@ def main() -> None:
                     help="AND semantics: only docs containing every query term")
     ap.add_argument("--boolean", action="append", default=[],
                     help="boolean query string: +must, -not, +(a OR b), "
-                         '"phrase", pre*, word~N (repeatable)')
+                         '"phrase", pre*, word~N, word^2.5 boost, '
+                         "field:value / field:[lo TO hi] metadata filters "
+                         "(repeatable)")
     ap.add_argument("--like", action="append", default=[],
                     help="more-like-this source url (repeatable)")
     ap.add_argument("--suggest", action="append", default=[],
