@@ -856,6 +856,26 @@ def _phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_SLOP = 2
+
+
+def _near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity search (positions.span_near_kernel; Lucene
+    SpanNearQuery / `"a b"~N` analog): PHRASE's terms in order within
+    len(PHRASE) + NEAR_SLOP analyzed tokens, count = qualifying start
+    positions — a strict superset of the exact-phrase match set. Same
+    positional table and plan shape as fts_phrase_positional."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir, positions=True)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_near_positional(" ".join(PHRASE), NEAR_SLOP, k=0)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        "near_count",
+    )
+
+
 RESCORE_N, RESCORE_W = 100, 1.0
 
 
@@ -1051,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # phrase resolved ENTIRELY from the positional table (opt-in
         # store_positions build) — no source-table scan at query time
         "fts_phrase_positional": lambda s, d: _phrase_positional(s, d),
+        "fts_span_near": lambda s, d: _near_search(s, d),
         # dictionary-expanded rewrites (Lucene-style multi-term queries):
         # trailing-* prefix and levenshtein<=1 fuzzy, both expanded against
         # the index's terms table and scored through the WAND kernel
@@ -1769,6 +1790,22 @@ WHERE rn = 1 ORDER BY token
         f"i -> {_ppred}))::BIGINT AS phrase_count FROM base) "
         "SELECT doc_id, phrase_count FROM cnt WHERE phrase_count > 0"
     )
+    # span-near: ordered proximity — PHRASE[0] at i, PHRASE[1] within the
+    # next 1+NEAR_SLOP token slots (chain span <= len-1+slop); count =
+    # qualifying start positions, exactly positions.span_near_kernel
+    near_sql = (
+        "WITH base AS (SELECT doc_id, "
+        "list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+'), "
+        "t -> (strlen(t) >= 3 OR regexp_full_match(t, '[0-9]{1,19}')) "
+        f"AND t NOT IN ({_STOP_IN})) AS ts FROM documents), "
+        "cnt AS (SELECT doc_id, "
+        "len(list_filter(generate_series(1, len(ts)), "
+        f"i -> ts[i] = '{PHRASE[0]}' AND len(list_filter("
+        f"generate_series(i+1, least(i+1+{NEAR_SLOP}, len(ts))), "
+        f"j -> ts[j] = '{PHRASE[1]}')) > 0))::BIGINT AS near_count "
+        "FROM base) "
+        "SELECT doc_id, near_count FROM cnt WHERE near_count > 0"
+    )
     # two-phase rescore: top-N bm25 candidates re-sorted by
     # raw + W * phrase_count (docs without the phrase keep their score)
     rescore_sql = f"""
@@ -1878,6 +1915,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_phrase_scan": phrase_sql,
         "fts_phrase_search": phrase_sql,
         "fts_phrase_positional": phrase_sql,
+        "fts_span_near": near_sql,
         "fts_index_bm25_all": bm25_all,
         "fts_index_bm25_page2": bm25_page2,
         "fts_search_after_bm25": bm25_after,

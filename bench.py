@@ -1191,6 +1191,76 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_point_phrase_ms"] = phrase_point_ms
 
+    # span-near (ordered proximity `"a b"~N`, slop=2): distributed +
+    # point + boolean-composed rows; cross-tier parity asserted first
+    near_want = sorted(
+        (int(r["doc_id"]), int(r["near_count"]))
+        for r in fts_pos.search_near_positional(
+            "french hotel", 2, k=0
+        ).collect()
+    )
+    got_near_pt = sorted(fts_pos.search_near_point("french hotel", 2, k=0))
+    if got_near_pt != near_want:
+        raise RuntimeError("point-tier span-near parity failure")
+    if len(near_want) < len(want):
+        raise RuntimeError("span-near lost exact-phrase matches")
+
+    def _near_once():
+        lat = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fts_pos.search_near_positional("french hotel", 2, k=10).collect()
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    near_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_near",
+        STEAL_SERVE_TICKS, _near_once,
+    )
+    timings["query_near_ms"] = near_ms
+
+    def _near_point_once():
+        lat = []
+        for _ in range(20):
+            t0 = time.monotonic()
+            fts_pos.search_near_point("french hotel", 2, k=10)
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 2)
+
+    near_point_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_point_near",
+        STEAL_SERVE_TICKS, _near_point_once,
+    )
+    timings["query_point_near_ms"] = near_point_ms
+
+    # a phrase clause inside a boolean string now serves on the point
+    # tier (in-process positional restriction + in-process sweep)
+    bq_phrase = 'french "french hotel"~2'
+    want_bq = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in fts_pos.search_boolean(bq_phrase, k=10).collect()
+    ]
+    got_bq = [
+        (d, round(s, 9))
+        for d, s in fts_pos.search_boolean_point(bq_phrase, k=10)
+    ]
+    if got_bq != want_bq:
+        raise RuntimeError("point-tier boolean-phrase parity failure")
+
+    def _bool_phrase_point_once():
+        lat = []
+        for _ in range(20):
+            t0 = time.monotonic()
+            fts_pos.search_boolean_point(bq_phrase, k=10)
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 2)
+
+    bool_phrase_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_point_boolean_phrase",
+        STEAL_SERVE_TICKS, _bool_phrase_point_once,
+    )
+    timings["query_point_boolean_phrase_ms"] = bool_phrase_ms
+
     # two-phase rescore (ES rescore analog): BM25 top-100 + phrase-count
     # boost over only those candidates — phase 1 one WAND job, phase 2
     # one positional job against a LocalRelation candidate list

@@ -371,6 +371,30 @@ class FtsEngine:
             phrase, self.options.k if k is None else k
         )
 
+    def search_near(
+        self, phrase: str, slop: int = 2, k: int | None = None
+    ) -> DataFrame:
+        """Ordered proximity search (Lucene ``SpanNearQuery(inOrder)`` /
+        ``"a b"~N`` analog): docs whose analyzed stream contains ALL of
+        ``phrase``'s terms in order within ``len(terms) + slop`` tokens,
+        ranked by the number of qualifying start positions. Resolved
+        entirely from the positional table (``store_positions=True``);
+        ``slop=0`` is exactly :meth:`search_phrase_indexed`. Returns
+        (doc_id, url, near_count)."""
+        return self.index.search_near_positional(
+            phrase, slop, self.options.k if k is None else k
+        )
+
+    def search_near_point(
+        self, phrase: str, slop: int = 2, k: int | None = None
+    ) -> list[tuple[int, int]]:
+        """Proximity search below the Spark job floor — the span-near
+        twin of :meth:`search_phrase_point`; same point cache, same
+        fallbacks. Returns (doc_id, near_count)."""
+        return self.index.search_near_point(
+            phrase, slop, self.options.k if k is None else k
+        )
+
     def search_synonyms(
         self,
         query: str,

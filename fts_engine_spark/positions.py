@@ -309,14 +309,46 @@ def phrase_match_kernel(
     positions with a segmented cumsum, pack (doc, start) into int64
     keys (start = position - term offset), and intersect the key sets
     across the sequence — surviving keys ARE the phrase starts."""
-    # candidates: docs containing every DISTINCT phrase term
+    cand, gathered, cap = _gather_positions(docs_offs, pos_vals, seq)
+    if cand.size == 0:
+        return [], []
+    running: np.ndarray | None = None
+    for j, t in enumerate(seq):
+        dense, absp = gathered[t]
+        if j:
+            keep = absp >= j
+            keys = dense[keep] * cap + (absp[keep] - j)
+        else:
+            keys = dense * cap + absp
+        running = (
+            keys
+            if running is None
+            else running[np.isin(running, keys, assume_unique=True)]
+        )
+        if running.size == 0:
+            return [], []
+    uniq, counts = np.unique(running // cap, return_counts=True)
+    return cand[uniq].tolist(), counts.tolist()
+
+
+def _gather_positions(
+    docs_offs: dict[str, tuple[np.ndarray, np.ndarray]],
+    pos_vals,
+    seq: list[str],
+) -> tuple[np.ndarray, dict[str, tuple[np.ndarray, np.ndarray]], int]:
+    """Shared front half of the positional kernels: conjunction
+    candidates (docs containing every DISTINCT ``seq`` term) plus, per
+    distinct term, its candidate-restricted ``(dense candidate index,
+    absolute position)`` arrays, and the packing modulus ``cap`` for
+    (candidate, position) -> int64 keys (position <= max_pos < cap;
+    n_cand * cap stays far under 2^63 since positions are token
+    indices). Returns ``(empty, {}, 0)`` when the conjunction dies."""
     cand = docs_offs[seq[0]][0]
     for t in set(seq[1:]):
         cand = cand[np.isin(cand, docs_offs[t][0], assume_unique=True)]
         if cand.size == 0:
-            return [], []
+            return cand, {}, 0
     n_cand = cand.size
-    # per distinct term: (dense candidate index, absolute position)
     gathered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     max_pos = 0
     for t in dict.fromkeys(seq):
@@ -336,25 +368,60 @@ def phrase_match_kernel(
         gathered[t] = (np.repeat(np.arange(n_cand, dtype=np.int64), lens),
                        absp)
         max_pos = max(max_pos, int(absp.max()))
-    # pack (candidate, start) into one int64: start <= max_pos < cap and
-    # n_cand * cap stays far under 2^63 (positions are token indices)
-    cap = max_pos + 2
-    running: np.ndarray | None = None
-    for j, t in enumerate(seq):
+    return cand, gathered, max_pos + 2
+
+
+def span_near_kernel(
+    docs_offs: dict[str, tuple[np.ndarray, np.ndarray]],
+    pos_vals,
+    seq: list[str],
+    slop: int,
+) -> tuple[list[int], list[int]]:
+    """(matching doc_ids, qualifying-start counts) for an ORDERED
+    proximity match — the Lucene ``SpanNearQuery(inOrder=true)`` /
+    interval-query analog of :func:`phrase_match_kernel`: a doc matches
+    when it has positions ``p_0 < p_1 < ... < p_{n-1}``, one per
+    sequence term IN ORDER, spanning at most ``len(seq) + slop`` tokens
+    (``p_last - p_0 <= len(seq) - 1 + slop``). The count per doc is the
+    number of distinct start positions ``p_0`` that open a qualifying
+    chain; ``slop=0`` is exactly the phrase kernel (positions strictly
+    increase, so a span of n-1 forces consecutiveness — property-tested
+    in tests/test_phrase_kernel.py).
+
+    Same fully-vectorized shape as the phrase kernel, and the same
+    pure-function contract (the distributed per-shard path and the
+    driver point tier run THIS function, so the tiers agree by
+    construction). The chain steps with ONE ``searchsorted`` per
+    sequence term: greedy earliest-next-occurrence minimizes the chain
+    end for every start simultaneously, so "some chain fits the window"
+    is equivalent to "the greedy chain fits" — no per-doc loops, no
+    backtracking. A step that leaves the start's doc (the packed key
+    jumps candidates) drops that start."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    cand, gathered, cap = _gather_positions(docs_offs, pos_vals, seq)
+    if cand.size == 0:
+        return [], []
+    dense0, abs0 = gathered[seq[0]]
+    starts = dense0 * cap + abs0  # packed (candidate, p_0); stays fixed
+    cur = starts  # chain frontier: packed (candidate, p_j)
+    for t in seq[1:]:
         dense, absp = gathered[t]
-        if j:
-            keep = absp >= j
-            keys = dense[keep] * cap + (absp[keep] - j)
-        else:
-            keys = dense * cap + absp
-        running = (
-            keys
-            if running is None
-            else running[np.isin(running, keys, assume_unique=True)]
-        )
-        if running.size == 0:
+        nxt = dense * cap + absp  # ascending: candidates asc, pos asc
+        idx = np.searchsorted(nxt, cur, side="right")
+        ok = idx < nxt.size
+        cur = nxt[idx[ok]]
+        starts = starts[ok]
+        same_doc = (cur // cap) == (starts // cap)
+        cur = cur[same_doc]
+        starts = starts[same_doc]
+        if cur.size == 0:
             return [], []
-    uniq, counts = np.unique(running // cap, return_counts=True)
+    fits = (cur % cap) - (starts % cap) <= len(seq) - 1 + slop
+    starts = starts[fits]
+    if starts.size == 0:
+        return [], []
+    uniq, counts = np.unique(starts // cap, return_counts=True)
     return cand[uniq].tolist(), counts.tolist()
 
 
@@ -447,13 +514,46 @@ def search_phrase_positional(
     but resolved ENTIRELY from the positional table: pruned scan of the
     phrase terms' rows → per-shard intersection kernel → docs join for
     url (and, under by_lang, the doc-pipeline filter)."""
+    return _search_positional(
+        index, phrase, k, phrase_match_kernel, "phrase_count"
+    )
+
+
+def search_near_positional(
+    index: "FtsIndex", phrase: str, slop: int, k: int = 10
+) -> DataFrame:
+    """(doc_id, url, near_count) for docs matching the analyzed terms of
+    ``phrase`` as an ORDERED proximity query within ``len(terms) + slop``
+    tokens (:func:`span_near_kernel`; Lucene SpanNearQuery analog),
+    count desc / doc_id asc, LIMIT k (k<=0 = all). Same plan shape as
+    :func:`search_phrase_positional` — pruned positional scan, one
+    kernel call per shard, docs join for url — and ``slop=0`` returns
+    exactly the phrase result (modulo the count column's name)."""
+
+    def kernel(docs_offs, pos_vals, seq):
+        return span_near_kernel(docs_offs, pos_vals, seq, slop)
+
+    return _search_positional(index, phrase, k, kernel, "near_count")
+
+
+def _search_positional(
+    index: "FtsIndex",
+    phrase: str,
+    k: int,
+    kernel,
+    count_col: str,
+) -> DataFrame:
+    """Shared distributed plan for the positional kernels: pruned scan
+    of the sequence terms' positional rows → ``kernel`` per shard →
+    tombstone exclusion + docs join (url, and the doc-pipeline filter
+    under by_lang) → (count desc, doc_id asc) top-k."""
     spark = index.spark
     meta = index.meta
     pos_path = check_positions_fresh(index)
 
     sequences = _phrase_sequences(index, phrase)
     empty = spark.createDataFrame(
-        [], "doc_id long, url string, phrase_count long"
+        [], f"doc_id long, url string, {count_col} long"
     )
     if not sequences:
         return empty
@@ -473,7 +573,7 @@ def search_phrase_positional(
                 {
                     "doc_id": pd.Series(out_docs, dtype="int64"),
                     "pipeline": pd.Series(out_pipes, dtype="object"),
-                    "phrase_count": pd.Series(out_counts, dtype="int64"),
+                    "match_count": pd.Series(out_counts, dtype="int64"),
                 }
             )
         base = int(pdf["shard_id"].iloc[0]) * shard_size
@@ -497,7 +597,7 @@ def search_phrase_positional(
         for pipe, seq in seq_items:
             if any(t not in decoded for t in set(seq)):
                 continue
-            docs_m, counts_m = phrase_match_kernel(docs_offs, pos_vals, seq)
+            docs_m, counts_m = kernel(docs_offs, pos_vals, seq)
             out_docs.extend(docs_m)
             out_counts.extend(counts_m)
             out_pipes.extend([pipe] * len(docs_m))
@@ -505,12 +605,12 @@ def search_phrase_positional(
             {
                 "doc_id": pd.Series(out_docs, dtype="int64"),
                 "pipeline": pd.Series(out_pipes, dtype="object"),
-                "phrase_count": pd.Series(out_counts, dtype="int64"),
+                "match_count": pd.Series(out_counts, dtype="int64"),
             }
         )
 
     matched = scan.groupBy("shard_id").applyInPandas(
-        match_shard, schema="doc_id long, pipeline string, phrase_count long"
+        match_shard, schema="doc_id long, pipeline string, match_count long"
     )
     docs = index.docs().select("doc_id", "url", "lang")
     out = (
@@ -519,7 +619,9 @@ def search_phrase_positional(
         # staleness-checks this table via n_docs + table_version anyway)
         index._exclude_dead(matched.join(docs, "doc_id"))
         .where(F.col("pipeline") == _doc_pipeline_col(index))
-        .select("doc_id", "url", "phrase_count")
-        .orderBy(F.desc("phrase_count"), F.asc("doc_id"))
+        .select(
+            "doc_id", "url", F.col("match_count").alias(count_col)
+        )
+        .orderBy(F.desc(count_col), F.asc("doc_id"))
     )
     return out.limit(k) if k > 0 else out

@@ -798,33 +798,91 @@ class FtsIndex:
         or the tombstone set is past the driver-array bound. Raises
         ``PositionsUnavailableError`` when the positional table is absent
         or stale (both tiers)."""
-        from .positions import (
-            _phrase_sequences,
-            check_positions_fresh,
-            fetch_point_positions,
+        from .positions import phrase_match_kernel
+
+        return self._positional_point(
+            phrase,
+            k,
             phrase_match_kernel,
+            lambda: self.search_phrase_positional(phrase, k),
         )
 
-        check_positions_fresh(self)
+    def search_near_positional(
+        self, phrase: str, slop: int, k: int = 10
+    ) -> DataFrame:
+        """Ordered proximity search (Lucene SpanNearQuery analog)
+        resolved entirely from the positional table: ``(doc_id, url,
+        near_count)`` for docs whose analyzed stream contains all of
+        ``phrase``'s terms IN ORDER within ``len(terms) + slop`` tokens
+        (``positions.span_near_kernel``); ``slop=0`` equals
+        :meth:`search_phrase_positional`."""
+        from .positions import search_near_positional
 
-        def fallback() -> list[tuple[int, int]]:
+        return search_near_positional(self, phrase, slop, k)
+
+    def search_near_point(
+        self, phrase: str, slop: int, k: int = 10
+    ) -> list[tuple[int, int]]:
+        """Proximity search below the Spark job floor: the span-near
+        counterpart of :meth:`search_phrase_point` — same positional
+        point cache, same fallbacks, same output contract (top-k
+        ``(doc_id, near_count)``, count desc / doc_id asc), running
+        ``positions.span_near_kernel`` in-process."""
+        from .positions import span_near_kernel
+
+        def kernel(docs_offs, pos_vals, seq):
+            return span_near_kernel(docs_offs, pos_vals, seq, slop)
+
+        return self._positional_point(
+            phrase,
+            k,
+            kernel,
+            lambda: self.search_near_positional(phrase, slop, k),
+        )
+
+    def _positional_point(
+        self, phrase: str, k: int, kernel, fallback_df
+    ) -> list[tuple[int, int]]:
+        """Shared driver-tier scaffolding for the positional kernels:
+        LRU-cached positional rows, by_lang pipeline-code filtering,
+        tombstone exclusion, (count desc, doc_id asc) top-k — with
+        ``kernel`` doing the matching and ``fallback_df`` (a callable
+        returning the distributed surface's DataFrame) taking over
+        whenever the tier cannot serve in-process."""
+        from .positions import check_positions_fresh
+
+        check_positions_fresh(self)
+        pairs = self._positional_point_inproc(phrase, kernel)
+        if pairs is None:
             return [
-                (int(r["doc_id"]), int(r["phrase_count"]))
-                for r in self.search_phrase_positional(phrase, k).collect()
+                (int(r[0]), int(r[2])) for r in fallback_df().collect()
             ]
+        hits = sorted(pairs, key=lambda x: (-x[1], x[0]))
+        return hits[:k] if k > 0 else hits
+
+    def _positional_point_inproc(
+        self, phrase: str, kernel
+    ) -> list[tuple[int, int]] | None:
+        """The in-process half of :meth:`_positional_point`: ALL matching
+        ``(doc_id, count)`` pairs (unsorted; tombstones excluded), or
+        ``None`` when the driver tier cannot serve this phrase (tier off,
+        term over the cache budget, by_lang pipeline array too big, too
+        many tombstones) and the caller must fall back to the distributed
+        plan. Callers must have run ``check_positions_fresh`` first."""
+        from .positions import _phrase_sequences, fetch_point_positions
 
         if (
             self._pos_point_cache is None
             or self._term_dict is None
             or self.n_deleted > self.dead_broadcast_max
         ):
-            return fallback()
+            return None
         pipe_codes: np.ndarray | None = None
         pipe_ids: dict[str, int] = {}
         if self.preset == "by_lang":
             got = self._point_doc_pipelines()
             if got is None:
-                return fallback()
+                return None
             pipe_codes, pipe_ids = got
         # pipelines whose analyzed sequence has a term outside the
         # dictionary can never match (same skip as the distributed
@@ -845,7 +903,7 @@ class FtsIndex:
             8 * (2 * self._term_dict[t][0] + self._term_dict[t][1]) > half
             for t in need
         ):
-            return fallback()
+            return None
         with self._point_lock:
             missing = [t for t in need if t not in self._pos_point_cache]
             if missing:
@@ -882,7 +940,7 @@ class FtsIndex:
         for pipe, seq in sorted(sequences.items()):
             key = tuple(seq)
             if key not in by_seq:  # english/multilingual often agree
-                by_seq[key] = phrase_match_kernel(
+                by_seq[key] = kernel(
                     docs_offs, lambda t: entries[t][2], seq
                 )
             docs_m, counts_m = by_seq[key]
@@ -901,8 +959,7 @@ class FtsIndex:
             ids = np.fromiter((d for d, _ in pairs), dtype=np.int64)
             alive = ~np.isin(ids, dead)
             pairs = [p for p, a in zip(pairs, alive) if a]
-        hits = sorted(pairs, key=lambda x: (-x[1], x[0]))
-        return hits[:k] if k > 0 else hits
+        return pairs
 
     def _point_doc_pipelines(
         self,
@@ -2481,14 +2538,19 @@ class FtsIndex:
                 if incl_df is None
                 else incl_df.join(fdf, "doc_id", "left_semi")
             )
-        for ph in bq.phrases:
-            ph_docs = self.search_phrase_positional(ph, k=0).select("doc_id")
+        near_clauses = [(ph, 0) for ph in bq.phrases] + list(bq.near)
+        for ph, slop in near_clauses:
+            ph_docs = (
+                self.search_phrase_positional(ph, k=0)
+                if slop == 0
+                else self.search_near_positional(ph, slop, k=0)
+            ).select("doc_id")
             incl_df = (
                 ph_docs
                 if incl_df is None
                 else incl_df.join(ph_docs, "doc_id", "left_semi")
             )
-            # phrase terms contribute to the score like SHOULD terms
+            # phrase/near terms contribute to the score like SHOULD terms
             for t in normalize_query(ph, preset):
                 mult[t] = mult.get(t, 0) + 1
         if not mult:
@@ -2697,6 +2759,51 @@ class FtsIndex:
                 + 16 * t["count"]  # decode-cache upper bound
             )
         return total
+
+    def _point_phrase_restriction(self, bq) -> "np.ndarray | None":
+        """Sorted doc-id restriction for a boolean query's phrase and
+        proximity (``"a b"~N``) clauses, resolved ENTIRELY in-process:
+        each clause runs the same positional kernel the distributed plan
+        runs (:func:`.positions.phrase_match_kernel` /
+        :func:`.positions.span_near_kernel`) over the driver's
+        positional point cache, and the clauses' match sets intersect.
+        Returns None when the tier cannot serve a clause (no/stale
+        positional table — the fallback then surfaces the same
+        ``PositionsUnavailableError`` the distributed path raises — or a
+        clause term over the cache budget); an empty array means a
+        clause provably matches nothing."""
+        from .positions import (
+            PositionsUnavailableError,
+            check_positions_fresh,
+            phrase_match_kernel,
+            span_near_kernel,
+        )
+
+        try:
+            check_positions_fresh(self)
+        except PositionsUnavailableError:
+            return None
+        ids: np.ndarray | None = None
+        for ph, slop in [(p, 0) for p in bq.phrases] + list(bq.near):
+            if slop == 0:
+                kern = phrase_match_kernel
+            else:
+
+                def kern(docs_offs, pos_vals, seq, _s=slop):
+                    return span_near_kernel(docs_offs, pos_vals, seq, _s)
+
+            pairs = self._positional_point_inproc(ph, kern)
+            if pairs is None:
+                return None
+            cur = np.array(sorted(d for d, _ in pairs), dtype=np.int64)
+            ids = (
+                cur
+                if ids is None
+                else ids[np.isin(ids, cur, assume_unique=True)]
+            )
+            if ids.size == 0:
+                return ids
+        return ids
 
     def _point_filter_ids(self, filters: tuple) -> "np.ndarray | None":
         """Sorted include-id array for a query-string field-filter set,
@@ -3199,10 +3306,13 @@ class FtsIndex:
         tests/test_boolean.py). Field filters serve warm too: the filter
         set's include-id array is cached per canonical filter tuple
         (one `_filters_df` Spark job on first use, in-process after).
-        Falls back to the distributed path when the tier is off, a
-        phrase clause is present (positional match needs a Spark job),
-        the filter id set exceeds the driver include bound, or any
-        term's posting list exceeds the point budget."""
+        Falls back to the distributed path when the tier is off, the
+        filter id set exceeds the driver include bound, or any term's
+        posting list exceeds the point budget. Phrase / proximity
+        clauses serve in-process too (the positional point cache runs
+        the same kernels and resolves them to a doc-id restriction);
+        they fall back when the positional cache cannot hold a clause
+        term."""
         from .queryparse import parse_query
 
         if offset < 0:
@@ -3224,9 +3334,13 @@ class FtsIndex:
         ):
             return fallback()
         bq = parse_query(query)
-        if bq.phrases:
-            # positional match needs a Spark job
-            return fallback()
+        phrase_ids: np.ndarray | None = None
+        if bq.phrases or bq.near:
+            phrase_ids = self._point_phrase_restriction(bq)
+            if phrase_ids is None:  # positional tier cannot serve this
+                return fallback()
+            if not phrase_ids.size:
+                return []
         incl_docs = None
         if bq.filters:
             # per-filter-set include cache: a MISS pays one Spark job
@@ -3236,6 +3350,14 @@ class FtsIndex:
                 return fallback()
             if not incl_docs.size:
                 return []
+        if phrase_ids is not None:
+            incl_docs = (
+                phrase_ids
+                if incl_docs is None
+                else incl_docs[np.isin(incl_docs, phrase_ids)]
+            )
+            if not incl_docs.size:
+                return []
         preset = preset or (
             "multilingual" if self.preset == "by_lang" else self.preset
         )
@@ -3243,6 +3365,11 @@ class FtsIndex:
         if resolved is None:
             return []
         mult, groups, excl = resolved
+        # phrase/near terms score like SHOULD terms — exactly the
+        # distributed path's post-restriction mult update
+        for ph, _slop in [(p, 0) for p in bq.phrases] + list(bq.near):
+            for t in normalize_query(ph, preset):
+                mult[t] = mult.get(t, 0) + 1
         if not mult:
             return []
         term_gmask, full_mask = self._group_masks(groups)

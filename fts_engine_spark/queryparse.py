@@ -6,7 +6,7 @@ Grammar (whitespace-separated clauses, one line):
     clause  := ['+' | '-'] (atom | filter)
     atom    := group | phrase | word
     group   := '(' word (['OR'] word)* ')'
-    phrase  := '"' word+ '"'
+    phrase  := '"' word+ '"'['~' digits]  -- trailing ~N = proximity slop
     word    := pattern['^' float]  -- trailing ^N = term boost (weight)
     pattern := text['*']           -- trailing * = prefix pattern
              | text'~'[digits]     -- trailing ~[N] = fuzzy pattern (default 1)
@@ -25,6 +25,10 @@ Semantics (resolved by ``FtsIndex.search_boolean``):
 * ``"a b"`` — PHRASE, always required: docs must contain the exact
   analyzed-token sequence; the phrase's terms also contribute to the
   score like SHOULD terms.
+* ``"a b"~N`` — PROXIMITY (Lucene's sloppy phrase, resolved as an
+  ordered span-near): the analyzed terms must appear IN ORDER within
+  ``len(terms) + N`` tokens. ``~0`` is the exact phrase; the terms
+  score like SHOULD terms, same as phrases.
 * prefix/fuzzy words expand against the index dictionary at search
   time; inside a ``+`` clause the whole expansion is ONE required group
   ("at least one word with this prefix"), matching ``term LIKE 'p%'``.
@@ -95,6 +99,8 @@ class BooleanQuery:
     groups: list[list[Atom]] = field(default_factory=list)  # required, OR within
     must_not: list[Atom] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)  # required, raw text
+    # required ordered-proximity clauses `"a b"~N`: (raw text, slop > 0)
+    near: list[tuple[str, int]] = field(default_factory=list)
     filters: list[FieldFilter] = field(default_factory=list)  # all required
 
     def is_empty(self) -> bool:
@@ -103,6 +109,7 @@ class BooleanQuery:
             or self.groups
             or self.must_not
             or self.phrases
+            or self.near
             or self.filters
         )
 
@@ -179,8 +186,22 @@ def parse_query(query: str) -> BooleanQuery:
                 raise ValueError('negated phrases (-"...") are unsupported')
             if not phrase:
                 raise ValueError("empty phrase")
-            bq.phrases.append(phrase)
             i = end + 1
+            slop = 0
+            if i < n and query[i] == "~":  # `"a b"~N` proximity slop
+                j = i + 1
+                while j < n and query[j].isdigit():
+                    j += 1
+                if j == i + 1:
+                    raise ValueError(
+                        f"malformed phrase slop in query {query!r}"
+                    )
+                slop = int(query[i + 1:j])
+                i = j
+            if slop:
+                bq.near.append((phrase, slop))
+            else:  # `~0` IS the exact phrase
+                bq.phrases.append(phrase)
             continue
         if ch == "(":
             end = query.find(")", i + 1)

@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--phrase", action="append", default=[],
                     help="positional phrase query (repeatable; analyzed-"
                          "token-space contiguous match)")
+    ap.add_argument("--near", action="append", default=[],
+                    metavar="SLOP:PHRASE",
+                    help="ordered proximity query (repeatable): terms in "
+                         "order within len(terms)+SLOP analyzed tokens, "
+                         "e.g. --near '2:french hotel' (requires "
+                         "store_positions; equals --phrase at slop 0)")
     ap.add_argument("--wildcard", action="append", default=[],
                     help="wildcard query: tokens may contain * (any run) "
                          "and ? (one char), mid-string/leading included "
@@ -163,6 +169,20 @@ def main() -> None:
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({
             "phrase": p,
+            "ms": round(ms, 1),
+            "results": [r.asDict() for r in rows],
+        }, default=str))
+
+    for spec in args.near:
+        slop_s, _, p = spec.partition(":")
+        if not p or not slop_s.isdigit():
+            raise SystemExit(f"--near wants SLOP:PHRASE, got {spec!r}")
+        t0 = time.monotonic()
+        rows = engine.search_near(p, slop=int(slop_s), k=args.k).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "near": p,
+            "slop": int(slop_s),
             "ms": round(ms, 1),
             "results": [r.asDict() for r in rows],
         }, default=str))

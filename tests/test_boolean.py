@@ -540,3 +540,81 @@ def test_boolean_point_boost_matches_distributed(spark, small_index):
         assert fts2.search_boolean("turtle lang:xx", k=10).count() == 0
     finally:
         fts2.close()
+
+
+# --------------------------------------------- proximity clauses (r5)
+
+
+def test_parse_phrase_slop():
+    bq = parse_query('"merge sort"~3 other')
+    assert bq.near == [("merge sort", 3)] and bq.phrases == []
+    assert [a.text for a in bq.should] == ["other"]
+    # ~0 IS the exact phrase
+    bq0 = parse_query('"merge sort"~0')
+    assert bq0.phrases == ["merge sort"] and bq0.near == []
+    # slop binds to the closing quote only when digits follow
+    with pytest.raises(ValueError, match="slop"):
+        parse_query('"merge sort"~')
+    with pytest.raises(ValueError, match="negated"):
+        parse_query('-"merge sort"~2')
+
+
+def test_boolean_near_restricts_and_scores(spark, pos_index):
+    """A `"a b"~N` clause restricts candidates to the span-near match
+    set while its terms score like SHOULD terms (same contract as exact
+    phrases)."""
+    fts = FtsIndex(spark, pos_index)
+    got = fts.search_boolean('"merge algorithm"~4', k=0)
+    got_rows = got.collect()
+    got_ids = {int(r["doc_id"]) for r in got_rows}
+    want_ids = {
+        int(r["doc_id"])
+        for r in fts.search_near_positional(
+            "merge algorithm", 4, k=0
+        ).collect()
+    }
+    assert got_ids == want_ids and got_ids
+    base = {
+        int(r["doc_id"]): round(float(r["score"]), 9)
+        for r in fts.search_bm25(
+            "merge algorithm", k=0, mode="relational"
+        ).collect()
+    }
+    for r in got_rows:
+        assert round(float(r["score"]), 9) == base[int(r["doc_id"])]
+    # the same clause with too small a window matches nothing
+    assert fts.search_boolean('"merge algorithm"~0', k=0).count() == 0
+
+
+def test_boolean_point_phrase_and_near_in_process(spark, pos_index):
+    """Phrase and proximity clauses serve on the point tier: rows
+    identical to the distributed surface, and warm repeats schedule
+    ZERO Spark jobs (the positional point cache resolves the clause
+    in-process)."""
+    fts = FtsIndex(spark, pos_index).warm().enable_point_serving()
+    try:
+        queries = (
+            '"merge sort"',
+            '"merge sort" -join',
+            '"merge algorithm"~4',
+            '"merge sort"~1 data',
+            '+sort "merge algorithm"~1',
+        )
+        for q in queries:
+            want = [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in fts.search_boolean(q, k=10).collect()
+            ]
+            assert fts.search_boolean_point(q, k=10) == want, q
+            assert want, q  # every case exercises a non-empty result
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        for q in queries:
+            fts.search_boolean_point(q, k=10)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, "warm phrase point query ran a Spark job"
+        # a conjunction that provably matches nothing -> [] (both tiers)
+        assert fts.search_boolean_point('"merge nothing"', k=10) == []
+        assert fts.search_boolean('"merge nothing"', k=10).count() == 0
+    finally:
+        fts.close()

@@ -11,7 +11,7 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from fts_engine_spark.positions import phrase_match_kernel
+from fts_engine_spark.positions import phrase_match_kernel, span_near_kernel
 
 VOCAB = ["alpha", "beta", "gamma", "delta"]
 
@@ -87,3 +87,106 @@ def test_kernel_duplicate_term_overlaps():
         docs_offs, pos_vals, ["alpha", "alpha"]
     )
     assert docs == [5] and counts == [3]
+
+
+# ------------------------------------------------- span_near_kernel
+
+
+def _naive_near(
+    streams: dict[int, list[str]], seq: list[str], slop: int
+) -> dict[int, int]:
+    """Independent exists-ANY-chain reference: enumerate every in-order
+    position combination (one per sequence term) and count the distinct
+    start positions whose best chain spans <= len(seq)+slop tokens. The
+    kernel's greedy-chain argument is exactly what this brute force
+    must validate, so no greediness here — raw product enumeration."""
+    import itertools
+
+    out = {}
+    win = len(seq) - 1 + slop
+    for doc, toks in streams.items():
+        per_term = [
+            [i for i, t in enumerate(toks) if t == q] for q in seq
+        ]
+        starts = {
+            combo[0]
+            for combo in itertools.product(*per_term)
+            if all(a < b for a, b in zip(combo, combo[1:]))
+            and combo[-1] - combo[0] <= win
+        }
+        if starts:
+            out[doc] = len(starts)
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(0, 3),
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3),
+    st.integers(0, 6),  # slop
+)
+def test_span_near_matches_naive(corpus, gap, seq, slop):
+    streams = {i * (gap * 7 + 1) + 3: toks for i, toks in enumerate(corpus)}
+    docs_offs, pos_vals = _structures(streams)
+    want = _naive_near(streams, seq, slop)
+    if any(t not in docs_offs for t in seq):
+        assert want == {}
+        return
+    docs, counts = span_near_kernel(docs_offs, pos_vals, seq, slop)
+    assert dict(zip(docs, counts)) == want
+    assert docs == sorted(docs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=24),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=4),
+)
+def test_span_near_slop0_is_phrase(corpus, seq):
+    """slop=0 forces consecutive positions — the phrase kernel exactly."""
+    streams = {i * 3 + 1: toks for i, toks in enumerate(corpus)}
+    docs_offs, pos_vals = _structures(streams)
+    if any(t not in docs_offs for t in seq):
+        return
+    assert span_near_kernel(docs_offs, pos_vals, seq, 0) == (
+        phrase_match_kernel(docs_offs, pos_vals, seq)
+    )
+
+
+def test_span_near_in_order_and_window():
+    """Transpositions never match (ordered semantics); gaps match only
+    within the slop window; counts are qualifying START positions."""
+    streams = {
+        1: ["beta", "alpha"],  # transposed — must NOT match
+        2: ["alpha", "gamma", "beta"],  # gap 1 — needs slop >= 1
+        3: ["alpha", "beta", "alpha", "delta", "beta"],  # starts 0 and 2
+    }
+    docs_offs, pos_vals = _structures(streams)
+    seq = ["alpha", "beta"]
+    assert span_near_kernel(docs_offs, pos_vals, seq, 0) == (
+        [3],
+        [1],
+    )
+    docs, counts = span_near_kernel(docs_offs, pos_vals, seq, 1)
+    assert dict(zip(docs, counts)) == {2: 1, 3: 2}
+    # window is in tokens past the minimum, not absolute positions
+    docs, counts = span_near_kernel(docs_offs, pos_vals, seq, 9)
+    assert dict(zip(docs, counts)) == {2: 1, 3: 2}
+
+
+def test_span_near_rejects_negative_slop():
+    streams = {1: ["alpha", "beta"]}
+    docs_offs, pos_vals = _structures(streams)
+    import pytest
+
+    with pytest.raises(ValueError):
+        span_near_kernel(docs_offs, pos_vals, ["alpha", "beta"], -1)

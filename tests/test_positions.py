@@ -494,3 +494,129 @@ def test_rescore_point_tier_matches_distributed(spark, pos_index):
         assert point == dist and dist
     finally:
         fts.close()
+
+
+# ------------------------------------------------- span-near (proximity)
+
+
+def _near_pairs(fts, phrase, slop, k=0):
+    """url-suffix -> near_count (urls are doc://<n>; index doc_ids are
+    internal dense ids, so tests key by the stable url number)."""
+    return {
+        int(r["url"][6:]): int(r["near_count"])
+        for r in fts.search_near_positional(phrase, slop, k=k).collect()
+    }
+
+
+def _near_by_internal(fts, phrase, slop, k=0):
+    return {
+        int(r["doc_id"]): int(r["near_count"])
+        for r in fts.search_near_positional(phrase, slop, k=k).collect()
+    }
+
+
+def test_near_slop0_equals_phrase(spark, pos_index):
+    """slop=0 is the phrase query exactly (the kernel-level property,
+    re-asserted through the full distributed plan)."""
+    fts = FtsIndex(spark, pos_index)
+    for phrase in ("merge sort", "merge", "merge sort merge", "merge zzz"):
+        assert _near_by_internal(fts, phrase, 0) == _positional_pairs(
+            fts, phrase
+        ), phrase
+
+
+def test_near_window_semantics(spark, pos_index):
+    """Doc 0's analyzed stream is (merge sort classic merge sort
+    algorithm): 'merge algorithm' chains span 5 (start 0) and 2 (start
+    3), so the window admits them at slop>=4 and slop>=1 respectively;
+    order matters — the reversed phrase never matches."""
+    fts = FtsIndex(spark, pos_index)
+    assert _near_pairs(fts, "merge algorithm", 0) == {}
+    assert _near_pairs(fts, "merge algorithm", 1) == {0: 1}
+    assert _near_pairs(fts, "merge algorithm", 4) == {0: 2}
+    assert _near_pairs(fts, "algorithm merge", 9) == {}
+
+
+def test_near_topk_order(spark, pos_index):
+    """(count desc, doc_id asc), k-bounded — same contract as phrase."""
+    fts = FtsIndex(spark, pos_index)
+    top = fts.search_near_positional("merge sort", 1, k=2).collect()
+    assert [int(r["url"][6:]) for r in top] == [4, 0]
+
+
+def test_near_point_matches_positional(spark, pos_index):
+    """The in-process span-near tier runs the same kernel as the
+    distributed plan — identical (doc_id, near_count) sets, with and
+    without point serving enabled (fallback path)."""
+    cases = (
+        ("merge sort", 0),
+        ("merge algorithm", 1),
+        ("merge algorithm", 4),
+        ("sort join", 2),
+        ("merge zzz", 3),
+        ("the of", 1),
+    )
+    fts = FtsIndex(spark, pos_index).enable_point_serving()
+    try:
+        for phrase, slop in cases:
+            got = {d: c for d, c in fts.search_near_point(phrase, slop, k=0)}
+            assert got == _near_by_internal(fts, phrase, slop), (phrase, slop)
+    finally:
+        fts.close()
+    cold = FtsIndex(spark, pos_index)  # tier disabled -> fallback
+    assert {
+        d: c for d, c in cold.search_near_point("merge algorithm", 4, k=0)
+    } == _near_by_internal(cold, "merge algorithm", 4)
+
+
+def test_near_by_lang_routing(spark, tmp_path_factory):
+    """by_lang: near matches resolve through each doc's own pipeline
+    stream, on both tiers."""
+    from fts_engine_spark.build import BuildConfig, build_index
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "french seaside hotels were quiet", "en"),
+            (1, "a french hotel by the sea", "en"),
+            (2, "hotels in france", "en"),
+            (3, "hotel food french only", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    d = str(tmp_path_factory.mktemp("nearbl") / "ix")
+    build_index(
+        spark,
+        _idx_docs(corpus),
+        d,
+        BuildConfig(
+            preset="by_lang", shard_size=4, id_buckets=4, n_waves=1,
+            store_positions=True,
+        ),
+        resume=False,
+    )
+    fts = FtsIndex(spark, d).enable_point_serving()
+    try:
+        # 'french ... hotels' with one token between (doc 0) needs slop 1;
+        # doc 1 is adjacent; doc 3 is reversed (hotel before french)
+        want = {0: 1, 1: 1}
+        assert _near_pairs(fts, "french hotels", 1) == want
+        assert {
+            d_: c for d_, c in fts.search_near_point("french hotels", 1, k=0)
+        } == _near_by_internal(fts, "french hotels", 1)
+    finally:
+        fts.close()
+
+
+def test_engine_facade_near(spark, pos_index):
+    from fts_engine_spark.engine import EngineOptions, FtsEngine
+
+    eng = FtsEngine(spark, pos_index, EngineOptions(preset="simple"))
+    out = eng.search_near("merge algorithm", slop=4, k=5).collect()
+    assert {(int(r["url"][6:]), int(r["near_count"])) for r in out} == {
+        (0, 2)
+    }
+    # point tier reports index-internal doc_ids — compare against the
+    # distributed plan's ids, not the url suffix
+    assert eng.search_near_point("merge algorithm", slop=4, k=5) == [
+        (int(r["doc_id"]), int(r["near_count"])) for r in out
+    ]

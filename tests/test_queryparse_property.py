@@ -83,7 +83,11 @@ def _clauses(draw):
     if kind == "phrase":
         words = draw(st.lists(_WORD, min_size=1, max_size=3))
         ph = " ".join(words)
-        return f'"{ph}"', "phrases", ph
+        slop = draw(st.one_of(st.none(), st.integers(0, 9)))
+        if slop is None or slop == 0:  # `~0` IS the exact phrase
+            suffix = "~0" if slop == 0 else ""
+            return f'"{ph}"{suffix}', "phrases", ph
+        return f'"{ph}"~{slop}', "near", (ph, slop)
     if kind in ("group", "notgroup"):
         members = draw(st.lists(_word_atoms(), min_size=1, max_size=3))
         body = " ".join(t for t, _ in members)
@@ -114,12 +118,15 @@ def test_assembled_query_round_trips(clauses):
             want.must_not.extend(exp)
         elif bucket == "phrases":
             want.phrases.append(exp)
+        elif bucket == "near":
+            want.near.append(exp)
         else:
             want.filters.append(exp)
     assert bq.should == want.should
     assert bq.groups == want.groups
     assert bq.must_not == want.must_not
     assert bq.phrases == want.phrases
+    assert bq.near == want.near
     assert bq.filters == want.filters
 
 
