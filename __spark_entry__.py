@@ -657,6 +657,36 @@ def _facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.facet_counts(" ".join(Q_TERMS), facet="lang")
 
 
+def _facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality facet (ES cardinality-agg analog), exact mode for the
+    hash gate: COUNT(DISTINCT lang) over the full OR match set. The
+    default mode is approx (HyperLogLog++ sketch on the same
+    doc-blob-only plan — no distinct shuffle, the 10^12-doc path);
+    approx-vs-exact agreement is asserted in tests."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    return fts.facet_cardinality(" ".join(Q_TERMS), col="lang", exact=True)
+
+
+PCTS = (0.25, 0.5, 0.75, 0.95)
+
+
+def _facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles facet (ES percentiles-agg analog), exact interpolated
+    mode for the hash gate (DuckDB quantile_cont reproduces Spark's
+    linear interpolation bit-for-bit at round-6); exact=False is the
+    bounded-memory Greenwald-Khanna sketch on the same plan."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    return fts.facet_percentiles(
+        " ".join(Q_TERMS), col="doclen", percentiles=PCTS, exact=True
+    )
+
+
 def _explain_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-explain analog: per-term BM25 contribution rows for the
     top-10 docs; sum(contrib) per doc equals the fts_index_bm25_wand
@@ -1046,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stats facet (Elasticsearch stats-agg analog): one
         # count/min/max/avg/sum row of doclen over the full match set
         "fts_facet_stats": _facet_stats,
+        "fts_facet_cardinality": _facet_cardinality,
+        "fts_facet_percentiles": _facet_percentiles,
         # Lucene-explain analog: per-term BM25 contribution rows for the
         # top-10 (sum(contrib) per doc == the bm25 row's score)
         "fts_explain_bm25": _explain_search,
@@ -1411,6 +1443,31 @@ matches AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term))
 SELECT (dl.doc_len // 50) * 50 AS bucket, count(*)::BIGINT AS n_docs
 FROM matches m JOIN dl ON dl.doc_id = m.doc_id
 GROUP BY 1 ORDER BY bucket
+"""
+    # cardinality facet: COUNT(DISTINCT lang) over the distinct match set
+    card_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+matches AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term))
+SELECT count(DISTINCT d.lang)::BIGINT AS n_values
+FROM matches m JOIN documents d ON d.doc_id = m.doc_id
+"""
+    # percentiles facet: linearly-interpolated quantiles of analyzed doc
+    # length over the match set (quantile_cont == Spark F.percentile)
+    _pct_rows = " UNION ALL ".join(
+        f"SELECT CAST({p} AS DOUBLE) AS pct, "
+        f"round(quantile_cont(doc_len, {p}), 6) AS value FROM vals"
+        for p in PCTS
+    )
+    pctl_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+matches AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term)),
+vals AS (SELECT dl.doc_len FROM matches m JOIN dl ON dl.doc_id = m.doc_id)
+SELECT * FROM ({_pct_rows}) ORDER BY pct
 """
     # stats facet: count/min/max/avg/sum of analyzed doc length over the
     # distinct match set (one row; avg rounded for float stability)
@@ -1926,6 +1983,8 @@ ORDER BY query_id, score DESC, doc_id
         "fts_rescore_phrase": rescore_sql,
         "fts_facet_histogram": hist_sql,
         "fts_facet_stats": stats_facet_sql,
+        "fts_facet_cardinality": card_sql,
+        "fts_facet_percentiles": pctl_sql,
         "fts_explain_bm25": explain_sql,
         "fts_boosted_bm25": bm25_boosted,
         "fts_incremental_bm25": bm25,

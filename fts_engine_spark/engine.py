@@ -253,6 +253,30 @@ class FtsEngine:
         match set (see :meth:`FtsIndex.facet_stats`)."""
         return self.index.facet_stats(query, col=col)
 
+    def facet_cardinality(
+        self, query: str, col: str = "lang", exact: bool = False
+    ) -> DataFrame:
+        """Cardinality facet (ES ``cardinality`` aggregation analog):
+        distinct values of a docs column over the full match set —
+        HyperLogLog++ sketch by default, ``exact=True`` for
+        count-distinct (see :meth:`FtsIndex.facet_cardinality`)."""
+        return self.index.facet_cardinality(query, col=col, exact=exact)
+
+    def facet_percentiles(
+        self,
+        query: str,
+        col: str = "doclen",
+        percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+        exact: bool = True,
+    ) -> DataFrame:
+        """Percentiles facet (ES ``percentiles`` aggregation analog):
+        exact interpolated percentiles of a numeric docs column over the
+        full match set, or a bounded-memory sketch with ``exact=False``
+        (see :meth:`FtsIndex.facet_percentiles`)."""
+        return self.index.facet_percentiles(
+            query, col=col, percentiles=percentiles, exact=exact
+        )
+
     def explain(self, query: str, k: int | None = None) -> DataFrame:
         """Lucene ``Explanation`` analog: per-term BM25 contribution rows
         for the top-k (see :meth:`FtsIndex.explain_bm25`)."""

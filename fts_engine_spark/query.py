@@ -1286,6 +1286,94 @@ class FtsIndex:
             .where(F.col("n_docs") > 0)
         )
 
+    def facet_cardinality(
+        self,
+        query: str,
+        col: str = "lang",
+        exact: bool = False,
+        rsd: float = 0.05,
+        preset: str | None = None,
+    ) -> DataFrame:
+        """Cardinality facet (Elasticsearch ``cardinality`` aggregation
+        analog): the number of DISTINCT values of a docs-table column
+        over the FULL match set (OR semantics). One row ``(n_values)``;
+        zero matches read as ``n_values = 0``.
+
+        The default is the scale path: ``approx_count_distinct``
+        (HyperLogLog++, relative error ``rsd``) — a constant-size sketch
+        per partition, map-side combined, so the plan adds NO
+        distinct-shuffle over the match set (the thing that dies first
+        on a high-cardinality column at 10^12 docs). ``exact=True``
+        switches to ``count(DISTINCT col)`` — one extra exchange — which
+        is the mode the DuckDB contract row runs so the hash gate stays
+        exact. Same doc-blob-only match plan as :meth:`facet_counts`
+        (tf/dl bytes never decoded)."""
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self.spark.range(1).select(
+                F.lit(0).cast("long").alias("n_values")
+            )
+        matches = self._match_count_df(mult)
+        docs = self.docs().select("doc_id", col)
+        agg = (
+            F.count_distinct(F.col(col))
+            if exact
+            else F.approx_count_distinct(col, rsd)
+        )
+        return matches.join(docs, "doc_id").agg(
+            agg.cast("long").alias("n_values")
+        )
+
+    def facet_percentiles(
+        self,
+        query: str,
+        col: str = "doclen",
+        percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+        exact: bool = True,
+        accuracy: int = 10_000,
+        preset: str | None = None,
+    ) -> DataFrame:
+        """Percentiles facet (Elasticsearch ``percentiles`` aggregation
+        analog): one row per requested percentile — ``(pct, value)``,
+        pct asc — of a numeric docs-table column over the FULL match
+        set. Zero matches yield zero rows.
+
+        ``exact=True`` (default, and the contract-row mode) computes the
+        exact linearly-interpolated percentile (``F.percentile``; the
+        same interpolation DuckDB's ``quantile_cont`` uses, so the
+        oracle reproduces it bit-for-bit at round-6). At 10^12-doc match
+        sets exact percentiles buffer the column per partition —
+        ``exact=False`` switches to ``percentile_approx`` (bounded-size
+        Greenwald-Khanna sketch, ``accuracy`` trades memory for rank
+        error, map-side combinable) on the same plan. Values rounded to
+        6 decimals for cross-engine float stability."""
+        pcts = [float(p) for p in percentiles]
+        if not pcts or any(not 0.0 <= p <= 1.0 for p in pcts):
+            raise ValueError(f"percentiles must be in [0, 1]: {pcts}")
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self.spark.createDataFrame(
+                [], "pct double, value double"
+            )
+        matches = self._match_count_df(mult)
+        docs = self.docs().select("doc_id", col)
+        pct_arr = F.array(*[F.lit(p) for p in pcts])
+        agg = (
+            F.percentile(F.col(col), pct_arr)
+            if exact
+            else F.percentile_approx(F.col(col), pct_arr, F.lit(accuracy))
+        )
+        return (
+            matches.join(docs, "doc_id")
+            .agg(agg.alias("vals"))
+            .select(F.posexplode("vals").alias("pos", "value"))
+            .select(
+                F.element_at(pct_arr, F.col("pos") + 1).alias("pct"),
+                F.round(F.col("value").cast("double"), 6).alias("value"),
+            )
+            .orderBy("pct")
+        )
+
     def search_bm25_rescored(
         self,
         query: str,

@@ -74,6 +74,12 @@ def main() -> None:
     ap.add_argument("--facet-stats", default=None, metavar="QUERY",
                     help="print count/min/max/avg/sum of doclen over the "
                          "full match set of QUERY")
+    ap.add_argument("--facet-cardinality", default=None, metavar="QUERY",
+                    help="print the approx (HLL++) distinct-lang count "
+                         "over the full match set of QUERY")
+    ap.add_argument("--facet-percentiles", default=None, metavar="QUERY",
+                    help="print exact doclen percentiles (p25/50/75/95) "
+                         "over the full match set of QUERY")
     ap.add_argument("--synonyms", default=None,
                     help='JSON map of query-time synonym groups, e.g. '
                          '\'{"fast": ["quick"]}\' — each --query then '
@@ -227,6 +233,26 @@ def main() -> None:
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({
             "facet_stats": args.facet_stats,
+            "ms": round(ms, 1),
+            "results": [r.asDict() for r in rows],
+        }, default=str))
+
+    if args.facet_cardinality:
+        t0 = time.monotonic()
+        rows = engine.facet_cardinality(args.facet_cardinality).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "facet_cardinality": args.facet_cardinality,
+            "ms": round(ms, 1),
+            "results": [r.asDict() for r in rows],
+        }, default=str))
+
+    if args.facet_percentiles:
+        t0 = time.monotonic()
+        rows = engine.facet_percentiles(args.facet_percentiles).collect()
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "facet_percentiles": args.facet_percentiles,
             "ms": round(ms, 1),
             "results": [r.asDict() for r in rows],
         }, default=str))

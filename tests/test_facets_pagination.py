@@ -215,3 +215,94 @@ def test_boosted_search_hydrates_and_handles_empty(fts):
     assert len(rows) == 2 and {"url", "url_md5"} <= set(out.columns)
     assert all(r["url"] for r in rows)
     assert fts.search_bm25_boosted("zzzznotaterm", k=5).count() == 0
+
+
+# ----------------------------------------- cardinality + percentiles (r5)
+
+
+def test_facet_cardinality_exact_matches_ground_truth(fts):
+    hits = [int(r["doc_id"]) for r in fts.search_bm25(QUERY, k=0).collect()]
+    langs = {
+        int(r["doc_id"]): r["lang"]
+        for r in fts.docs().select("doc_id", "lang").collect()
+    }
+    truth = len({langs[d] for d in hits})
+    row = fts.facet_cardinality(QUERY, col="lang", exact=True).collect()
+    assert len(row) == 1 and int(row[0]["n_values"]) == truth > 0
+
+
+def test_facet_cardinality_approx_agrees_at_small_cardinality(fts):
+    """HLL++ is exact far below its register count — at single-digit
+    true cardinality the sketch must equal count-distinct, which pins
+    the approx plan end-to-end without flaky error-bound assertions."""
+    exact = int(
+        fts.facet_cardinality(QUERY, col="lang", exact=True)
+        .collect()[0]["n_values"]
+    )
+    approx = int(
+        fts.facet_cardinality(QUERY, col="lang").collect()[0]["n_values"]
+    )
+    assert approx == exact
+
+
+def test_facet_cardinality_empty_query_is_zero(fts):
+    row = fts.facet_cardinality("zzzznotaterm", col="lang").collect()
+    assert len(row) == 1 and int(row[0]["n_values"]) == 0
+
+
+def test_facet_percentiles_match_numpy(fts):
+    import numpy as np
+
+    hits = [int(r["doc_id"]) for r in fts.search_bm25(QUERY, k=0).collect()]
+    dl = {
+        int(r["doc_id"]): int(r["doclen"])
+        for r in fts.docs().select("doc_id", "doclen").collect()
+    }
+    vals = np.array(sorted(dl[d] for d in hits), dtype=np.float64)
+    pcts = (0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    got = fts.facet_percentiles(QUERY, col="doclen", percentiles=pcts)
+    rows = got.collect()
+    assert [float(r["pct"]) for r in rows] == list(pcts)
+    for r in rows:
+        # numpy 'linear' interpolation == Spark percentile == quantile_cont
+        want = float(np.quantile(vals, float(r["pct"]), method="linear"))
+        assert float(r["value"]) == pytest.approx(round(want, 6), abs=1e-6)
+
+
+def test_facet_percentiles_approx_within_rank_error(fts):
+    """The sketch mode returns actual column values whose rank error is
+    bounded by 1/accuracy — at accuracy 10k over a small match set it
+    must return exact order statistics (the nearest-rank value)."""
+    import numpy as np
+
+    hits = [int(r["doc_id"]) for r in fts.search_bm25(QUERY, k=0).collect()]
+    dl = {
+        int(r["doc_id"]): int(r["doclen"])
+        for r in fts.docs().select("doc_id", "doclen").collect()
+    }
+    vals = sorted(dl[d] for d in hits)
+    rows = fts.facet_percentiles(
+        QUERY, col="doclen", percentiles=(0.5,), exact=False
+    ).collect()
+    assert len(rows) == 1
+    assert float(rows[0]["value"]) in {float(v) for v in vals}
+
+
+def test_facet_percentiles_empty_and_validation(fts):
+    assert fts.facet_percentiles("zzzznotaterm").count() == 0
+    with pytest.raises(ValueError, match="percentiles"):
+        fts.facet_percentiles(QUERY, percentiles=(1.5,))
+    with pytest.raises(ValueError, match="percentiles"):
+        fts.facet_percentiles(QUERY, percentiles=())
+
+
+def test_facet_cardinality_approx_plan_has_no_expand_or_distinct(fts):
+    """The scale mode must aggregate HLL sketches map-side — the plan
+    may not contain a distinct-style Expand/Aggregate over the match
+    set's (doc_id, col) pairs."""
+    df = fts.facet_cardinality(QUERY, col="lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" in plan
+    df_exact = fts.facet_cardinality(QUERY, col="lang", exact=True)
+    plan_exact = df_exact._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" not in plan_exact
