@@ -670,6 +670,24 @@ def _facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.facet_cardinality(" ".join(Q_TERMS), col="lang", exact=True)
 
 
+def _sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-sorted retrieval (ES ``sort`` analog): the FULL OR match
+    set with its sort key (analyzed doc length) — no scoring, no tf/dl
+    decode; with k>0 the same surface is a TakeOrderedAndProject top-k
+    (truncation determinism is pytest-pinned; the contract row runs
+    k=0 because the k-boundary tiebreak is the index-internal dense id,
+    which the oracle's original ids cannot reproduce)."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_sorted(" ".join(Q_TERMS), by="doclen", k=0)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.col("doclen").cast("long").alias("sort_v"),
+    )
+
+
 PCTS = (0.25, 0.5, 0.75, 0.95)
 
 
@@ -1077,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count/min/max/avg/sum row of doclen over the full match set
         "fts_facet_stats": _facet_stats,
         "fts_facet_cardinality": _facet_cardinality,
+        "fts_sort_by_field": _sorted_search,
         "fts_facet_percentiles": _facet_percentiles,
         # Lucene-explain analog: per-term BM25 contribution rows for the
         # top-10 (sum(contrib) per doc == the bm25 row's score)
@@ -1443,6 +1462,16 @@ matches AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term))
 SELECT (dl.doc_len // 50) * 50 AS bucket, count(*)::BIGINT AS n_docs
 FROM matches m JOIN dl ON dl.doc_id = m.doc_id
 GROUP BY 1 ORDER BY bucket
+"""
+    # field-sorted retrieval: the full match set with its sort key
+    sorted_sql = f"""
+WITH toks AS ({_TOKS}),
+tf AS ({_TF}),
+dl AS ({_DL}),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+matches AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term))
+SELECT m.doc_id, dl.doc_len::BIGINT AS sort_v
+FROM matches m JOIN dl ON dl.doc_id = m.doc_id
 """
     # cardinality facet: COUNT(DISTINCT lang) over the distinct match set
     card_sql = f"""
@@ -1984,6 +2013,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_facet_histogram": hist_sql,
         "fts_facet_stats": stats_facet_sql,
         "fts_facet_cardinality": card_sql,
+        "fts_sort_by_field": sorted_sql,
         "fts_facet_percentiles": pctl_sql,
         "fts_explain_bm25": explain_sql,
         "fts_boosted_bm25": bm25_boosted,

@@ -253,6 +253,21 @@ class FtsEngine:
         match set (see :meth:`FtsIndex.facet_stats`)."""
         return self.index.facet_stats(query, col=col)
 
+    def search_sorted(
+        self,
+        query: str,
+        by: str = "doclen",
+        ascending: bool = False,
+        k: int | None = None,
+    ) -> DataFrame:
+        """Field-sorted retrieval (ES ``sort`` analog): top-k of the
+        full match set by a docs-table metadata column — no scoring, no
+        tf/dl decode (see :meth:`FtsIndex.search_sorted`)."""
+        return self.index.search_sorted(
+            query, by=by, ascending=ascending,
+            k=self.options.k if k is None else k,
+        )
+
     def facet_cardinality(
         self, query: str, col: str = "lang", exact: bool = False
     ) -> DataFrame:

@@ -1198,6 +1198,44 @@ class FtsIndex:
             .orderBy(F.desc("n_docs"), F.asc(facet))
         )
 
+    def search_sorted(
+        self,
+        query: str,
+        by: str = "doclen",
+        ascending: bool = False,
+        k: int = 10,
+        preset: str | None = None,
+    ) -> DataFrame:
+        """Field-sorted retrieval (the Elasticsearch ``sort`` analog):
+        the top-k of the FULL match set ordered by a docs-table metadata
+        column instead of relevance — "newest matching pages" when
+        ``by`` is a ``meta_cols`` timestamp, "longest matching docs" for
+        ``doclen``. Returns ``(doc_id, url, <by>)``, ordered ``by``
+        asc/desc with doc_id asc tiebreak; ``k <= 0`` returns the whole
+        match set ordered.
+
+        No scoring and no tf/dl decode: candidacy is the doc-blob-only
+        match set (OR semantics, same normalization as
+        :meth:`search_bm25`, tombstones anti-joined), the sort key rides
+        the docs table, and with ``k > 0`` the plan ends in
+        TakeOrderedAndProject — per-partition top-k heaps and one
+        reduce, never a global sort. The matches⋈docs join is the only
+        wide exchange, exactly the facet plans' shape."""
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self.spark.createDataFrame(
+                [], f"doc_id long, url string, {by} long"
+            )
+        matches = self._match_count_df(mult)
+        docs = self.docs().select("doc_id", "url", by)
+        key = F.asc(by) if ascending else F.desc(by)
+        out = (
+            matches.join(docs, "doc_id")
+            .select("doc_id", "url", by)
+            .orderBy(key, F.asc("doc_id"))
+        )
+        return out.limit(k) if k > 0 else out
+
     def facet_histogram(
         self,
         query: str,

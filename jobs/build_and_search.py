@@ -74,6 +74,10 @@ def main() -> None:
     ap.add_argument("--facet-stats", default=None, metavar="QUERY",
                     help="print count/min/max/avg/sum of doclen over the "
                          "full match set of QUERY")
+    ap.add_argument("--sort-by", default=None, metavar="COLUMN[:asc]",
+                    help="field-sorted retrieval for each --query: top-k "
+                         "of the match set by this docs column (desc "
+                         "default; ':asc' suffix ascending), no scoring")
     ap.add_argument("--facet-cardinality", default=None, metavar="QUERY",
                     help="print the approx (HLL++) distinct-lang count "
                          "over the full match set of QUERY")
@@ -142,7 +146,12 @@ def main() -> None:
 
     for q in args.query:
         t0 = time.monotonic()
-        if args.collapse is not None:
+        if args.sort_by is not None:
+            col, _, asc = args.sort_by.partition(":")
+            rows = engine.search_sorted(
+                q, by=col, ascending=asc == "asc", k=args.k
+            ).collect()
+        elif args.collapse is not None:
             rows = engine.search_collapsed(
                 q, collapse=args.collapse, k=args.k
             ).collect()

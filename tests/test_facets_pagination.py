@@ -306,3 +306,41 @@ def test_facet_cardinality_approx_plan_has_no_expand_or_distinct(fts):
     df_exact = fts.facet_cardinality(QUERY, col="lang", exact=True)
     plan_exact = df_exact._jdf.queryExecution().executedPlan().toString()
     assert "approx_count_distinct" not in plan_exact
+
+
+# ------------------------------------------------- field-sorted retrieval
+
+
+def test_search_sorted_matches_ground_truth(fts):
+    """search_sorted == the match set ordered by (col desc, doc_id asc),
+    truncated at k — the ES sort analog, no scoring involved."""
+    hits = {int(r["doc_id"]) for r in fts.search_bm25(QUERY, k=0).collect()}
+    dl = {
+        int(r["doc_id"]): int(r["doclen"])
+        for r in fts.docs().select("doc_id", "doclen").collect()
+    }
+    want = sorted(((d, dl[d]) for d in hits), key=lambda x: (-x[1], x[0]))
+    got = [
+        (int(r["doc_id"]), int(r["doclen"]))
+        for r in fts.search_sorted(QUERY, by="doclen", k=3).collect()
+    ]
+    assert got == want[:3] and got
+    # ascending + full set
+    got_all = [
+        (int(r["doc_id"]), int(r["doclen"]))
+        for r in fts.search_sorted(
+            QUERY, by="doclen", ascending=True, k=0
+        ).collect()
+    ]
+    assert got_all == sorted(
+        ((d, dl[d]) for d in hits), key=lambda x: (x[1], x[0])
+    )
+
+
+def test_search_sorted_topk_plan_and_empty(fts):
+    """k>0 must end in TakeOrderedAndProject (per-partition heaps, one
+    reduce — never a global sort); an analyzer-empty query is empty."""
+    df = fts.search_sorted(QUERY, by="doclen", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert fts.search_sorted("zzzznotaterm", k=5).count() == 0
