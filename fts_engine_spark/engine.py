@@ -411,27 +411,37 @@ class FtsEngine:
         )
 
     def search_near(
-        self, phrase: str, slop: int = 2, k: int | None = None
+        self,
+        phrase: str,
+        slop: int = 2,
+        k: int | None = None,
+        in_order: bool = True,
     ) -> DataFrame:
-        """Ordered proximity search (Lucene ``SpanNearQuery(inOrder)`` /
-        ``"a b"~N`` analog): docs whose analyzed stream contains ALL of
-        ``phrase``'s terms in order within ``len(terms) + slop`` tokens,
-        ranked by the number of qualifying start positions. Resolved
-        entirely from the positional table (``store_positions=True``);
-        ``slop=0`` is exactly :meth:`search_phrase_indexed`. Returns
-        (doc_id, url, near_count)."""
+        """Proximity search (Lucene ``SpanNearQuery`` / ``"a b"~N``
+        analog): docs whose analyzed stream contains ALL of ``phrase``'s
+        terms in order within ``len(terms) + slop`` tokens (default), or
+        in ANY order within ``n_distinct + slop`` tokens with
+        ``in_order=False``; ranked by the number of qualifying
+        start/anchor positions. Resolved entirely from the positional
+        table (``store_positions=True``); ordered ``slop=0`` is exactly
+        :meth:`search_phrase_indexed`. Returns (doc_id, url,
+        near_count)."""
         return self.index.search_near_positional(
-            phrase, slop, self.options.k if k is None else k
+            phrase, slop, self.options.k if k is None else k, in_order
         )
 
     def search_near_point(
-        self, phrase: str, slop: int = 2, k: int | None = None
+        self,
+        phrase: str,
+        slop: int = 2,
+        k: int | None = None,
+        in_order: bool = True,
     ) -> list[tuple[int, int]]:
         """Proximity search below the Spark job floor — the span-near
         twin of :meth:`search_phrase_point`; same point cache, same
         fallbacks. Returns (doc_id, near_count)."""
         return self.index.search_near_point(
-            phrase, slop, self.options.k if k is None else k
+            phrase, slop, self.options.k if k is None else k, in_order
         )
 
     def search_synonyms(

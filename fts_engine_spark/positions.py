@@ -371,6 +371,53 @@ def _gather_positions(
     return cand, gathered, max_pos + 2
 
 
+def span_near_unordered_kernel(
+    docs_offs: dict[str, tuple[np.ndarray, np.ndarray]],
+    pos_vals,
+    seq: list[str],
+    slop: int,
+) -> tuple[list[int], list[int]]:
+    """(matching doc_ids, qualifying-anchor counts) for an UNORDERED
+    proximity match — the ``SpanNearQuery(inOrder=false)`` analog: a doc
+    matches when all DISTINCT terms of ``seq`` co-occur, in any order,
+    within a window of ``n_distinct + slop`` tokens. Duplicates in
+    ``seq`` collapse (multiplicity has no natural unordered meaning);
+    the count per doc is the number of distinct anchor positions — any
+    position ``p`` of any of the terms such that every term occurs in
+    ``[p, p + n_distinct - 1 + slop]``.
+
+    Vectorized like the ordered kernel: one ``searchsorted`` per term
+    over the merged anchor keys (earliest occurrence >= anchor, same
+    doc, within the window)."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    terms = list(dict.fromkeys(seq))
+    cand, gathered, cap = _gather_positions(docs_offs, pos_vals, terms)
+    if cand.size == 0:
+        return [], []
+    window = len(terms) - 1 + slop  # max (last - anchor) token span
+    anchors = np.sort(
+        np.concatenate([d * cap + p for d, p in gathered.values()])
+    )
+    ok = np.ones(anchors.size, dtype=bool)
+    for t in terms:
+        dense, absp = gathered[t]
+        nxt = dense * cap + absp
+        idx = np.searchsorted(nxt, anchors, side="left")
+        inb = idx < nxt.size
+        near = nxt[np.minimum(idx, nxt.size - 1)]
+        ok &= (
+            inb
+            & ((near // cap) == (anchors // cap))
+            & ((near % cap) - (anchors % cap) <= window)
+        )
+    hits = anchors[ok]
+    if hits.size == 0:
+        return [], []
+    uniq, counts = np.unique(hits // cap, return_counts=True)
+    return cand[uniq].tolist(), counts.tolist()
+
+
 def span_near_kernel(
     docs_offs: dict[str, tuple[np.ndarray, np.ndarray]],
     pos_vals,
@@ -520,18 +567,27 @@ def search_phrase_positional(
 
 
 def search_near_positional(
-    index: "FtsIndex", phrase: str, slop: int, k: int = 10
+    index: "FtsIndex",
+    phrase: str,
+    slop: int,
+    k: int = 10,
+    in_order: bool = True,
 ) -> DataFrame:
     """(doc_id, url, near_count) for docs matching the analyzed terms of
-    ``phrase`` as an ORDERED proximity query within ``len(terms) + slop``
-    tokens (:func:`span_near_kernel`; Lucene SpanNearQuery analog),
-    count desc / doc_id asc, LIMIT k (k<=0 = all). Same plan shape as
+    ``phrase`` as a proximity query (Lucene SpanNearQuery analog) —
+    ordered within ``len(terms) + slop`` tokens by default
+    (:func:`span_near_kernel`), or any-order co-occurrence within
+    ``n_distinct + slop`` tokens with ``in_order=False``
+    (:func:`span_near_unordered_kernel`) — count desc / doc_id asc,
+    LIMIT k (k<=0 = all). Same plan shape as
     :func:`search_phrase_positional` — pruned positional scan, one
-    kernel call per shard, docs join for url — and ``slop=0`` returns
-    exactly the phrase result (modulo the count column's name)."""
+    kernel call per shard, docs join for url — and ordered ``slop=0``
+    returns exactly the phrase result (modulo the count column's
+    name)."""
+    base = span_near_kernel if in_order else span_near_unordered_kernel
 
     def kernel(docs_offs, pos_vals, seq):
-        return span_near_kernel(docs_offs, pos_vals, seq, slop)
+        return base(docs_offs, pos_vals, seq, slop)
 
     return _search_positional(index, phrase, k, kernel, "near_count")
 

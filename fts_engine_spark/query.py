@@ -808,36 +808,41 @@ class FtsIndex:
         )
 
     def search_near_positional(
-        self, phrase: str, slop: int, k: int = 10
+        self, phrase: str, slop: int, k: int = 10, in_order: bool = True
     ) -> DataFrame:
-        """Ordered proximity search (Lucene SpanNearQuery analog)
-        resolved entirely from the positional table: ``(doc_id, url,
+        """Proximity search (Lucene SpanNearQuery analog) resolved
+        entirely from the positional table: ``(doc_id, url,
         near_count)`` for docs whose analyzed stream contains all of
         ``phrase``'s terms IN ORDER within ``len(terms) + slop`` tokens
-        (``positions.span_near_kernel``); ``slop=0`` equals
-        :meth:`search_phrase_positional`."""
+        (``positions.span_near_kernel``; ``slop=0`` equals
+        :meth:`search_phrase_positional`), or — with ``in_order=False``
+        — in ANY order within ``n_distinct + slop`` tokens
+        (``positions.span_near_unordered_kernel``; duplicates
+        collapse)."""
         from .positions import search_near_positional
 
-        return search_near_positional(self, phrase, slop, k)
+        return search_near_positional(self, phrase, slop, k, in_order)
 
     def search_near_point(
-        self, phrase: str, slop: int, k: int = 10
+        self, phrase: str, slop: int, k: int = 10, in_order: bool = True
     ) -> list[tuple[int, int]]:
         """Proximity search below the Spark job floor: the span-near
         counterpart of :meth:`search_phrase_point` — same positional
         point cache, same fallbacks, same output contract (top-k
         ``(doc_id, near_count)``, count desc / doc_id asc), running
-        ``positions.span_near_kernel`` in-process."""
-        from .positions import span_near_kernel
+        the ordered or unordered span-near kernel in-process."""
+        from .positions import span_near_kernel, span_near_unordered_kernel
+
+        base = span_near_kernel if in_order else span_near_unordered_kernel
 
         def kernel(docs_offs, pos_vals, seq):
-            return span_near_kernel(docs_offs, pos_vals, seq, slop)
+            return base(docs_offs, pos_vals, seq, slop)
 
         return self._positional_point(
             phrase,
             k,
             kernel,
-            lambda: self.search_near_positional(phrase, slop, k),
+            lambda: self.search_near_positional(phrase, slop, k, in_order),
         )
 
     def _positional_point(

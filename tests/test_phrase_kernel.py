@@ -190,3 +190,99 @@ def test_span_near_rejects_negative_slop():
 
     with pytest.raises(ValueError):
         span_near_kernel(docs_offs, pos_vals, ["alpha", "beta"], -1)
+
+
+# ---------------------------------------- span_near_unordered_kernel
+
+
+def _naive_unordered(
+    streams: dict[int, list[str]], seq: list[str], slop: int
+) -> dict[int, int]:
+    """Anchor enumeration, independent of the kernel's searchsorted
+    formulation: an anchor is any position of any (distinct) term whose
+    forward window of n_distinct+slop tokens contains every term."""
+    terms = list(dict.fromkeys(seq))
+    win = len(terms) - 1 + slop
+    out = {}
+    for doc, toks in streams.items():
+        c = 0
+        for p, tok in enumerate(toks):
+            if tok in terms:
+                window = toks[p:p + win + 1]
+                if all(t in window for t in terms):
+                    c += 1
+        if c:
+            out[doc] = c
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=16),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(0, 3),
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3),
+    st.integers(0, 6),
+)
+def test_span_near_unordered_matches_naive(corpus, gap, seq, slop):
+    from fts_engine_spark.positions import span_near_unordered_kernel
+
+    streams = {i * (gap * 7 + 1) + 3: toks for i, toks in enumerate(corpus)}
+    docs_offs, pos_vals = _structures(streams)
+    want = _naive_unordered(streams, seq, slop)
+    if any(t not in docs_offs for t in seq):
+        assert want == {}
+        return
+    docs, counts = span_near_unordered_kernel(docs_offs, pos_vals, seq, slop)
+    assert dict(zip(docs, counts)) == want
+    assert docs == sorted(docs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=16),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(0, 4),
+)
+def test_unordered_match_set_contains_ordered(corpus, slop):
+    """For a duplicate-free sequence the windows coincide, so every doc
+    with an ordered chain also has a covering anchor — the unordered
+    match SET is a superset of the ordered one."""
+    from fts_engine_spark.positions import span_near_unordered_kernel
+
+    seq = ["alpha", "beta"]
+    streams = {i * 2 + 1: toks for i, toks in enumerate(corpus)}
+    docs_offs, pos_vals = _structures(streams)
+    if any(t not in docs_offs for t in seq):
+        return
+    ordered, _ = span_near_kernel(docs_offs, pos_vals, seq, slop)
+    unordered, _ = span_near_unordered_kernel(docs_offs, pos_vals, seq, slop)
+    assert set(ordered) <= set(unordered)
+
+
+def test_unordered_examples():
+    from fts_engine_spark.positions import span_near_unordered_kernel
+
+    streams = {
+        1: ["beta", "alpha"],                    # reversed: unordered hit
+        2: ["alpha", "gamma", "beta"],           # gap 1: needs slop >= 1
+        3: ["alpha", "delta", "delta", "beta"],  # gap 2: needs slop >= 2
+    }
+    docs_offs, pos_vals = _structures(streams)
+    seq = ["alpha", "beta"]
+    # anchors look FORWARD only: in doc 1 the beta@0 anchor covers both
+    # terms, the alpha@1 anchor sees nothing after it
+    docs, counts = span_near_unordered_kernel(docs_offs, pos_vals, seq, 0)
+    assert dict(zip(docs, counts)) == {1: 1}
+    docs, counts = span_near_unordered_kernel(docs_offs, pos_vals, seq, 1)
+    assert dict(zip(docs, counts)) == {1: 1, 2: 1}
+    # duplicates collapse: ["alpha","alpha","beta"] == ["alpha","beta"]
+    assert span_near_unordered_kernel(
+        docs_offs, pos_vals, ["alpha", "alpha", "beta"], 1
+    ) == span_near_unordered_kernel(docs_offs, pos_vals, seq, 1)

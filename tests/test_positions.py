@@ -620,3 +620,46 @@ def test_engine_facade_near(spark, pos_index):
     assert eng.search_near_point("merge algorithm", slop=4, k=5) == [
         (int(r["doc_id"]), int(r["near_count"])) for r in out
     ]
+
+
+def test_near_unordered_tiers_agree(spark, pos_index):
+    """in_order=False: reversed-order co-occurrence matches; the point
+    tier runs the same unordered kernel as the distributed plan."""
+    fts = FtsIndex(spark, pos_index).enable_point_serving()
+    try:
+        # doc 2's stream (sort merge join beats hash join): "merge sort"
+        # reversed — ordered misses it, unordered finds it at slop 0
+        ordered = _near_by_internal(fts, "merge sort", 0)
+        both = {
+            int(r["doc_id"]): int(r["near_count"])
+            for r in fts.search_near_positional(
+                "merge sort", 0, k=0, in_order=False
+            ).collect()
+        }
+        assert set(ordered) < set(both)
+        for slop in (0, 1, 3):
+            want = {
+                int(r["doc_id"]): int(r["near_count"])
+                for r in fts.search_near_positional(
+                    "merge sort", slop, k=0, in_order=False
+                ).collect()
+            }
+            got = {
+                d: c
+                for d, c in fts.search_near_point(
+                    "merge sort", slop, k=0, in_order=False
+                )
+            }
+            assert got == want and want, slop
+    finally:
+        fts.close()
+
+
+def test_engine_facade_near_unordered(spark, pos_index):
+    from fts_engine_spark.engine import EngineOptions, FtsEngine
+
+    eng = FtsEngine(spark, pos_index, EngineOptions(preset="simple"))
+    out = eng.search_near("sort merge", slop=0, k=0, in_order=False)
+    ids = {int(r["url"][6:]) for r in out.collect()}
+    # covers docs where merge/sort are adjacent in either order
+    assert 2 in ids and 0 in ids and 4 in ids
