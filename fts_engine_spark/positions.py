@@ -42,11 +42,14 @@ scan of ONLY the phrase terms' rows (bloom + min/max on ``term``,
 partition pruning on ``shard_id``) → one ``applyInPandas`` per shard →
 a docs-table join for url/lang. No source-table scan at any query.
 
-Current limitation (documented, enforced): the positional table is
-written by the batch build only — incremental appends/compaction do not
-maintain it, and ``search_phrase_positional`` fails loudly when the
-index has grown past the positions snapshot instead of silently missing
-newer docs.
+Mutation lifecycle: the batch build (or the retrofit) writes the table;
+a pure tombstone-add keeps it servable (dead docs are excluded at query
+time); compaction REBUILDS it from the renumbered stored-fields text
+when both sidecars were fresh going in (``streaming.compact.
+_rebuild_sidecars`` — one tokenize pass over the live corpus).
+Incremental appends still stale it (delta docs were never position-
+indexed), and ``search_phrase_positional`` fails loudly on any stale
+snapshot instead of silently missing or misattributing docs.
 """
 
 from __future__ import annotations
@@ -279,8 +282,9 @@ def check_positions_fresh(index: "FtsIndex") -> str:
             f"positional table is stale: built at n_docs="
             f"{pos_meta['n_docs']}/v{pos_meta.get('table_version', 0)}, "
             f"index now has {meta['n_docs']}/v{meta.get('table_version', 0)} "
-            "(incremental appends/compaction do not maintain positions); "
-            "rebuild with store_positions=True"
+            "(incremental appends stale the positional table; compaction "
+            "maintains it only when the stored-fields sidecar was fresh); "
+            "rebuild with store_positions=True or add_positions_to_index"
         )
     return pos_path
 

@@ -106,6 +106,7 @@ def compact_index(
     cfg: BuildConfig | None = None,
     remove_old: bool = True,
     bloom_ndv: int | None = None,
+    maintain_sidecars: bool = True,
 ) -> dict:
     """Merge under-filled (delta) shards into full ``shard_size`` shards.
 
@@ -118,7 +119,19 @@ def compact_index(
     removal deletes the directories such readers still reference — on a
     deployment with long-lived readers, compact with ``remove_old=False``
     and garbage-collect old ``*_vN`` dirs after a reader drain).
-    """
+
+    ``maintain_sidecars`` (default True) carries the stored-fields and
+    positional sidecars through the compaction instead of leaving them
+    stale: the stored table is renumbered with the SAME pure remap the
+    postings/docs rewrite used (dead rows dropped, no tokenize), and the
+    positional table is rebuilt from the renumbered stored text (one
+    tokenize pass — the same cost class as the opt-in build pass). Only
+    sidecars that were FRESH going in are maintained (an appends-made-it-
+    stale sidecar stays stale and keeps failing loudly); positions
+    additionally need the stored table as their text source, so
+    positions-without-stored stays stale too (documented). The rebuild
+    runs AFTER the compaction commit — a crash mid-rebuild leaves stale
+    sidecar pins, which the staleness gates already reject loudly."""
     cfg = cfg or BuildConfig()
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
@@ -143,6 +156,28 @@ def compact_index(
     skip = int(meta.get("skip_block", cfg.skip_block))
     n_docs = int(meta["n_docs"])
     n_shards = int(meta["n_shards"])
+
+    # sidecar freshness BEFORE the rewrite (stale-in stays stale-out)
+    from ..stored import STORED_TABLE, STORED_VERSION
+
+    def _sidecar_fresh(key: str, version: int) -> bool:
+        sc = meta.get(key)
+        return (
+            bool(sc)
+            and int(sc.get("version", 1)) == version
+            and int(sc.get("n_docs", -1)) == n_docs
+            and int(sc.get("table_version", -1))
+            == int(meta.get("table_version", 0))
+        )
+
+    stored_fresh = (
+        maintain_sidecars
+        and _sidecar_fresh("stored", STORED_VERSION)
+        and os.path.isdir(os.path.join(index_dir, STORED_TABLE))
+    )
+    positions_fresh = (
+        maintain_sidecars and stored_fresh and _sidecar_fresh("positions", 1)
+    )
 
     docs_path = table_path(index_dir, meta, "docs")
     postings_path = table_path(index_dir, meta, "postings")
@@ -464,8 +499,95 @@ def compact_index(
         old_dirs=old_dirs,
         drop_keys=drop_keys,
     )
+    if stored_fresh:
+        with open(meta_path) as f:
+            committed = json.load(f)
+        _rebuild_sidecars(
+            spark, index_dir, committed, positions_fresh,
+            P, shard_size, shift_arr, dead,
+        )
     with open(meta_path) as f:
         return json.load(f)
+
+
+def _rebuild_sidecars(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    positions_fresh: bool,
+    P: int,
+    shard_size: int,
+    shift_arr: np.ndarray,
+    dead: np.ndarray,
+) -> None:
+    """Carry the stored-fields (and, on top of it, the positional)
+    sidecar through a compaction. The stored table is rewritten with the
+    SAME pure ``remap_ids`` the postings/docs rewrite used — dead rows
+    dropped, tail ids shifted, no tokenize — into a temp dir, swapped
+    in, and its meta pin re-committed against the NEW
+    (n_docs, table_version). The positional table is then rebuilt from
+    the renumbered stored text via the existing retrofit
+    (``add_positions_to_index``): one tokenize pass over the live
+    corpus, the cost the opt-in positions build already paid once.
+
+    Runs post-commit by design: the compaction's atomic pointer flip
+    must not wait on sidecar IO, and a crash anywhere in here leaves
+    sidecar pins pointing at the OLD (n_docs, table_version) — the
+    staleness gates reject that loudly, so readers can never attach
+    text/positions to the wrong renumbered id. The dir swap itself has
+    a tiny rmtree→rename window with the same failure mode."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..stored import (
+        STORED_TABLE,
+        STORED_VERSION,
+        build_stored_table,
+        commit_sidecar_meta,
+    )
+
+    stored_path = os.path.join(index_dir, STORED_TABLE)
+    tmp_parent = os.path.join(index_dir, "_stored_compact_tmp")
+    shutil.rmtree(tmp_parent, ignore_errors=True)
+    dead_bc = spark.sparkContext.broadcast(dead)
+    shift_bc = spark.sparkContext.broadcast(shift_arr)
+
+    @pandas_udf("long")
+    def remap_udf(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            remap_ids(
+                ids.to_numpy(), P, shard_size, shift_bc.value, dead_bc.value
+            ),
+            dtype="int64",
+        )
+
+    stored = spark.read.parquet(stored_path)
+    if dead.size:
+
+        @pandas_udf("boolean")
+        def alive_udf(ids: pd.Series) -> pd.Series:
+            dl = dead_bc.value
+            arr = ids.to_numpy()
+            pos = np.searchsorted(dl, arr)
+            np.minimum(pos, dl.size - 1, out=pos)
+            return pd.Series(dl[pos] != arr)
+
+        stored = stored.where(alive_udf(F.col("doc_id")))
+    remapped = stored.withColumn("doc_id", remap_udf(F.col("doc_id")))
+    # build_stored_table writes <dir>/stored — point it at the temp
+    # parent, then swap the finished table in
+    build_stored_table(remapped, tmp_parent, int(meta["n_docs"]))
+    shutil.rmtree(stored_path, ignore_errors=True)
+    os.replace(os.path.join(tmp_parent, STORED_TABLE), stored_path)
+    shutil.rmtree(tmp_parent, ignore_errors=True)
+    commit_sidecar_meta(index_dir, dict(meta), "stored", STORED_VERSION)
+
+    if positions_fresh:
+        from ..positions import add_positions_to_index
+
+        corpus = spark.read.parquet(stored_path).select(
+            "url", "text", "lang"
+        )
+        add_positions_to_index(spark, index_dir, corpus)
 
 
 def _commit_compaction(

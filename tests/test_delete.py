@@ -325,3 +325,108 @@ def test_engine_mutations_close_the_old_handle(spark, tmp_path):
     eng.delete_documents(["doc://3"])
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
     assert eng._index is None and not old_handle._warm
+
+
+def test_compaction_maintains_sidecars(spark, tmp_path):
+    """Delete -> compact with maintain_sidecars (the default): the
+    stored-fields table is renumbered with the compaction's own remap
+    (no tokenize) and the positional table is rebuilt from it, so BOTH
+    sidecars keep serving — and their contents equal a fresh build +
+    retrofit over the surviving corpus."""
+    from fts_engine_spark.positions import add_positions_to_index
+    from fts_engine_spark.stored import add_stored_fields
+
+    index_dir = str(tmp_path / "mix")
+    docs = _docs(spark, 200)
+    build_index(spark, docs, index_dir, CFG, resume=False)
+    add_stored_fields(spark, index_dir, docs)
+    add_positions_to_index(spark, index_dir, docs)
+    delete_documents(spark, index_dir, [f"doc://{i}" for i in DEAD])
+
+    compact_index(spark, index_dir, CFG)  # maintain_sidecars default True
+    fts = FtsIndex(spark, index_dir)
+
+    # stored: servable post-compaction, ids renumbered correctly — the
+    # text fetched for a renumbered id belongs to that id's url
+    pairs = {
+        int(r["doc_id"]): r["url"]
+        for r in fts.docs().select("doc_id", "url").collect()
+    }
+    probe = sorted(pairs)[:5] + sorted(pairs)[-5:]
+    for r in fts.stored_text(probe).collect():
+        url = pairs[int(r["doc_id"])]
+        i = int(url[6:])
+        assert r["text"].startswith("alpha beta w%d" % (i % 7)), url
+    # dead urls are gone from the stored table
+    stored_urls = {
+        r["url"]
+        for r in spark.read.parquet(index_dir + "/stored").collect()
+    }
+    assert stored_urls == {f"doc://{i}" for i in range(200) if i not in DEAD}
+
+    # positions: servable post-compaction and identical (by url) to a
+    # fresh build + retrofit of the surviving corpus
+    surv = _docs(spark, 200, skip=DEAD)
+    fresh_dir = str(tmp_path / "freshpos")
+    build_index(spark, surv, fresh_dir, CFG, resume=False)
+    add_positions_to_index(spark, fresh_dir, surv)
+    fresh = FtsIndex(spark, fresh_dir)
+    for phrase in ("alpha beta", "gamma delta", "beta w1"):
+        ours = {
+            (r["url"], int(r["phrase_count"]))
+            for r in fts.search_phrase_positional(phrase, k=0).collect()
+        }
+        theirs = {
+            (r["url"], int(r["phrase_count"]))
+            for r in fresh.search_phrase_positional(phrase, k=0).collect()
+        }
+        assert ours == theirs and ours, phrase
+    # span-near rides the same rebuilt table
+    got = {
+        (r["url"], int(r["near_count"]))
+        for r in fts.search_near_positional("alpha gamma", 2, k=0).collect()
+    }
+    want = {
+        (r["url"], int(r["near_count"]))
+        for r in fresh.search_near_positional("alpha gamma", 2, k=0).collect()
+    }
+    assert got == want and got
+
+
+def test_compaction_sidecar_maintenance_opt_out_and_stale_in(spark, tmp_path):
+    """maintain_sidecars=False leaves both sidecars stale (loud errors,
+    the pre-r5 behavior); a sidecar that was ALREADY stale going into
+    the compaction stays stale even with maintenance on (positions
+    without a stored text source cannot be rebuilt)."""
+    from fts_engine_spark.positions import (
+        PositionsUnavailableError,
+        add_positions_to_index,
+    )
+    from fts_engine_spark.stored import (
+        StoredFieldsUnavailableError,
+        add_stored_fields,
+    )
+
+    # opt-out: both stale after compaction
+    d1 = str(tmp_path / "optout")
+    docs = _docs(spark, 96)
+    build_index(spark, docs, d1, CFG, resume=False)
+    add_stored_fields(spark, d1, docs)
+    add_positions_to_index(spark, d1, docs)
+    delete_documents(spark, d1, ["doc://3"])
+    compact_index(spark, d1, CFG, maintain_sidecars=False)
+    fts1 = FtsIndex(spark, d1)
+    with pytest.raises(StoredFieldsUnavailableError, match="stale"):
+        fts1.stored_text([0])
+    with pytest.raises(PositionsUnavailableError, match="stale"):
+        fts1.search_phrase_positional("alpha beta", k=1)
+
+    # positions WITHOUT stored: no text source -> stays stale, loudly
+    d2 = str(tmp_path / "posonly")
+    build_index(spark, docs, d2, CFG, resume=False)
+    add_positions_to_index(spark, d2, docs)
+    delete_documents(spark, d2, ["doc://3"])
+    compact_index(spark, d2, CFG)
+    fts2 = FtsIndex(spark, d2)
+    with pytest.raises(PositionsUnavailableError, match="stale"):
+        fts2.search_phrase_positional("alpha beta", k=1)
