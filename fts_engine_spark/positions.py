@@ -44,12 +44,16 @@ a docs-table join for url/lang. No source-table scan at any query.
 
 Mutation lifecycle: the batch build (or the retrofit) writes the table;
 a pure tombstone-add keeps it servable (dead docs are excluded at query
-time); compaction REBUILDS it from the renumbered stored-fields text
-when both sidecars were fresh going in (``streaming.compact.
-_rebuild_sidecars`` — one tokenize pass over the live corpus).
-Incremental appends still stale it (delta docs were never position-
-indexed), and ``search_phrase_positional`` fails loudly on any stale
-snapshot instead of silently missing or misattributing docs.
+time); incremental appends EXTEND a fresh table (the staged batch's
+positional rows splice in at the shifted shard ids — blobs are
+shard-relative, zero re-encode); compaction REBUILDS it from the
+renumbered stored-fields text when both sidecars were fresh going in
+(``streaming.compact._rebuild_sidecars`` — one tokenize pass over the
+live corpus). A table that ever went stale (e.g. appends landed while
+it was absent) stays stale, and ``search_phrase_positional`` fails
+loudly on any stale snapshot instead of silently missing or
+misattributing docs — retrofit via ``add_positions_to_index`` to
+re-enter maintenance.
 """
 
 from __future__ import annotations
@@ -282,9 +286,9 @@ def check_positions_fresh(index: "FtsIndex") -> str:
             f"positional table is stale: built at n_docs="
             f"{pos_meta['n_docs']}/v{pos_meta.get('table_version', 0)}, "
             f"index now has {meta['n_docs']}/v{meta.get('table_version', 0)} "
-            "(incremental appends stale the positional table; compaction "
-            "maintains it only when the stored-fields sidecar was fresh); "
-            "rebuild with store_positions=True or add_positions_to_index"
+            "(appends/compaction maintain the positional table only when "
+            "it was fresh going in); rebuild with store_positions=True "
+            "or add_positions_to_index"
         )
     return pos_path
 

@@ -184,9 +184,9 @@ def _checked_path(index: "FtsIndex") -> str:
             f"stored-fields table is stale: built at n_docs="
             f"{st['n_docs']}/v{st.get('table_version', 0)}, index now has "
             f"{meta['n_docs']}/v{meta.get('table_version', 0)} "
-            "(appends stale the stored table; compaction maintains it "
-            "only when it was fresh going in); retrofit again via "
-            "add_stored_fields or pass the source docs table"
+            "(appends/compaction maintain the stored table only when it "
+            "was fresh going in); retrofit again via add_stored_fields "
+            "or pass the source docs table"
         )
     return path
 

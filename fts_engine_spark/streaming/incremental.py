@@ -131,12 +131,20 @@ def _append_batch(
     (1) a batch whose (stream id, batch id) pair equals the committed
     ``last_epoch`` is a no-op (the crash happened after the commit);
     (2) before splicing, orphan artifacts of a PRE-commit crash are
-    removed deterministically: postings shard dirs at ids >= the
-    committed ``n_shards``, and docs/metrics delta files carrying this
-    splice's ``e{next_shard}_`` name tag (deltas are moved in as tagged
-    files, not blind parquet appends, precisely so a retry can find
-    them). Every mutation before the single committing
+    removed deterministically: postings (and positional) shard dirs at
+    ids >= the committed ``n_shards``, and docs/metrics/stored delta
+    files carrying this splice's ``e{next_shard}_`` name tag (deltas are
+    moved in as tagged files, not blind parquet appends, precisely so a
+    retry can find them). Every mutation before the single committing
     ``atomic_write_json`` is therefore re-runnable.
+
+    Sidecar maintenance: a stored-fields / positional sidecar that is
+    FRESH going in is EXTENDED by the batch — the staged build produces
+    the batch's sidecar rows, the splice appends them at the shifted
+    ids (positional blobs are shard-relative, so the shift never
+    re-encodes), and the pins flip to the new (n_docs, table_version)
+    inside the same commit. A stale sidecar stays stale and keeps
+    failing loudly (retrofit to re-enable maintenance).
 
     ``compact_every``: after the commit, when ``delta_batches`` reaches
     this count, run :func:`..compact.compact_index` — bounds shard-count
@@ -195,6 +203,49 @@ def _append_batch(
             os.path.join(table_path(index_dir, meta, base), tag + "*")
         ):
             os.remove(f_)
+
+    # sidecar maintenance (mirrors compaction's): a FRESH stored-fields /
+    # positional sidecar is EXTENDED by this batch — the staged build
+    # produces the batch's sidecar rows and the splice appends them at
+    # the shifted ids (positional blobs are shard-relative like postings,
+    # so the shift is a column rename, zero re-encode). Stale-in stays
+    # stale-out. Cleanup above/below follows the same orphan discipline:
+    # positional shard dirs >= next_shard and tagged stored files can
+    # only be pre-commit orphans.
+    from ..positions import POSITIONS_TABLE
+    from ..stored import DEFAULT_ROWGROUP_BYTES, STORED_TABLE, STORED_VERSION
+
+    def _sidecar_fresh(key: str, version: int) -> bool:
+        sc = meta.get(key)
+        return (
+            bool(sc)
+            and int(sc.get("version", 1)) == version
+            and int(sc.get("n_docs", -1)) == int(meta["n_docs"])
+            and int(sc.get("table_version", -1))
+            == int(meta.get("table_version", 0))
+        )
+
+    stored_dir = os.path.join(index_dir, STORED_TABLE)
+    positions_dir = os.path.join(index_dir, POSITIONS_TABLE)
+    stored_fresh = _sidecar_fresh("stored", STORED_VERSION) and os.path.isdir(
+        stored_dir
+    )
+    positions_fresh = _sidecar_fresh("positions", 1) and os.path.isdir(
+        positions_dir
+    )
+    if positions_fresh:
+        for d in glob.glob(os.path.join(positions_dir, "shard_id=*")):
+            try:
+                if int(d.rsplit("=", 1)[1]) >= next_shard:
+                    shutil.rmtree(d, ignore_errors=True)
+            except ValueError:
+                pass
+        shutil.rmtree(
+            os.path.join(positions_dir, "_temporary"), ignore_errors=True
+        )
+    if stored_fresh:
+        for f_ in glob.glob(os.path.join(stored_dir, tag + "*")):
+            os.remove(f_)
     # the INDEX defines its analyzer and physical layout: preset,
     # skip_block and bloom_ndv come from meta so a caller passing a
     # default cfg can never splice differently-tokenized rows (or
@@ -211,6 +262,10 @@ def _append_batch(
         # missing one fails loudly in build_index instead of splicing
         # NULL-schema'd delta rows under full rows
         meta_cols=tuple(meta.get("meta_cols", ())),
+        # fresh sidecars get the batch's rows built alongside (spliced in
+        # below at the shifted ids)
+        store_text=stored_fresh,
+        store_positions=positions_fresh,
     )
     stage_meta = build_index(spark, batch_df, staging, stage_cfg, resume=False)
 
@@ -289,6 +344,34 @@ def _append_batch(
         metrics_delta, table_path(index_dir, meta, "metrics"), tag
     )
 
+    # sidecar splices (pre-commit: orphan-cleanable, invisible to readers
+    # until the pins flip in the single commit below)
+    if positions_fresh:
+        staged_pos = spark.read.parquet(os.path.join(staging, "positions"))
+        (
+            staged_pos.withColumn(
+                "shard_id", F.col("shard_id").cast("long") + next_shard
+            )
+            .write.mode("append")
+            .partitionBy("shard_id")
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#term",
+                str(int(meta.get("bloom_ndv", cfg.bloom_ndv))),
+            )
+            .parquet(positions_dir)
+        )
+    if stored_fresh:
+        staged_stored = spark.read.parquet(os.path.join(staging, "stored"))
+        stored_delta = os.path.join(staging, "_stored_delta")
+        (
+            staged_stored.withColumn("doc_id", F.col("doc_id") + offset_docs)
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(DEFAULT_ROWGROUP_BYTES))
+            .parquet(stored_delta)
+        )
+        _move_in_tagged(stored_delta, stored_dir, tag)
+
     n_new = int(stage_meta["n_docs"])
     total_docs = meta["n_docs"] + n_new
     # running avgdl over old + new
@@ -302,6 +385,19 @@ def _append_batch(
     if batch_id is not None:
         meta["last_epoch"] = [stream_id, batch_id]
     meta.update(terms_ptr)
+    # re-pin maintained sidecars against the NEW (n_docs, table_version)
+    # inside the SAME commit — a crash before this line leaves the old
+    # pins, the delta rows above are orphans the retry cleans up
+    for key, fresh, ver in (
+        ("stored", stored_fresh, STORED_VERSION),
+        ("positions", positions_fresh, 1),
+    ):
+        if fresh:
+            meta[key] = {
+                "version": ver,
+                "n_docs": int(meta["n_docs"]),
+                "table_version": int(meta.get("table_version", 0)),
+            }
     atomic_write_json(meta_path, meta)
     if os.path.exists(old_terms):
         shutil.rmtree(old_terms, ignore_errors=True)

@@ -296,16 +296,20 @@ def test_delete_preserves_current_sidecars(spark, tmp_path):
     hits = fts.search_phrase_positional("alpha beta", k=0).collect()
     assert hits and "doc://1" not in {r["url"] for r in hits}
 
-    # an append (renumbering-class mutation) still stales both sidecars
+    # an append now EXTENDS fresh sidecars (r5-cont maintenance): the
+    # new docs are stored-servable and phrase-searchable immediately
     _append_batch(spark, _docs(spark, 8, start=64), index_dir, CFG)
     fts2 = FtsIndex(spark, index_dir)
-    from fts_engine_spark.positions import PositionsUnavailableError
-    from fts_engine_spark.stored import StoredFieldsUnavailableError
-
-    with pytest.raises(StoredFieldsUnavailableError, match="stale"):
-        fts2.stored_text([0])
-    with pytest.raises(PositionsUnavailableError, match="stale"):
-        fts2.search_phrase_positional("alpha beta", k=1)
+    new_id = fts2.docs().where(F.col("url") == "doc://64").collect()[0][
+        "doc_id"
+    ]
+    rows = fts2.stored_text([int(new_id)]).collect()
+    assert len(rows) == 1 and rows[0]["text"].startswith("alpha beta w1")
+    hits = {
+        r["url"]
+        for r in fts2.search_phrase_positional("alpha beta", k=0).collect()
+    }
+    assert "doc://64" in hits and "doc://1" not in hits and len(hits) == 71
 
 
 def test_engine_mutations_close_the_old_handle(spark, tmp_path):

@@ -196,3 +196,83 @@ def test_checkpoint_stream_id_reads_local_metadata(tmp_path):
     ckpt.mkdir()
     (ckpt / "metadata").write_text(json.dumps({"id": "abc-123"}))
     assert _checkpoint_stream_id(object(), str(ckpt)) == "abc-123"
+
+
+def test_append_maintains_sidecars_and_composes_with_compact(
+    spark, tmp_path, monkeypatch
+):
+    """Fresh stored/positional sidecars are EXTENDED by each append (the
+    staged build's rows spliced at shifted ids, pins flipped inside the
+    same commit), survive a crash-retry of the splice without
+    duplicates, and stay maintained through a trailing delete+compaction
+    — the full mutation lifecycle keeps every text/phrase surface
+    servable."""
+    from fts_engine_spark.checkpoint import atomic_write_json as real_awj
+    from fts_engine_spark.mutate import delete_documents
+    from fts_engine_spark.positions import add_positions_to_index
+    from fts_engine_spark.stored import add_stored_fields
+    from fts_engine_spark.streaming import incremental as inc
+    from fts_engine_spark.streaming.compact import compact_index
+
+    cfg = BuildConfig(preset="simple", shard_size=64, id_buckets=4, n_waves=1)
+    index_dir = str(tmp_path / "ix")
+    rows = [
+        (f"doc://{i}", f"alpha beta w{i % 7} gamma", "en") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+    build_index(spark, docs, index_dir, cfg, resume=False)
+    add_stored_fields(spark, index_dir, docs)
+    add_positions_to_index(spark, index_dir, docs)
+
+    b1 = spark.createDataFrame(
+        [
+            (f"doc://b1/{i}", f"alpha beta extra{i} gamma", "en")
+            for i in range(30)
+        ],
+        "url string, text string, lang string",
+    )
+
+    def crashing_awj(path, obj):
+        raise RuntimeError("injected crash at commit")
+
+    monkeypatch.setattr(inc, "atomic_write_json", crashing_awj)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inc._append_batch(spark, b1, index_dir, cfg, batch_id=1)
+    monkeypatch.setattr(inc, "atomic_write_json", real_awj)
+    inc._append_batch(spark, b1, index_dir, cfg, batch_id=1)
+
+    fts = FtsIndex(spark, index_dir)
+    hits = {
+        r["url"]
+        for r in fts.search_phrase_positional("alpha beta", k=0).collect()
+    }
+    assert len(hits) == 130 and "doc://b1/0" in hits
+    stored = spark.read.parquet(os.path.join(index_dir, "stored"))
+    assert stored.count() == 130
+    assert stored.select("doc_id").distinct().count() == 130
+    pos = spark.read.parquet(os.path.join(index_dir, "positions"))
+    assert (
+        pos.groupBy("term", "shard_id").count().where("count > 1").count()
+        == 0
+    )
+
+    # delete + compact: the same sidecars carry through the renumber
+    delete_documents(spark, index_dir, ["doc://3", "doc://b1/5"])
+    compact_index(spark, index_dir, cfg)
+    fts2 = FtsIndex(spark, index_dir)
+    hits2 = {
+        r["url"]
+        for r in fts2.search_phrase_positional("alpha beta", k=0).collect()
+    }
+    assert len(hits2) == 128 and "doc://3" not in hits2
+    pairs = {
+        int(r["doc_id"]): r["url"]
+        for r in fts2.docs().select("doc_id", "url").collect()
+    }
+    sp = {
+        int(r["doc_id"]): r["url"]
+        for r in spark.read.parquet(os.path.join(index_dir, "stored"))
+        .select("doc_id", "url")
+        .collect()
+    }
+    assert sp == pairs  # every stored row belongs to its renumbered id
