@@ -1418,7 +1418,11 @@ def _compaction_bench(spark, index_dir, docs, cfg, meter, contaminated,
         reencoded = int(meta["n_docs"]) - full_prefix_docs
 
         def _compact_once(w=work):
-            compact_index(spark, w, cfg)
+            # core compaction cost (postings/docs re-encode, ∝ tail):
+            # sidecar maintenance is measured as its own row below,
+            # because its positions rebuild tokenizes the LIVE CORPUS
+            # (O(index), the documented cost of keeping phrases servable)
+            compact_index(spark, w, cfg, maintain_sidecars=False)
 
         # one-shot timing per tail (cloning + re-appending for a retry
         # would measure a different filesystem state); still steal-gated
@@ -1432,6 +1436,26 @@ def _compaction_bench(spark, index_dir, docs, cfg, meter, contaminated,
         out[f"compact_tail_{tail_docs}"] = round(secs, 3)
         out[f"compact_tail_{tail_docs}_docs"] = reencoded
         shutil.rmtree(work, ignore_errors=True)
+
+    # sidecar-maintained compaction (r5-cont): same 6000-doc tail, but the
+    # stored table renumbers (remap, no tokenize) and the positional
+    # table rebuilds from it (one tokenize pass over the live corpus)
+    work = f"{index_dir}_compactbench_sc"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    _append_batch(
+        spark, docs.limit(6000), work, cfg, batch_id=0, stream_id="benchsc"
+    )
+
+    def _compact_sc():
+        compact_index(spark, work, cfg, maintain_sidecars=True)
+
+    _, secs = gated_phase(
+        meter, contaminated, steal_log, "compact_6000_sidecars",
+        STEAL_BUILD_TICKS, _compact_sc, retries=0,
+    )
+    out["compact_6000_sidecars"] = round(secs, 3)
+    shutil.rmtree(work, ignore_errors=True)
     return out
 
 
