@@ -209,6 +209,14 @@ def merge_indexes(
     (pending deletes) carry over at their shifted ids. Cost is O(src),
     independent of dst's size.
 
+    Sidecars: when BOTH indexes carry fresh stored/positional tables,
+    the merge splices the src rows at the shifted ids (stored doc_id
+    shifts; positional blobs are shard-relative, so their shard_id bump
+    never decodes a blob) and re-pins them in the same commit — the
+    merged index keeps serving text/phrase/proximity queries. A side
+    missing a sidecar leaves the merged one stale (it cannot answer for
+    the other side's docs), failing loudly as usual.
+
     Both indexes must share META_VERSION, preset and shard_size (compact
     or rebuild the src otherwise). Commit is the single atomic meta write
     after every table write lands (same discipline as incremental
@@ -272,6 +280,48 @@ def merge_indexes(
         for f_ in glob.glob(
             os.path.join(table_path(dst_dir, dst, base), tag + "*")
         ):
+            os.remove(f_)
+
+    # sidecar maintenance (same discipline as the incremental splice):
+    # when BOTH sides carry a fresh sidecar, the src rows splice in at
+    # the shifted ids — positional blobs are shard-relative so the shift
+    # never decodes them, stored rows shift doc_id — and the pins flip in
+    # the single commit below. A side missing its sidecar leaves the
+    # merged one stale (it cannot serve the other side's docs), loudly.
+    from .positions import POSITIONS_TABLE
+    from .stored import DEFAULT_ROWGROUP_BYTES, STORED_TABLE, STORED_VERSION
+
+    def _fresh(m: dict, d: str, key: str, ver: int, table: str) -> bool:
+        sc = m.get(key)
+        return (
+            bool(sc)
+            and int(sc.get("version", 1)) == ver
+            and int(sc.get("n_docs", -1)) == int(m["n_docs"])
+            and int(sc.get("table_version", -1))
+            == int(m.get("table_version", 0))
+            and os.path.isdir(os.path.join(d, table))
+        )
+
+    stored_fresh = _fresh(
+        dst, dst_dir, "stored", STORED_VERSION, STORED_TABLE
+    ) and _fresh(src, src_dir, "stored", STORED_VERSION, STORED_TABLE)
+    positions_fresh = _fresh(
+        dst, dst_dir, "positions", 1, POSITIONS_TABLE
+    ) and _fresh(src, src_dir, "positions", 1, POSITIONS_TABLE)
+    dst_positions = os.path.join(dst_dir, POSITIONS_TABLE)
+    dst_stored = os.path.join(dst_dir, STORED_TABLE)
+    if positions_fresh:
+        for d in glob.glob(os.path.join(dst_positions, "shard_id=*")):
+            try:
+                if int(d.rsplit("=", 1)[1]) >= next_shard:
+                    shutil.rmtree(d, ignore_errors=True)
+            except ValueError:
+                pass
+        shutil.rmtree(
+            os.path.join(dst_positions, "_temporary"), ignore_errors=True
+        )
+    if stored_fresh:
+        for f_ in glob.glob(os.path.join(dst_stored, tag + "*")):
             os.remove(f_)
 
     # postings: shard ids += next_shard, absolute skip docids += offset;
@@ -364,6 +414,32 @@ def merge_indexes(
         combined.write.mode("overwrite").parquet(new_tomb)
         ptr_updates.update(tomb_ptr)
 
+    if positions_fresh:
+        (
+            spark.read.parquet(os.path.join(src_dir, POSITIONS_TABLE))
+            .withColumn(
+                "shard_id", F.col("shard_id").cast("long") + next_shard
+            )
+            .write.mode("append")
+            .partitionBy("shard_id")
+            .option("parquet.bloom.filter.enabled#term", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#term",
+                str(dst.get("bloom_ndv", 1 << 16)),
+            )
+            .parquet(dst_positions)
+        )
+    if stored_fresh:
+        stored_delta = os.path.join(staging, "_stored_delta")
+        (
+            spark.read.parquet(os.path.join(src_dir, STORED_TABLE))
+            .withColumn("doc_id", F.col("doc_id") + offset_docs)
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(DEFAULT_ROWGROUP_BYTES))
+            .parquet(stored_delta)
+        )
+        _move_in_tagged(stored_delta, dst_stored, tag)
+
     n_total = int(dst["n_docs"]) + int(src["n_docs"])
     meta = dict(dst)
     meta["avgdl"] = (
@@ -374,8 +450,19 @@ def merge_indexes(
     meta["n_deleted"] = n_deleted
     meta["delta_batches"] = int(meta.get("delta_batches", 0)) + 1
     meta.update(ptr_updates)
-    # a merge invalidates any positional table (ids past the splice point
-    # are new); the staleness check keys on n_docs + table_version
+    # sidecar pins flip with the merge when both sides were fresh;
+    # otherwise the old pins stay and the staleness gates (keyed on
+    # n_docs + table_version) fail loudly for the merged index
+    for key, fresh, ver in (
+        ("stored", stored_fresh, STORED_VERSION),
+        ("positions", positions_fresh, 1),
+    ):
+        if fresh:
+            meta[key] = {
+                "version": ver,
+                "n_docs": n_total,
+                "table_version": int(meta.get("table_version", 0)),
+            }
     atomic_write_json(dst_meta_path, meta)
     if os.path.exists(old_terms):
         shutil.rmtree(old_terms, ignore_errors=True)

@@ -172,3 +172,74 @@ def test_merge_crash_before_commit_leaves_dst_live(spark, tmp_path, monkeypatch)
         .collect()
     }
     assert got == {f"doc://{i}" for i in range(140)}
+
+def test_merge_maintains_sidecars_when_both_fresh(spark, tmp_path):
+    """When BOTH indexes carry fresh stored/positional sidecars, the
+    merge splices the src rows at shifted ids (positional blobs carried
+    without decode) and the merged index keeps serving text and phrases
+    — including through the trailing compaction. A side missing its
+    sidecar leaves the merged one stale, loudly."""
+    from fts_engine_spark.positions import (
+        PositionsUnavailableError,
+        add_positions_to_index,
+    )
+    from fts_engine_spark.stored import add_stored_fields
+
+    dst_dir = str(tmp_path / "dst")
+    src_dir = str(tmp_path / "src")
+    dst_docs = _docs(spark, 0, 100)
+    src_docs = _docs(spark, 100, 160)
+    build_index(spark, dst_docs, dst_dir, CFG, resume=False)
+    build_index(spark, src_docs, src_dir, CFG, resume=False)
+    for d, dd in ((dst_dir, dst_docs), (src_dir, src_docs)):
+        add_stored_fields(spark, d, dd)
+        add_positions_to_index(spark, d, dd)
+
+    merge_indexes(spark, dst_dir, src_dir)  # compact_after default True
+    fts = FtsIndex(spark, dst_dir)
+    hits = {
+        r["url"]
+        for r in fts.search_phrase_positional("alpha beta", k=0).collect()
+    }
+    assert len(hits) == 160 and "doc://150" in hits
+    pairs = {
+        int(r["doc_id"]): r["url"]
+        for r in fts.docs().select("doc_id", "url").collect()
+    }
+    import pyspark.sql.functions as SF
+
+    sp = {
+        int(r["doc_id"]): r["url"]
+        for r in spark.read.parquet(dst_dir + "/stored")
+        .select("doc_id", "url")
+        .collect()
+    }
+    assert sp == pairs  # every stored row belongs to its merged id
+    # equal to a fresh union build + retrofit (phrase counts by url)
+    union_dir = str(tmp_path / "union")
+    union_docs = _docs(spark, 0, 160)
+    build_index(spark, union_docs, union_dir, CFG, resume=False)
+    add_positions_to_index(spark, union_dir, union_docs)
+    fresh = FtsIndex(spark, union_dir)
+    for q in ("alpha beta", "gamma delta", "beta w3"):
+        a = {
+            (r["url"], int(r["phrase_count"]))
+            for r in fts.search_phrase_positional(q, k=0).collect()
+        }
+        b = {
+            (r["url"], int(r["phrase_count"]))
+            for r in fresh.search_phrase_positional(q, k=0).collect()
+        }
+        assert a == b and a, q
+
+    # src WITHOUT sidecars -> merged index's sidecars go stale, loudly
+    dst2 = str(tmp_path / "dst2")
+    src2 = str(tmp_path / "src2")
+    build_index(spark, dst_docs, dst2, CFG, resume=False)
+    add_stored_fields(spark, dst2, dst_docs)
+    add_positions_to_index(spark, dst2, dst_docs)
+    build_index(spark, src_docs, src2, CFG, resume=False)
+    merge_indexes(spark, dst2, src2, compact_after=False)
+    fts2 = FtsIndex(spark, dst2)
+    with pytest.raises(PositionsUnavailableError, match="stale"):
+        fts2.search_phrase_positional("alpha beta", k=1)

@@ -101,3 +101,47 @@ def test_update_inserts_unknown_urls(spark, tmp_path):
     }
     assert hits == {"doc://900"}
     assert eng.stats()["n_docs"] == 51
+
+def test_update_maintains_sidecars(spark, tmp_path):
+    """An upsert is delete + append: with fresh sidecars, the appended
+    NEW versions are stored/position-indexed immediately and the old
+    versions are tombstone-excluded — 'zeta fresh' phrase matches find
+    exactly the recrawled urls, the stale text matches exclude them, and
+    stored text point-reads the NEW content."""
+    from fts_engine_spark.positions import add_positions_to_index
+    from fts_engine_spark.stored import add_stored_fields
+
+    index_dir = str(tmp_path / "ix")
+    docs = _docs(spark, 60)
+    build_index(spark, docs, index_dir, CFG, resume=False)
+    add_stored_fields(spark, index_dir, docs)
+    add_positions_to_index(spark, index_dir, docs)
+
+    update_documents(
+        spark, index_dir, _docs(spark, 60, version=1, only_updated=True), CFG
+    )
+    fts = FtsIndex(spark, index_dir)
+    recrawled = {f"doc://{i}" for i in range(60) if i % 5 == 0}
+    hits = {
+        r["url"]
+        for r in fts.search_phrase_positional("zeta fresh", k=0).collect()
+    }
+    assert hits == recrawled
+    old_hits = {
+        r["url"]
+        for r in fts.search_phrase_positional("alpha beta", k=0).collect()
+    }
+    assert old_hits == {f"doc://{i}" for i in range(60)} - recrawled
+    new_id = fts.docs().where(
+        (F.col("url") == "doc://5") & (F.col("doc_id") >= 60)
+    ).collect()
+    assert len(new_id) == 1  # the appended new version
+    row = fts.stored_text([int(new_id[0]["doc_id"])]).collect()
+    assert row[0]["text"].startswith("zeta fresh recrawl")
+    # and the trailing compaction keeps everything servable
+    compact_index(spark, index_dir, CFG)
+    fts2 = FtsIndex(spark, index_dir)
+    assert {
+        r["url"]
+        for r in fts2.search_phrase_positional("zeta fresh", k=0).collect()
+    } == recrawled
