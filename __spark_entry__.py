@@ -176,7 +176,10 @@ def _ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     under the same DuckDB hash gate as the batch build. The split is
     deterministic on the source doc_id (6/2/2 by ``doc_id % 10``);
     BM25 over the union corpus is split-invariant (term/df/dl exact;
-    avgdl is an exactly-weighted running mean)."""
+    avgdl is an exactly-weighted running mean). The bootstrap builds
+    stored+positional sidecars, so the appends EXTEND them and the
+    compaction REBUILDS them (r5-cont maintenance) — fts_incremental_phrase
+    then puts the whole sidecar mutation lifecycle under the same gate."""
     import hashlib
     import shutil
 
@@ -184,7 +187,9 @@ def _ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     from fts_engine_spark.streaming.compact import compact_index
     from fts_engine_spark.streaming.incremental import _append_batch
 
-    key = hashlib.md5(f"incr:{sf_dir}:v{META_VERSION}".encode()).hexdigest()[:10]
+    key = hashlib.md5(
+        f"incr2:{sf_dir}:v{META_VERSION}".encode()
+    ).hexdigest()[:10]
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     index_dir = f"/tmp/fts_incr_cache_{key}"
@@ -198,7 +203,8 @@ def _ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
             (F.col("doc_id") % 10).alias("_split"),
         )
         cfg = BuildConfig(
-            preset="simple", shard_size=2048, id_buckets=16, n_waves=1
+            preset="simple", shard_size=2048, id_buckets=16, n_waves=1,
+            store_positions=True, store_text=True,
         )
         build_index(
             spark,
@@ -234,6 +240,23 @@ def _incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
         F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+def _incremental_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search against the mutation-path index: the positional
+    sidecar was built at bootstrap, EXTENDED by two micro-batch appends
+    and REBUILT by the compaction (r5-cont sidecar maintenance) — this
+    row hash-gates that whole lifecycle against the same DuckDB phrase
+    oracle the batch-built index answers."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_incremental_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_phrase_positional(" ".join(PHRASE), k=0)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        "phrase_count",
     )
 
 
@@ -1143,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-batch appends + delta-shard compaction, then the same BM25
         # search — oracle is the same SQL over the union corpus
         "fts_incremental_bm25": lambda s, d: _incremental_search(s, d),
+        "fts_incremental_phrase": lambda s, d: _incremental_phrase(s, d),
         "fts_merge_bm25": lambda s, d: _merged_search(s, d),
         "fts_update_bm25": lambda s, d: _updated_search(s, d),
         "fts_filtered_bm25": lambda s, d: _index_search(
@@ -2002,6 +2026,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_phrase_search": phrase_sql,
         "fts_phrase_positional": phrase_sql,
         "fts_span_near": near_sql,
+        "fts_incremental_phrase": phrase_sql,
         "fts_index_bm25_all": bm25_all,
         "fts_index_bm25_page2": bm25_page2,
         "fts_search_after_bm25": bm25_after,

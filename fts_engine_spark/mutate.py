@@ -297,7 +297,8 @@ def merge_indexes(
             bool(sc)
             and int(sc.get("version", 1)) == ver
             and int(sc.get("n_docs", -1)) == int(m["n_docs"])
-            and int(sc.get("table_version", -1))
+            # batch-built pins have no table_version key: default 0
+            and int(sc.get("table_version", 0))
             == int(m.get("table_version", 0))
             and os.path.isdir(os.path.join(d, table))
         )

@@ -166,7 +166,9 @@ def compact_index(
             bool(sc)
             and int(sc.get("version", 1)) == version
             and int(sc.get("n_docs", -1)) == n_docs
-            and int(sc.get("table_version", -1))
+            # batch-built pins have no table_version key: default 0, the
+            # same default the serving staleness gates use
+            and int(sc.get("table_version", 0))
             == int(meta.get("table_version", 0))
         )
 

@@ -221,7 +221,9 @@ def _append_batch(
             bool(sc)
             and int(sc.get("version", 1)) == version
             and int(sc.get("n_docs", -1)) == int(meta["n_docs"])
-            and int(sc.get("table_version", -1))
+            # a batch-built pin has no table_version key: default 0, the
+            # same default the serving staleness gates use
+            and int(sc.get("table_version", 0))
             == int(meta.get("table_version", 0))
         )
 
