@@ -167,6 +167,67 @@ def _ensure_index(
     return index_dir
 
 
+def _ensure_fielded_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two-field index (ES multi_match surface): field ``title`` = the
+    first 8 whitespace tokens of ``text`` (a deterministic title proxy
+    both Spark and the DuckDB oracle derive identically), field ``text``
+    = the full document. One sub-index per field (Lucene's per-field
+    statistics model, fts_engine_spark/fielded.py); internal doc ids
+    align across sub-indexes because dense id assignment is
+    deterministic on the shared url set."""
+    import hashlib
+
+    from fts_engine_spark.build import META_VERSION, BuildConfig
+    from fts_engine_spark.fielded import build_fielded_index
+
+    key = hashlib.md5(
+        f"fielded:{sf_dir}:v{META_VERSION}".encode()
+    ).hexdigest()[:10]
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    index_dir = f"/tmp/fts_fielded_cache_{key}"
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias(
+            "title"
+        ),
+        "text",
+        "lang",
+    )
+    build_fielded_index(
+        spark,
+        docs,
+        index_dir,
+        fields={"title": "title", "text": "text"},
+        cfg=BuildConfig(
+            preset="simple", shard_size=4096, id_buckets=16, n_waves=1
+        ),
+        resume=True,
+    )
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _multifield_search(
+    spark: SparkSession, sf_dir: str, mode: str, tie_breaker: float = 0.0
+) -> DataFrame:
+    from fts_engine_spark.fielded import FieldedIndex
+
+    fidx = FieldedIndex(spark, _ensure_fielded_index(spark, sf_dir))
+    out = fidx.search(
+        " ".join(Q_TERMS),
+        k=10,
+        weights={"title": 2.0, "text": 1.0},
+        mode=mode,
+        tie_breaker=tie_breaker,
+        hydrate=True,
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _ensure_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     """Index built through the MUTATION path (VERDICT r4 next #3):
     bootstrap ``build_index`` on ~60% of the corpus, two micro-batch
@@ -1066,6 +1127,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the real engine: sharded varbyte index, both execution modes
         "fts_index_bm25_relational": lambda s, d: _index_search(s, d, "relational"),
         "fts_index_bm25_wand": lambda s, d: _index_search(s, d, "wand"),
+        # multi-field search (ES multi_match over per-field sub-indexes,
+        # title = first 8 ws-tokens of text, weights title 2x):
+        # most_fields = Σ weighted per-field BM25; dismax = best_fields
+        # (max + tie_breaker * others)
+        "fts_multifield_bm25": lambda s, d: _multifield_search(
+            s, d, "most_fields"
+        ),
+        "fts_multifield_dismax": lambda s, d: _multifield_search(
+            s, d, "best_fields", tie_breaker=0.3
+        ),
         # conjunctive (AND) mode — only docs containing EVERY query term;
         # the WAND kernel skips segments where any term has no postings
         "fts_index_bm25_and": lambda s, d: _index_search(
@@ -1465,6 +1536,56 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
     assert bm25_after != bm25
     # pagination: page 2 = ranks 11-20 of the same deterministic order
     bm25_page2 = bm25.replace(" LIMIT 10", " LIMIT 10 OFFSET 10")
+
+    # multi-field (ES multi_match over per-field sub-indexes): field
+    # 'title' = first 8 whitespace tokens of text (weight 2.0), field
+    # 'text' = the document (weight 1.0). Per-field BM25 with per-field
+    # df/dl/avgdl statistics (Lucene's model), combined per doc. The
+    # dismax combine mirrors the engine's expression tree exactly
+    # (max + tie*(sum-max), not max + tie*min — f64-identical).
+    def _mf(combine: str) -> str:
+        return f"""
+WITH titles AS (SELECT doc_id, array_to_string((regexp_split_to_array(text, ' '))[1:8], ' ') AS text FROM documents),
+btoks AS ({_TOKS}),
+ttoks AS ({duckdb_tokens_sql(table='titles')}),
+btf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM btoks GROUP BY 1, 2),
+ttf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM ttoks GROUP BY 1, 2),
+bdl AS (SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS doc_len FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS n FROM btoks GROUP BY 1) c USING (doc_id)),
+tdl AS (SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS doc_len FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS n FROM ttoks GROUP BY 1) c USING (doc_id)),
+bst AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY 1),
+tst AS (SELECT term, count(*)::BIGINT AS df FROM ttf GROUP BY 1),
+params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(doc_len) FROM bdl) AS bavgdl,
+                  (SELECT avg(doc_len) FROM tdl) AS tavgdl),
+q(term, mult) AS (VALUES {_Q_VALUES}),
+bscored AS (
+  SELECT tf.doc_id,
+         sum(q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.bavgdl))) AS raw
+  FROM btf tf JOIN q USING (term) JOIN bst s USING (term)
+       JOIN bdl dl ON dl.doc_id = tf.doc_id CROSS JOIN params p
+  GROUP BY tf.doc_id),
+tscored AS (
+  SELECT tf.doc_id,
+         sum(q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.tavgdl))) AS raw
+  FROM ttf tf JOIN q USING (term) JOIN tst s USING (term)
+       JOIN tdl dl ON dl.doc_id = tf.doc_id CROSS JOIN params p
+  GROUP BY tf.doc_id),
+comb AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.raw * 2.0, 0) AS wt, coalesce(b.raw, 0) AS wb
+  FROM tscored t FULL OUTER JOIN bscored b ON t.doc_id = b.doc_id)
+SELECT doc_id, round({combine}, 4) AS score FROM comb
+ORDER BY round({combine}, 6) DESC, doc_id LIMIT 10
+"""
+
+    mf_sum = _mf("wt + wb")
+    mf_dismax = _mf(
+        "greatest(wt, wb) + 0.3 * ((wt + wb) - greatest(wt, wb))"
+    )
     # facet panel: distinct matching docs (OR semantics) per lang
     facet_sql = f"""
 WITH toks AS ({_TOKS}),
@@ -2051,6 +2172,8 @@ ORDER BY query_id, score DESC, doc_id
         "fts_delete_compact_bm25": bm25_del_compact,
         "fts_index_bm25_batch": bm25_batch,
         "fts_point_bm25": bm25,
+        "fts_multifield_bm25": mf_sum,
+        "fts_multifield_dismax": mf_dismax,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents), "
             "c AS (SELECT m, min(doc_id) AS canonical_id FROM h GROUP BY 1) "
