@@ -1137,6 +1137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_multifield_dismax": lambda s, d: _multifield_search(
             s, d, "best_fields", tie_breaker=0.3
         ),
+        # term-centric: each TERM scores as its best field (per-term
+        # dis_max + tie_breaker), then terms sum per doc
+        "fts_multifield_cross": lambda s, d: _multifield_search(
+            s, d, "cross_fields", tie_breaker=0.2
+        ),
         # conjunctive (AND) mode — only docs containing EVERY query term;
         # the WAND kernel skips segments where any term has no postings
         "fts_index_bm25_and": lambda s, d: _index_search(
@@ -1543,8 +1548,7 @@ ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
     # df/dl/avgdl statistics (Lucene's model), combined per doc. The
     # dismax combine mirrors the engine's expression tree exactly
     # (max + tie*(sum-max), not max + tie*min — f64-identical).
-    def _mf(combine: str) -> str:
-        return f"""
+    mf_prefix = f"""
 WITH titles AS (SELECT doc_id, array_to_string((regexp_split_to_array(text, ' '))[1:8], ' ') AS text FROM documents),
 btoks AS ({_TOKS}),
 ttoks AS ({duckdb_tokens_sql(table='titles')}),
@@ -1559,7 +1563,10 @@ tst AS (SELECT term, count(*)::BIGINT AS df FROM ttf GROUP BY 1),
 params AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
                   (SELECT avg(doc_len) FROM bdl) AS bavgdl,
                   (SELECT avg(doc_len) FROM tdl) AS tavgdl),
-q(term, mult) AS (VALUES {_Q_VALUES}),
+q(term, mult) AS (VALUES {_Q_VALUES})"""
+
+    def _mf(combine: str) -> str:
+        return f"""{mf_prefix},
 bscored AS (
   SELECT tf.doc_id,
          sum(q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
@@ -1586,6 +1593,34 @@ ORDER BY round({combine}, 6) DESC, doc_id LIMIT 10
     mf_dismax = _mf(
         "greatest(wt, wb) + 0.3 * ((wt + wb) - greatest(wt, wb))"
     )
+    # cross_fields: per-(doc, term) contributions, best field per term
+    # (dis_max + tie 0.2, same expression tree as the engine), terms
+    # summed per doc
+    mf_cross = f"""{mf_prefix},
+bterm AS (
+  SELECT tf.doc_id, tf.term,
+         q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.bavgdl)) AS c
+  FROM btf tf JOIN q USING (term) JOIN bst s USING (term)
+       JOIN bdl dl ON dl.doc_id = tf.doc_id CROSS JOIN params p),
+tterm AS (
+  SELECT tf.doc_id, tf.term,
+         q.mult * ln(1.0 + (p.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / p.tavgdl)) AS c
+  FROM ttf tf JOIN q USING (term) JOIN tst s USING (term)
+       JOIN tdl dl ON dl.doc_id = tf.doc_id CROSS JOIN params p),
+j AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.c * 2.0, 0) AS wt, coalesce(b.c, 0) AS wb
+  FROM tterm t FULL OUTER JOIN bterm b
+       ON t.doc_id = b.doc_id AND t.term = b.term),
+comb AS (
+  SELECT doc_id,
+         sum(greatest(wt, wb) + 0.2 * ((wt + wb) - greatest(wt, wb))) AS raw
+  FROM j GROUP BY doc_id)
+SELECT doc_id, round(raw, 4) AS score FROM comb
+ORDER BY round(raw, 6) DESC, doc_id LIMIT 10
+"""
     # facet panel: distinct matching docs (OR semantics) per lang
     facet_sql = f"""
 WITH toks AS ({_TOKS}),
@@ -2174,6 +2209,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_point_bm25": bm25,
         "fts_multifield_bm25": mf_sum,
         "fts_multifield_dismax": mf_dismax,
+        "fts_multifield_cross": mf_cross,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS m FROM documents), "
             "c AS (SELECT m, min(doc_id) AS canonical_id FROM h GROUP BY 1) "

@@ -28,6 +28,9 @@ Design (Spark-first):
   * ``most_fields``: score = Σ_f weight_f · bm25_f  (ES most_fields)
   * ``best_fields``: score = max_f w_f·bm25_f
     + tie_breaker · Σ(others)                       (ES dis_max)
+  * ``cross_fields``: term-centric — each TERM takes its best field
+    (per-term dis_max + tie_breaker), terms sum per doc; built on the
+    per-(doc, term) contribution surface (``explain_bm25(k=0)``)
 
   Per-field BM25 is non-negative (idf = ln(1+(n-df+.5)/(df+.5)) > 0),
   so a missing field coalesces to 0 exactly. The per-field plans are
@@ -60,7 +63,7 @@ from .query import FtsIndex, _round6
 FIELDED_MANIFEST = "fielded.json"
 FIELDED_VERSION = 1
 
-MODES = ("most_fields", "best_fields")
+MODES = ("most_fields", "best_fields", "cross_fields")
 
 
 def build_fielded_index(
@@ -169,31 +172,65 @@ class FieldedIndex:
             raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
         w = self._weights(weights)
         primary = self.indexes[self.fields[0]]
-        per = []
-        for name in self.fields:
-            sdf = self.indexes[name].search_bm25(
-                query, k=0, mode="relational", preset=preset
-            )
-            per.append(
-                sdf.select(
+        if mode == "cross_fields":
+            # term-centric (ES cross_fields): each TERM scores as its best
+            # field (dis_max per term, tie_breaker for the others), then
+            # terms sum per doc — "one blended field" semantics: a query
+            # whose terms are split across fields ("john" in author,
+            # "smith" in title) is not double-counted field-wise. Reuses
+            # the per-(doc, term) contribution surface of explain_bm25
+            # (k=0 — query-term postings only, never the corpus).
+            per = [
+                self.indexes[name]
+                .explain_bm25(query, k=0, preset=preset)
+                .select(
                     "doc_id",
-                    (F.col("score") * F.lit(w[name])).alias(f"_s_{name}"),
+                    "term",
+                    (F.col("contrib") * F.lit(w[name])).alias(f"_c_{name}"),
                 )
+                for name in self.fields
+            ]
+            joined = reduce(
+                lambda a, b: a.join(b, ["doc_id", "term"], "full_outer"), per
             )
-        combined = reduce(
-            lambda a, b: a.join(b, "doc_id", "full_outer"), per
-        )
-        cols = [
-            F.coalesce(F.col(f"_s_{name}"), F.lit(0.0))
-            for name in self.fields
-        ]
-        total = reduce(lambda a, b: a + b, cols)
-        if mode == "most_fields":
-            score = total
-        else:  # best_fields == dis_max(tie_breaker)
+            cols = [
+                F.coalesce(F.col(f"_c_{name}"), F.lit(0.0))
+                for name in self.fields
+            ]
+            total = reduce(lambda a, b: a + b, cols)
             mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
-            score = mx + F.lit(float(tie_breaker)) * (total - mx)
-        out = combined.select("doc_id", score.alias("score"))
+            per_term = mx + F.lit(float(tie_breaker)) * (total - mx)
+            out = (
+                joined.select("doc_id", per_term.alias("_c"))
+                .groupBy("doc_id")
+                .agg(F.sum("_c").alias("score"))
+            )
+        else:
+            per = []
+            for name in self.fields:
+                sdf = self.indexes[name].search_bm25(
+                    query, k=0, mode="relational", preset=preset
+                )
+                per.append(
+                    sdf.select(
+                        "doc_id",
+                        (F.col("score") * F.lit(w[name])).alias(f"_s_{name}"),
+                    )
+                )
+            combined = reduce(
+                lambda a, b: a.join(b, "doc_id", "full_outer"), per
+            )
+            cols = [
+                F.coalesce(F.col(f"_s_{name}"), F.lit(0.0))
+                for name in self.fields
+            ]
+            total = reduce(lambda a, b: a + b, cols)
+            if mode == "most_fields":
+                score = total
+            else:  # best_fields == dis_max(tie_breaker)
+                mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+                score = mx + F.lit(float(tie_breaker)) * (total - mx)
+            out = combined.select("doc_id", score.alias("score"))
         out = out.orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
         if k > 0:
             out = out.limit(k)
@@ -211,9 +248,19 @@ class FieldedIndex:
         full match sets combined in-process. Zero jobs when every field's
         query-term postings are warm; any field may individually fall
         back to its distributed path (the combine is unchanged). Returns
-        ``[(doc_id, score), ...]``."""
+        ``[(doc_id, score), ...]``. ``cross_fields`` needs per-(doc, term)
+        contributions, which the point caches do not expose — it serves
+        through the distributed plan (documented fallback)."""
         if mode not in MODES:
             raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+        if mode == "cross_fields":
+            return [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self.search(
+                    query, k=k, weights=weights, mode=mode,
+                    tie_breaker=tie_breaker,
+                ).collect()
+            ]
         w = self._weights(weights)
         per = {
             name: dict(self.indexes[name].search_bm25_point(query, k=0))

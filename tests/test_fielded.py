@@ -98,6 +98,40 @@ def _oracle_combine(oracles, query, weights, mode, tie_breaker=0.0, k=10):
     return rows[:k] if k > 0 else rows
 
 
+def _oracle_cross(oracles, query, weights, tie_breaker, k=10):
+    """Term-centric combine from oracle internals: per (doc, term) the
+    best field's contribution + tie_breaker * the rest, summed per doc."""
+    from fts_engine_spark.query import B, K1, bm25_idf
+
+    t, b = oracles
+    fields = [(weights.get("title", 1.0), t), (weights.get("body", 1.0), b)]
+    mult = {}
+    for tok in t._query_tokens(query):
+        mult[tok] = mult.get(tok, 0) + 1
+    per_doc = {}
+    for tok, m in mult.items():
+        contribs = {}
+        for fi, (w, o) in enumerate(fields):
+            plist = o.postings.get(tok)
+            if not plist:
+                continue
+            idf = bm25_idf(o.n_docs, len(plist))
+            for doc, tf in plist.items():
+                dl = o.doclen[doc]
+                c = (
+                    m * idf * tf * (K1 + 1.0)
+                    / (tf + K1 * (1.0 - B + B * dl / o.avgdl))
+                ) * w
+                contribs.setdefault(doc, [0.0, 0.0])[fi] = c
+        for doc, vals in contribs.items():
+            mx = max(vals)
+            per_doc[doc] = per_doc.get(doc, 0.0) + mx + tie_breaker * (
+                sum(vals) - mx
+            )
+    rows = sorted(per_doc.items(), key=lambda r: (-_round6(r[1]), r[0]))
+    return rows[:k] if k > 0 else rows
+
+
 def test_docid_alignment(fidx):
     t = {
         r["url"]: r["doc_id"]
@@ -127,9 +161,35 @@ def test_matches_oracle(fidx, oracles, mode, tie):
         assert gs == pytest.approx(ws, abs=1e-9)
 
 
+def test_cross_fields_matches_oracle(fidx, oracles):
+    w = {"title": 2.0, "body": 1.0}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in fidx.search(
+            "fast cars merge", k=10, weights=w, mode="cross_fields",
+            tie_breaker=0.2,
+        ).collect()
+    ]
+    want = _oracle_cross(oracles, "fast cars merge", w, 0.2, k=10)
+    assert [g[0] for g in got] == [x[0] for x in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+    # a doc matching ALL terms via its best fields must not be
+    # double-counted: cross <= most_fields per doc for tie < 1
+    most = dict(
+        (r["doc_id"], r["score"])
+        for r in fidx.search(
+            "fast cars merge", k=0, weights=w, mode="most_fields"
+        ).collect()
+    )
+    for did, s in got:
+        assert s <= most[did] + 1e-9
+
+
 def test_point_tier_identical(fidx):
     w = {"title": 3.0, "body": 1.0}
-    for mode, tie in (("most_fields", 0.0), ("best_fields", 0.25)):
+    for mode, tie in (("most_fields", 0.0), ("best_fields", 0.25),
+                      ("cross_fields", 0.2)):
         dist = [
             (r["doc_id"], _round6(r["score"]))
             for r in fidx.search(
@@ -203,4 +263,4 @@ def test_empty_and_errors(fidx):
     with pytest.raises(KeyError):
         fidx.search("cars", weights={"nope": 2.0})
     with pytest.raises(ValueError):
-        fidx.search("cars", mode="cross_fields")
+        fidx.search("cars", mode="phrase_prefix")
