@@ -988,6 +988,30 @@ def _phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PP_PREFIX = "s"  # expands to small/scan/slow/stream at PP_MAX_EXP=4
+PP_MAX_EXP = 4
+
+
+def _phrase_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix (ES autocomplete analog): phrase
+    'merge s*' — fixed term + dictionary prefix. max_expansions=4
+    EXERCISES the deterministic df-desc/term-asc truncation (the 's'
+    prefix has 6 dictionary expansions at every sf); counts sum over
+    expansions (position-disjoint, exact). Same positional table and
+    plan shape as fts_phrase_positional, one kernel run per variant."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir, positions=True)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_phrase_prefix(
+        f"{PHRASE[0]} {PP_PREFIX}*", k=0, max_expansions=PP_MAX_EXP
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        "phrase_count",
+    )
+
+
 NEAR_SLOP = 2
 
 
@@ -1221,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # phrase resolved ENTIRELY from the positional table (opt-in
         # store_positions build) — no source-table scan at query time
         "fts_phrase_positional": lambda s, d: _phrase_positional(s, d),
+        "fts_phrase_prefix": lambda s, d: _phrase_prefix_search(s, d),
         "fts_span_near": lambda s, d: _near_search(s, d),
         # dictionary-expanded rewrites (Lucene-style multi-term queries):
         # trailing-* prefix and levenshtein<=1 fuzzy, both expanded against
@@ -2056,6 +2081,27 @@ WHERE rn = 1 ORDER BY token
         f"i -> {_ppred}))::BIGINT AS phrase_count FROM base) "
         "SELECT doc_id, phrase_count FROM cnt WHERE phrase_count > 0"
     )
+    # match_phrase_prefix: expansions = dictionary terms LIKE 's%' by
+    # (df desc, term asc) LIMIT max_exp — the engine's deterministic
+    # rewrite order — then phrase starts where ts[i] = PHRASE[0] and
+    # ts[i+1] is ANY expansion (counts sum; positions are disjoint)
+    phrase_prefix_sql = (
+        "WITH base AS (SELECT doc_id, "
+        "list_filter(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+'), "
+        "t -> (strlen(t) >= 3 OR regexp_full_match(t, '[0-9]{1,19}')) "
+        f"AND t NOT IN ({_STOP_IN})) AS ts FROM documents), "
+        "tok AS (SELECT doc_id, u.t AS term FROM base, unnest(ts) AS u(t)), "
+        "dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM tok GROUP BY 1), "
+        f"exp AS (SELECT term FROM dfs WHERE term LIKE '{PP_PREFIX}%' "
+        f"ORDER BY df DESC, term LIMIT {PP_MAX_EXP}), "
+        "expl AS (SELECT list(term) AS el FROM exp), "
+        "cnt AS (SELECT doc_id, "
+        "len(list_filter(generate_series(1, greatest(len(ts)-1, 0)), "
+        f"i -> ts[i] = '{PHRASE[0]}' AND list_contains(el, ts[i+1])"
+        "))::BIGINT AS phrase_count FROM base, expl) "
+        "SELECT doc_id, phrase_count FROM cnt WHERE phrase_count > 0"
+    )
     # span-near: ordered proximity — PHRASE[0] at i, PHRASE[1] within the
     # next 1+NEAR_SLOP token slots (chain span <= len-1+slop); count =
     # qualifying start positions, exactly positions.span_near_kernel
@@ -2182,6 +2228,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_phrase_search": phrase_sql,
         "fts_phrase_positional": phrase_sql,
         "fts_span_near": near_sql,
+        "fts_phrase_prefix": phrase_prefix_sql,
         "fts_incremental_phrase": phrase_sql,
         "fts_index_bm25_all": bm25_all,
         "fts_index_bm25_page2": bm25_page2,

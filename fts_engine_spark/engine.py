@@ -410,6 +410,27 @@ class FtsEngine:
             phrase, self.options.k if k is None else k
         )
 
+    def search_phrase_prefix(
+        self, phrase: str, k: int | None = None, max_expansions: int = 50
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` (autocomplete): the last token of
+        ``phrase`` is a dictionary prefix; a doc matches when any of its
+        top-``max_expansions`` expansions (df desc, term asc) completes
+        the contiguous phrase. Counts sum over expansions. Requires
+        ``store_positions=True``. Returns (doc_id, url, phrase_count)."""
+        return self.index.search_phrase_prefix(
+            phrase, self.options.k if k is None else k, max_expansions
+        )
+
+    def search_phrase_prefix_point(
+        self, phrase: str, k: int | None = None, max_expansions: int = 50
+    ) -> list[tuple[int, int]]:
+        """:meth:`search_phrase_prefix` below the Spark job floor (warm
+        dictionary expansion + in-process positional kernel)."""
+        return self.index.search_phrase_prefix_point(
+            phrase, self.options.k if k is None else k, max_expansions
+        )
+
     def search_near(
         self,
         phrase: str,

@@ -498,6 +498,50 @@ def _phrase_sequences(index: "FtsIndex", phrase: str) -> dict[str, list[str]]:
     return {index.preset: terms} if terms else {}
 
 
+def _phrase_prefix_variants(
+    index: "FtsIndex", phrase: str, expander, max_expansions: int
+) -> dict[str, list[list[str]]]:
+    """pipeline -> concrete sequence variants for a phrase-prefix query
+    (ES ``match_phrase_prefix``): the LAST whitespace token of ``phrase``
+    is a dictionary prefix (an optional trailing ``*`` is accepted and
+    stripped), the head analyzes like a normal phrase. Follows the
+    repo's established multi-term-rewrite semantics (``_prefix_mult``):
+    the pattern is Go-lowered and expanded against the POST-PIPELINE
+    dictionary — never stemmed — via ``expander(pattern, n)`` (the
+    distributed ``expand_terms`` or the driver-side ``_point_expand``,
+    both df-desc/term-asc deterministic). Unlike ``_phrase_sequences``,
+    a head that analyzes to NOTHING keeps the pipeline with an empty
+    fixed part (the query degrades to a counted prefix term — ES
+    behavior), so single-token autocomplete works."""
+    from .textproc.gocompat import go_lower
+
+    toks = phrase.split()
+    if not toks:
+        return {}
+    pat = toks[-1]
+    if len(pat) > 1 and pat.endswith("*"):
+        pat = pat[:-1]
+    if not pat or pat == "*":
+        return {}
+    head = " ".join(toks[:-1])
+    expansions = expander(go_lower(pat), max_expansions)
+    if not expansions:
+        return {}
+    from .query import normalize_query
+
+    if index.preset == "by_lang":
+        from .functions.udfs import _LANG_PRESETS
+
+        presets = sorted({*_LANG_PRESETS.values(), "multilingual"})
+    else:
+        presets = [index.preset]
+    out: dict[str, list[list[str]]] = {}
+    for p in presets:
+        fixed = normalize_query(head, p) if head else []
+        out[p] = [fixed + [e] for e in expansions]
+    return out
+
+
 def _doc_pipeline_col(index: "FtsIndex") -> F.Column:
     """The pipeline that analyzed each doc at build time."""
     if index.preset != "by_lang":
@@ -574,6 +618,30 @@ def search_phrase_positional(
     )
 
 
+def search_phrase_prefix_positional(
+    index: "FtsIndex", phrase: str, k: int = 10, max_expansions: int = 50
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (autocomplete): the last whitespace
+    token of ``phrase`` is a dictionary prefix; a doc matches when any
+    expansion completes the contiguous phrase. ``(doc_id, url,
+    phrase_count)`` where the count sums phrase starts over expansions
+    (disjoint by construction — one token per position), count desc /
+    doc_id asc, LIMIT k (k<=0 = all). Expansion is ``expand_terms``'s
+    deterministic df-desc/term-asc top-``max_expansions`` (one bounded
+    dictionary job), then ONE positional job runs every variant over
+    the same pruned scan of fixed-terms ∪ expansions rows."""
+    variants = _phrase_prefix_variants(
+        index,
+        phrase,
+        lambda pat, n: index.expand_terms(pat, "prefix", max_expand=n),
+        max_expansions,
+    )
+    return _search_positional(
+        index, phrase, k, phrase_match_kernel, "phrase_count",
+        seq_variants=variants if variants else {},
+    )
+
+
 def search_near_positional(
     index: "FtsIndex",
     phrase: str,
@@ -606,22 +674,40 @@ def _search_positional(
     k: int,
     kernel,
     count_col: str,
+    seq_variants: dict[str, list[list[str]]] | None = None,
 ) -> DataFrame:
     """Shared distributed plan for the positional kernels: pruned scan
     of the sequence terms' positional rows → ``kernel`` per shard →
     tombstone exclusion + docs join (url, and the doc-pipeline filter
-    under by_lang) → (count desc, doc_id asc) top-k."""
+    under by_lang) → (count desc, doc_id asc) top-k.
+
+    ``seq_variants`` (pipeline -> list of concrete sequences) overrides
+    the single analyzed sequence per pipeline: each variant runs the
+    kernel independently and a doc's counts SUM across variants — the
+    multi-rewrite surface (phrase-prefix: one variant per dictionary
+    expansion of the last slot; variant match sets are position-disjoint
+    because one token occupies each (doc, start), so the sum is exact)."""
     spark = index.spark
     meta = index.meta
     pos_path = check_positions_fresh(index)
 
-    sequences = _phrase_sequences(index, phrase)
+    if seq_variants is None:
+        sequences = {
+            p: [seq] for p, seq in _phrase_sequences(index, phrase).items()
+        }
+    else:
+        sequences = {
+            p: [s for s in vs if s] for p, vs in seq_variants.items()
+        }
+        sequences = {p: vs for p, vs in sequences.items() if vs}
     empty = spark.createDataFrame(
         [], f"doc_id long, url string, {count_col} long"
     )
     if not sequences:
         return empty
-    all_terms = sorted({t for seq in sequences.values() for t in seq})
+    all_terms = sorted(
+        {t for vs in sequences.values() for seq in vs for t in seq}
+    )
     shard_size = int(meta["shard_size"])
 
     scan = spark.read.parquet(pos_path).where(F.col("term").isin(all_terms))
@@ -658,13 +744,21 @@ def _search_positional(
             return v
 
         docs_offs = {t: (d, o) for t, (d, o, _) in decoded.items()}
-        for pipe, seq in seq_items:
-            if any(t not in decoded for t in set(seq)):
-                continue
-            docs_m, counts_m = kernel(docs_offs, pos_vals, seq)
-            out_docs.extend(docs_m)
-            out_counts.extend(counts_m)
-            out_pipes.extend([pipe] * len(docs_m))
+        for pipe, variants in seq_items:
+            acc: dict[int, int] = {}
+            for seq in variants:
+                # a sequence term with no postings in THIS shard means no
+                # doc of this shard can match this variant
+                if any(t not in decoded for t in set(seq)):
+                    continue
+                docs_m, counts_m = kernel(docs_offs, pos_vals, seq)
+                for d, c in zip(docs_m, counts_m):
+                    acc[d] = acc.get(d, 0) + c
+            if acc:
+                items = sorted(acc.items())
+                out_docs.extend(d for d, _ in items)
+                out_counts.extend(c for _, c in items)
+                out_pipes.extend([pipe] * len(items))
         return pd.DataFrame(
             {
                 "doc_id": pd.Series(out_docs, dtype="int64"),

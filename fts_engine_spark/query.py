@@ -807,6 +807,61 @@ class FtsIndex:
             lambda: self.search_phrase_positional(phrase, k),
         )
 
+    def search_phrase_prefix(
+        self, phrase: str, k: int = 10, max_expansions: int = 50
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` (autocomplete-as-you-type): the
+        last whitespace token of ``phrase`` is a dictionary prefix
+        (optional trailing ``*`` accepted); a doc matches when any of
+        the prefix's top-``max_expansions`` dictionary expansions
+        (df desc, term asc — the deterministic rewrite order every
+        multi-term surface uses) completes the contiguous analyzed
+        phrase. ``(doc_id, url, phrase_count)``, counts summed over
+        expansions (position-disjoint, so exact), count desc / doc_id
+        asc, k<=0 = all. One bounded dictionary job + ONE positional
+        job running every variant over the same pruned scan."""
+        from .positions import search_phrase_prefix_positional
+
+        return search_phrase_prefix_positional(
+            self, phrase, k, max_expansions
+        )
+
+    def search_phrase_prefix_point(
+        self, phrase: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, int]]:
+        """:meth:`search_phrase_prefix` below the Spark job floor:
+        expansion runs against the warm driver dictionary (bisect, no
+        job — the same ``_point_expand`` the bm25 prefix rewrite uses,
+        so the variant set is identical to the distributed surface's),
+        then every variant runs the in-process phrase kernel over the
+        positional point cache, counts summed per doc. Same fallbacks
+        as :meth:`search_phrase_point`."""
+        from .positions import (
+            _phrase_prefix_variants,
+            check_positions_fresh,
+            phrase_match_kernel,
+        )
+
+        check_positions_fresh(self)
+        if self._pos_point_cache is not None and self._term_dict is not None:
+            expander = lambda pat, n: self._point_expand(pat, "prefix", 0, n)
+        else:
+            expander = lambda pat, n: self.expand_terms(
+                pat, "prefix", max_expand=n
+            )
+        variants = _phrase_prefix_variants(
+            self, phrase, expander, max_expansions
+        )
+        if not variants:
+            return []
+        return self._positional_point(
+            phrase,
+            k,
+            phrase_match_kernel,
+            lambda: self.search_phrase_prefix(phrase, k, max_expansions),
+            seq_variants=variants,
+        )
+
     def search_near_positional(
         self, phrase: str, slop: int, k: int = 10, in_order: bool = True
     ) -> DataFrame:
@@ -846,18 +901,23 @@ class FtsIndex:
         )
 
     def _positional_point(
-        self, phrase: str, k: int, kernel, fallback_df
+        self, phrase: str, k: int, kernel, fallback_df,
+        seq_variants: dict[str, list[list[str]]] | None = None,
     ) -> list[tuple[int, int]]:
         """Shared driver-tier scaffolding for the positional kernels:
         LRU-cached positional rows, by_lang pipeline-code filtering,
         tombstone exclusion, (count desc, doc_id asc) top-k — with
         ``kernel`` doing the matching and ``fallback_df`` (a callable
         returning the distributed surface's DataFrame) taking over
-        whenever the tier cannot serve in-process."""
+        whenever the tier cannot serve in-process. ``seq_variants``
+        (pipeline -> concrete sequences, counts summed per doc) is the
+        multi-rewrite surface — see ``positions._search_positional``."""
         from .positions import check_positions_fresh
 
         check_positions_fresh(self)
-        pairs = self._positional_point_inproc(phrase, kernel)
+        pairs = self._positional_point_inproc(
+            phrase, kernel, seq_variants=seq_variants
+        )
         if pairs is None:
             return [
                 (int(r[0]), int(r[2])) for r in fallback_df().collect()
@@ -866,14 +926,17 @@ class FtsIndex:
         return hits[:k] if k > 0 else hits
 
     def _positional_point_inproc(
-        self, phrase: str, kernel
+        self, phrase: str, kernel,
+        seq_variants: dict[str, list[list[str]]] | None = None,
     ) -> list[tuple[int, int]] | None:
         """The in-process half of :meth:`_positional_point`: ALL matching
         ``(doc_id, count)`` pairs (unsorted; tombstones excluded), or
         ``None`` when the driver tier cannot serve this phrase (tier off,
         term over the cache budget, by_lang pipeline array too big, too
         many tombstones) and the caller must fall back to the distributed
-        plan. Callers must have run ``check_positions_fresh`` first."""
+        plan. Callers must have run ``check_positions_fresh`` first.
+        With ``seq_variants``, each pipeline runs every variant and a
+        doc's counts sum across them (multi-rewrite surface)."""
         from .positions import _phrase_sequences, fetch_point_positions
 
         if (
@@ -889,17 +952,30 @@ class FtsIndex:
             if got is None:
                 return None
             pipe_codes, pipe_ids = got
-        # pipelines whose analyzed sequence has a term outside the
-        # dictionary can never match (same skip as the distributed
-        # kernel's per-shard membership check, applied globally)
+        # sequence variants whose terms are not all in the dictionary can
+        # never match (same skip as the distributed kernel's per-shard
+        # membership check, applied globally)
+        if seq_variants is None:
+            raw = {
+                p: [seq]
+                for p, seq in _phrase_sequences(self, phrase).items()
+            }
+        else:
+            raw = seq_variants
         sequences = {
-            p: seq
-            for p, seq in _phrase_sequences(self, phrase).items()
-            if all(t in self._term_dict for t in seq)
+            p: [
+                seq
+                for seq in vs
+                if seq and all(t in self._term_dict for t in seq)
+            ]
+            for p, vs in raw.items()
         }
+        sequences = {p: vs for p, vs in sequences.items() if vs}
         if not sequences:
             return []
-        need = sorted({t for seq in sequences.values() for t in seq})
+        need = sorted(
+            {t for vs in sequences.values() for seq in vs for t in seq}
+        )
         # a term's positional footprint is ~8 B per posting (ids+offsets)
         # + 8 B per occurrence; past half the budget it cannot live in
         # the driver cache — the distributed path streams it instead
@@ -942,14 +1018,21 @@ class FtsIndex:
         docs_offs = {t: (d, o) for t, (d, o, _) in entries.items()}
         pairs: list[tuple[int, int]] = []
         by_seq: dict[tuple[str, ...], tuple[list[int], list[int]]] = {}
-        for pipe, seq in sorted(sequences.items()):
-            key = tuple(seq)
-            if key not in by_seq:  # english/multilingual often agree
-                by_seq[key] = kernel(
-                    docs_offs, lambda t: entries[t][2], seq
-                )
-            docs_m, counts_m = by_seq[key]
-            if pipe_codes is not None and docs_m:
+        for pipe, variants in sorted(sequences.items()):
+            acc: dict[int, int] = {}
+            for seq in variants:
+                key = tuple(seq)
+                if key not in by_seq:  # english/multilingual often agree
+                    by_seq[key] = kernel(
+                        docs_offs, lambda t: entries[t][2], seq
+                    )
+                for d, c in zip(*by_seq[key]):
+                    acc[d] = acc.get(d, 0) + c
+            if not acc:
+                continue
+            docs_m = sorted(acc)
+            counts_m = [acc[d] for d in docs_m]
+            if pipe_codes is not None:
                 # keep only docs BUILT by this pipeline (each doc belongs
                 # to exactly one, so pipelines never double-report a doc)
                 code = pipe_ids[pipe]
