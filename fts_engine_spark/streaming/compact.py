@@ -528,9 +528,10 @@ def _rebuild_sidecars(
     dropped, tail ids shifted, no tokenize — into a temp dir, swapped
     in, and its meta pin re-committed against the NEW
     (n_docs, table_version). The positional table is then rebuilt from
-    the renumbered stored text via the existing retrofit
-    (``add_positions_to_index``): one tokenize pass over the live
-    corpus, the cost the opt-in positions build already paid once.
+    the renumbered stored rows directly (they already carry doc_id —
+    no url join, which duplicate urls would make ambiguous): one
+    tokenize pass over the live corpus, the cost the opt-in positions
+    build already paid once.
 
     Runs post-commit by design: the compaction's atomic pointer flip
     must not wait on sidecar IO, and a crash anywhere in here leaves
@@ -584,12 +585,29 @@ def _rebuild_sidecars(
     commit_sidecar_meta(index_dir, dict(meta), "stored", STORED_VERSION)
 
     if positions_fresh:
-        from ..positions import add_positions_to_index
+        from ..positions import build_positions_table
 
-        corpus = spark.read.parquet(stored_path).select(
-            "url", "text", "lang"
+        # the compacted stored table already carries each live row's
+        # (remapped) doc_id — build positions from it DIRECTLY instead
+        # of round-tripping through add_positions_to_index's url join,
+        # which is ambiguous whenever the corpus holds duplicate urls
+        # (append-only semantics allow re-adding a url; each copy is a
+        # distinct document, so a url join explodes and the retrofit's
+        # count check aborts the whole sidecar-maintained compaction)
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            committed = json.load(f)  # includes the stored pin above
+        with_ids = spark.read.parquet(stored_path).select(
+            "doc_id", "url", "text", "lang"
         )
-        add_positions_to_index(spark, index_dir, corpus)
+        build_positions_table(
+            spark,
+            with_ids,
+            index_dir,
+            committed["preset"],
+            int(committed["shard_size"]),
+            int(committed.get("bloom_ndv", 1 << 16)),
+        )
+        commit_sidecar_meta(index_dir, committed, "positions", 1)
 
 
 def _commit_compaction(

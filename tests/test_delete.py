@@ -434,3 +434,48 @@ def test_compaction_sidecar_maintenance_opt_out_and_stale_in(spark, tmp_path):
     fts2 = FtsIndex(spark, d2)
     with pytest.raises(PositionsUnavailableError, match="stale"):
         fts2.search_phrase_positional("alpha beta", k=1)
+
+
+def test_sidecar_compaction_with_duplicate_urls(spark, tmp_path):
+    """Sidecar-maintained compaction must not depend on url uniqueness:
+    append-only semantics allow re-adding an existing url (each copy is
+    a distinct document), and the positional rebuild used to round-trip
+    through add_positions_to_index's url join — ambiguous under
+    duplicates, so the whole compaction aborted on the retrofit's count
+    check (the exact failure the bench's compact_6000_sidecars row hit,
+    whose delta tail is drawn from the same corpus as the base index).
+    Now the rebuild reads (doc_id, text) straight off the remapped
+    stored table."""
+    from fts_engine_spark.positions import add_positions_to_index
+    from fts_engine_spark.stored import add_stored_fields
+
+    d = str(tmp_path / "dupix")
+    docs = _docs(spark, 100)
+    build_index(spark, docs, d, CFG, resume=False)
+    add_stored_fields(spark, d, docs)
+    add_positions_to_index(spark, d, docs)
+    _append_batch(
+        spark, docs.limit(40), d, CFG, batch_id=0, stream_id="dup"
+    )
+
+    compact_index(spark, d, CFG)  # maintain_sidecars default True
+
+    fts = FtsIndex(spark, d)
+    # every doc (both copies of a re-added url) holds one "alpha beta"
+    rows = fts.search_phrase_positional("alpha beta", k=0).collect()
+    assert len(rows) == 140
+    per_url: dict[str, int] = {}
+    for r in rows:
+        assert int(r["phrase_count"]) == 1
+        per_url[r["url"]] = per_url.get(r["url"], 0) + 1
+    for i in range(100):
+        assert per_url[f"doc://{i}"] == (2 if i < 40 else 1)
+    # stored text still attaches to the right ids post-remap
+    pairs = {
+        int(r["doc_id"]): r["url"]
+        for r in fts.docs().select("doc_id", "url").collect()
+    }
+    probe = sorted(pairs)[:3] + sorted(pairs)[-3:]
+    for r in fts.stored_text(probe).collect():
+        i = int(pairs[int(r["doc_id"])][6:])
+        assert r["text"].startswith("alpha beta w%d" % (i % 7))
