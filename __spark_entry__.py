@@ -580,6 +580,59 @@ def _index_search(
     )
 
 
+def _ensure_fed_indexes(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two independent index snapshots over a doc_id-parity split of the
+    documents table — the federated-search fixture. Split by parity (not
+    hash) so the halves are deterministic across Spark/DuckDB."""
+    import hashlib
+
+    from fts_engine_spark.build import META_VERSION, BuildConfig, build_index
+
+    key = hashlib.md5(f"fed:{sf_dir}:v{META_VERSION}".encode()).hexdigest()[:10]
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key].split("|")
+    dirs = []
+    for half in (0, 1):
+        index_dir = f"/tmp/fts_fed_cache_{key}_{half}"
+        docs = (
+            _docs(spark, sf_dir)
+            .where(F.col("doc_id") % 2 == half)
+            .select(
+                F.concat(
+                    F.lit("doc://"), F.col("doc_id").cast("string")
+                ).alias("url"),
+                "text",
+                "lang",
+            )
+        )
+        build_index(
+            spark, docs, index_dir,
+            BuildConfig(
+                preset="simple", shard_size=4096, id_buckets=16, n_waves=1
+            ),
+            resume=True,
+        )
+        dirs.append(index_dir)
+    _INDEX_CACHE[key] = "|".join(dirs)
+    return dirs
+
+
+def _federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated scatter-gather over two independent snapshots (doc_id
+    parity split) with globally-aggregated BM25 stats — must reproduce the
+    SAME full-corpus oracle as the single-index rows (the whole point:
+    federation with global df/N/avgdl is indistinguishable from one index
+    over the union corpus; fts_engine_spark/federated.py)."""
+    from fts_engine_spark.federated import FederatedFtsIndex
+
+    fed = FederatedFtsIndex(spark, _ensure_fed_indexes(spark, sf_dir))
+    out = fed.search_bm25(" ".join(Q_TERMS), k=10)
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _query_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full query-string composition (QS_QUERY): boost + MUST + NOT +
     metadata equality/range filters in one parsed string. Boosts ride
@@ -1151,6 +1204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the real engine: sharded varbyte index, both execution modes
         "fts_index_bm25_relational": lambda s, d: _index_search(s, d, "relational"),
         "fts_index_bm25_wand": lambda s, d: _index_search(s, d, "wand"),
+        # federated scatter-gather over two snapshots (doc_id-parity
+        # split), global df/N/avgdl — same full-corpus oracle as above
+        "fts_federated_bm25": _federated_search,
         # multi-field search (ES multi_match over per-field sub-indexes,
         # title = first 8 ws-tokens of text, weights title 2x):
         # most_fields = Σ weighted per-field BM25; dismax = best_fields
@@ -2212,6 +2268,8 @@ ORDER BY query_id, score DESC, doc_id
         "fts_search_bm25": bm25,
         "fts_index_bm25_relational": bm25,
         "fts_index_bm25_wand": bm25,
+        # federation with globally-correct stats == one union-corpus index
+        "fts_federated_bm25": bm25,
         "fts_index_bm25_and": bm25_and,
         "fts_index_bm25_not": bm25_not,
         "fts_boolean_bm25": bm25_bool,

@@ -3858,6 +3858,68 @@ class FtsIndex:
             out = out.limit(k)
         return self._maybe_hydrate(out, hydrate, bounded=k > 0)
 
+    def _bm25_wand_stats(
+        self,
+        present: dict[str, tuple[float, int]],
+        k: int,
+        *,
+        n_docs: int,
+        avgdl: float,
+        require_n: int = 0,
+        excl_terms: "frozenset[str] | None" = None,
+        incl_ids: "np.ndarray | None" = None,
+    ) -> DataFrame:
+        """Per-shard block-max WAND scored against EXTERNALLY-SUPPLIED
+        global stats — the scatter half of federated (multi-snapshot)
+        search. ``present`` maps term -> (mult, GLOBAL df), already
+        restricted to terms this sub-index actually contains; ``n_docs``
+        / ``avgdl`` are the corpus-wide values aggregated across all
+        sub-indexes by :class:`fts_engine_spark.federated.FederatedFtsIndex`.
+
+        Same plan as the warm :meth:`_bm25_wand` branch (pruned posting
+        scan -> one applyInPandas kernel per shard -> local top-k) —
+        only the closure constants differ, so the per-sub cost of a
+        federated query equals a single-index query. Returns the
+        UNHYDRATED sub-local top-k (doc_id, score); doc ids are dense
+        PER SUB-INDEX and must be mapped to urls before any cross-sub
+        merge. Tombstones are honored via the same sorted-id broadcast;
+        above ``dead_broadcast_max`` pending deletes the sub must be
+        compacted first (the single-index relational fallback has no
+        stats-override twin — fail loudly rather than mis-score)."""
+        if self.n_deleted > self.dead_broadcast_max:
+            raise RuntimeError(
+                f"{self.n_deleted} pending deletes exceed "
+                f"dead_broadcast_max={self.dead_broadcast_max}; run "
+                "compact_index on this sub-index before federated serving"
+            )
+        if not present:
+            return self._empty_bm25_result()
+        dead_bc = self._dead_broadcast()
+        incl_bc = (
+            self.spark.sparkContext.broadcast(incl_ids)
+            if incl_ids is not None
+            else None
+        )
+        excl_list = sorted(excl_terms or ())
+        posts = self._pruner(
+            self._read_postings(), list(present) + excl_list
+        )
+        if dict(posts.dtypes).get("shard_id") != "bigint":
+            posts = posts.withColumn("shard_id", F.col("shard_id").cast("long"))
+        kernel = make_wand_kernel(
+            n_docs, self.shard_size, avgdl, k,
+            term_stats=present, require_n=require_n,
+            exclude_terms=frozenset(excl_list) or None,
+            dead_bcast=dead_bc, include_bcast=incl_bc,
+        )
+        local_topk = posts.groupBy("shard_id").applyInPandas(
+            kernel, schema=WAND_SCHEMA
+        )
+        out = local_topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        if k > 0:
+            out = out.limit(k)
+        return out
+
     def _maybe_hydrate(
         self, scored: DataFrame, hydrate: bool, bounded: bool = True
     ) -> DataFrame:
