@@ -227,3 +227,120 @@ class FederatedFtsIndex:
         if k > 0:
             out = out.limit(k)
         return out
+
+    # -- point-serving tier -------------------------------------------------
+
+    def enable_point_serving(self, **kw) -> "FederatedFtsIndex":
+        """Enable the in-process serving tier on every snapshot (see
+        :meth:`FtsIndex.enable_point_serving`); ``kw`` (budgets) applies
+        to each sub. The federation then serves warm single queries with
+        ZERO Spark jobs end-to-end: per-sub sweeps run the in-process WAND
+        kernel with the GLOBAL stats riding as overrides, and the k-row
+        url hydration reads the docs parquet driver-side
+        (:meth:`FtsIndex.doc_urls_local`)."""
+        for s in self.subs:
+            s.enable_point_serving(**kw)
+        return self
+
+    def search_bm25_point(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        conjunctive: bool = False,
+        min_match: int | None = None,
+        exclude: str | None = None,
+    ) -> list[tuple[str, str, float]]:
+        """Global top-k served from the driver when possible: a warm
+        federated query schedules NO Spark job in ANY snapshot. Returns
+        ``[(url, url_md5, score)]`` in the federation's serving order
+        (score desc, url asc) — exactly :meth:`search_bm25`'s rows
+        (asserted in tests/test_federated.py).
+
+        Per sub this is the single-index point sweep
+        (:meth:`FtsIndex._point_sweep`) with the federation's global
+        (df, N, avgdl) riding as overrides — the point-tier twin of
+        :meth:`FtsIndex._bm25_wand_stats`. Falls back to the distributed
+        federated path when any snapshot cannot point-serve (tier off,
+        a term's postings exceed its point budget, or its tombstone set
+        exceeds the driver-array bound). Scale shape: per-sub work is an
+        in-memory sweep + a ~k-row-group parquet read; the merge is
+        ``len(subs) * k`` tuples on the driver.
+        """
+
+        def _fallback() -> list[tuple[str, str, float]]:
+            return [
+                (r["url"], r["url_md5"], float(r["score"]))
+                for r in self.search_bm25(
+                    query, k=k, preset=preset, conjunctive=conjunctive,
+                    min_match=min_match, exclude=exclude,
+                ).collect()
+            ]
+
+        if any(
+            s._point_cache is None
+            or s._term_dict is None
+            or s.n_deleted > s.dead_broadcast_max
+            for s in self.subs
+        ):
+            return _fallback()
+        if min_match is not None and conjunctive:
+            raise ValueError("pass either conjunctive or min_match, not both")
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return []
+        require_n = len(mult) if conjunctive else max(0, int(min_match or 0))
+        if require_n > len(mult):
+            return []
+        excl_mult = self._query_mult(exclude, preset) if exclude else {}
+        if excl_mult:
+            if conjunctive and set(mult) & set(excl_mult):
+                return []
+            mult = {t: m for t, m in mult.items() if t not in excl_mult}
+            if not mult:
+                return []
+
+        # global stats: warm term_stats is a pure dict lookup, no job
+        lookup = list(mult) + list(excl_mult)
+        sub_stats = [s.term_stats(lookup) for s in self.subs]
+        df_global: dict[str, int] = {}
+        for st in sub_stats:
+            for t, (df_, _cf) in st.items():
+                df_global[t] = df_global.get(t, 0) + int(df_)
+        present_global = {t: m for t, m in mult.items() if t in df_global}
+        if not present_global or (
+            require_n > 0 and len(present_global) < require_n
+        ):
+            return []
+        # budget gate on the SUB-LOCAL df (that is what gets cached): any
+        # oversized posting list routes the whole query distributed, same
+        # rule as the single-index tier (search_bm25_point's df cap)
+        for sub, stats in zip(self.subs, sub_stats):
+            cap = sub._point_max_bytes // 40
+            if any(int(df_) > cap for _, (df_, _cf) in stats.items()):
+                return _fallback()
+
+        merged: list[tuple[float, str, str]] = []
+        for sub, stats in zip(self.subs, sub_stats):
+            present = {
+                t: (m, df_global[t])
+                for t, m in present_global.items()
+                if t in stats
+            }
+            if not present or (require_n > 0 and len(present) < require_n):
+                continue
+            excl_present = frozenset(t for t in excl_mult if t in stats)
+            rows = sub._point_sweep(
+                present, k, require_n, excl_present or None,
+                n_docs=self.n_docs, avgdl=self.avgdl,
+            )
+            if not rows:
+                continue
+            urls = sub.doc_urls_local([d for d, _s in rows])
+            for d, sc in rows:
+                u, m5 = urls[int(d)]
+                merged.append((float(sc), u, m5))
+        merged.sort(key=lambda t: (-t[0], t[1]))
+        if k > 0:
+            merged = merged[:k]
+        return [(u, m5, sc) for sc, u, m5 in merged]

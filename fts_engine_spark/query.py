@@ -32,7 +32,7 @@ import re
 import threading
 import time
 from collections import OrderedDict
-from collections.abc import Iterator
+from collections.abc import Iterable, Iterator
 from dataclasses import dataclass
 
 import numpy as np
@@ -606,6 +606,43 @@ class FtsIndex:
 
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(self._docs_path)
+
+    def doc_urls_local(
+        self, doc_ids: "Iterable[int]"
+    ) -> dict[int, tuple[str, str]]:
+        """doc_id -> (url, url_md5) read ON THE DRIVER with pyarrow — no
+        Spark job. The identity hydration twin of
+        ``stored.stored_rows_local``: a top-k page's urls should not pay
+        the scheduler floor either. The dataset filter prunes via parquet
+        row-group min/max stats; doc ids are assigned in contiguous
+        per-bucket ranges (build.py assign_doc_ids), so each file covers a
+        narrow id range and a k-id lookup touches ~k row groups. Bounded:
+        callers pass top-k pages. The dataset handle (file listing +
+        footers) is cached per docs-table path."""
+        ids = sorted({int(i) for i in doc_ids})
+        if not ids:
+            return {}
+        import pyarrow.dataset as pads
+
+        cached = getattr(self, "_docs_dataset", None)
+        if cached is None or cached[0] != self._docs_path:
+            cached = (
+                self._docs_path,
+                pads.dataset(self._docs_path, format="parquet"),
+            )
+            self._docs_dataset = cached
+        tbl = cached[1].to_table(
+            columns=["doc_id", "url", "url_md5"],
+            filter=pads.field("doc_id").isin(ids),
+        )
+        return {
+            int(d): (u, m)
+            for d, u, m in zip(
+                tbl["doc_id"].to_pylist(),
+                tbl["url"].to_pylist(),
+                tbl["url_md5"].to_pylist(),
+            )
+        }
 
     # ---- tombstones (mutate.delete_documents) ---------------------------
     def tombstones(self) -> DataFrame | None:
@@ -3204,6 +3241,8 @@ class FtsIndex:
         full_mask: int = 0,
         after: tuple[float, int] | None = None,
         incl_docs: "np.ndarray | None" = None,
+        n_docs: int | None = None,
+        avgdl: float | None = None,
     ) -> list[tuple[int, float]]:
         """In-process sweep over the point cache for a resolved
         term -> (mult, df) map: fetch missing terms (one pruned job),
@@ -3214,7 +3253,12 @@ class FtsIndex:
         :func:`_wand_sweep`); shards whose terms can't cover every
         required group are skipped whole, like the distributed kernel.
         ``incl_docs`` (global sorted int64 array) is the field-filter
-        restriction — the same array the distributed kernel receives."""
+        restriction — the same array the distributed kernel receives.
+        ``n_docs``/``avgdl`` override the index-local stats — the
+        federated point tier scores every snapshot with the GLOBAL
+        constants, exactly like :meth:`_bm25_wand_stats`."""
+        eff_n_docs = self.n_docs if n_docs is None else int(n_docs)
+        eff_avgdl = self.avgdl if avgdl is None else float(avgdl)
         with self._point_lock:
             all_terms = dict.fromkeys(
                 list(present) + sorted(excl_terms or ())
@@ -3235,7 +3279,7 @@ class FtsIndex:
             shard_gms: dict[int, list[int]] = {}
             for term in sorted(present):
                 m, df_ = present[term]
-                w = m * bm25_idf(self.n_docs, df_)
+                w = m * bm25_idf(eff_n_docs, df_)
                 gm = term_gmask.get(term, 0) if term_gmask else 0
                 for shard, table in self._point_cache[term].items():
                     shards.setdefault(shard, []).append((w, table))
@@ -3280,7 +3324,7 @@ class FtsIndex:
                     base, self.shard_size,
                 )
                 docs, scores = _wand_sweep(
-                    weighted, k, base, self.avgdl, None,
+                    weighted, k, base, eff_avgdl, None,
                     require_n, excl, incl_docs,
                     group_masks=gms if full_mask else None,
                     full_mask=full_mask, after=after,

@@ -163,3 +163,64 @@ def test_preset_mismatch_raises(spark, small_corpus, fed, tmp_path_factory):
     fed_idx, _ = fed
     with pytest.raises(ValueError, match="preset"):
         FederatedFtsIndex(spark, [fed_idx.subs[0].index_dir, d])
+
+
+# ---- point-serving tier ---------------------------------------------------
+
+
+def _fed_point(fed_idx, **kw):
+    return [(u, s) for u, _m, s in fed_idx.search_bm25_point(**kw)]
+
+
+def _fed_dist(fed_idx, **kw):
+    return [
+        (r["url"], r["url_md5"], float(r["score"]))
+        for r in fed_idx.search_bm25(**kw).collect()
+    ]
+
+
+def test_point_tier_matches_distributed_federation(fed):
+    """Warm federated point rows == distributed federated rows, url_md5
+    included, across the reference set and every per-doc predicate."""
+    fed_idx, _single = fed
+    fed_idx.enable_point_serving()
+    try:
+        cases = [dict(query=qd["query"], k=qd["k"]) for qd in REFERENCE_QUERIES]
+        cases += [
+            dict(query="french hotel", k=10, conjunctive=True),
+            dict(query="hotel turtle data", k=10, min_match=2),
+            dict(query="hotel", k=10, exclude="french"),
+            dict(query="hotel turtle", k=0),  # return-all path
+            dict(query="zzzzqqqq", k=10),     # absent term
+        ]
+        for kw in cases:
+            assert fed_idx.search_bm25_point(**kw) == _fed_dist(fed_idx, **kw), kw
+    finally:
+        for s in fed_idx.subs:
+            s._point_cache = None
+
+
+def test_point_tier_warm_zero_jobs(spark, fed):
+    """A repeat federated query schedules NO Spark job in any snapshot."""
+    fed_idx, _ = fed
+    fed_idx.enable_point_serving()
+    try:
+        fed_idx.search_bm25_point("french hotel", k=10)  # fetch + hydrate once
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        out = fed_idx.search_bm25_point("french hotel", k=10)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        assert out and after == before, (
+            "warm federated point query must not schedule a Spark job"
+        )
+    finally:
+        for s in fed_idx.subs:
+            s._point_cache = None
+
+
+def test_point_tier_fallback_when_disabled(fed):
+    """Tier off on any sub -> distributed fallback, same rows."""
+    fed_idx, _ = fed
+    assert all(s._point_cache is None for s in fed_idx.subs)
+    got = fed_idx.search_bm25_point("hotel turtle", k=10)
+    assert got == _fed_dist(fed_idx, query="hotel turtle", k=10)
