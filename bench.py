@@ -1350,6 +1350,14 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
                               meter, contaminated, steal_log)
     timings.update(merge_rows)
 
+    # ---- 3h. federated serving: two lang-split snapshots answered as one
+    # logical index. The warm point row shows the federation ALSO serves
+    # below the Spark job floor (zero jobs across all snapshots); the
+    # distributed row is the per-query scatter-gather job-floor contrast.
+    fed_rows = _federated_bench(spark, index_dir, docs, cfg,
+                                meter, contaminated, steal_log)
+    timings.update(fed_rows)
+
     # ---- 4. sf0.1 index-oracle gate: the sf0.1 session is already paid for,
     # so record the 10x-scale correctness check in the bench of record
     # (VERDICT r2 next #9); compares both BM25 modes to the DuckDB oracle.
@@ -1496,6 +1504,81 @@ def _merge_bench(spark, index_dir, docs, cfg, meter, contaminated,
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(dst_dir, ignore_errors=True)
     return {"merge_src_2000": round(secs, 3)}
+
+
+def _federated_bench(spark, index_dir, docs, cfg, meter, contaminated,
+                     steal_log) -> dict:
+    """Two lang-split snapshots built from a 4,000-doc slice and served
+    as ONE logical index (FederatedFtsIndex). Rows:
+    query_federated_point_p50_ms — warm federated point serving (zero
+    Spark jobs across BOTH snapshots; parity vs the distributed
+    federation asserted before timing) — and query_federated_dist_ms,
+    the same query through the distributed scatter-gather (one
+    single-index-shaped job per snapshot: the job-floor contrast)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fts_engine_spark.build import build_index
+    from fts_engine_spark.federated import FederatedFtsIndex
+    from tools.gen_corpus import REFERENCE_QUERIES
+
+    slice_docs = docs.limit(4000)
+    dirs = []
+    for name, pred in [
+        ("en", F.col("lang") == "en"),
+        ("rest", F.col("lang") != "en"),
+    ]:
+        d = f"{index_dir}_fedbench_{name}"
+        shutil.rmtree(d, ignore_errors=True)
+        build_index(spark, slice_docs.where(pred), d, cfg, resume=False)
+        dirs.append(d)
+    fed = FederatedFtsIndex(spark, dirs).enable_point_serving()
+    # correctness first: the point tier must reproduce the distributed
+    # federation's rows before its latency is a row of record
+    for qd in REFERENCE_QUERIES[:3]:
+        want = [
+            (r["url"], r["url_md5"], float(r["score"]))
+            for r in fed.search_bm25(qd["query"], k=qd["k"]).collect()
+        ]
+        if fed.search_bm25_point(qd["query"], k=qd["k"]) != want:
+            raise RuntimeError(
+                f"federated point-tier parity failure on {qd['query']!r}"
+            )
+
+    def _fed_point_once():
+        lat: list[float] = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES:
+                t0 = time.monotonic()
+                fed.search_bm25_point(qd["query"], k=qd["k"])
+                lat.append((time.monotonic() - t0) * 1000)
+        lat.sort()
+        return round(statistics.median(lat), 2)
+
+    fed_point_p50, _ = gated_phase(
+        meter, contaminated, steal_log, "query_federated_point",
+        STEAL_SERVE_TICKS, _fed_point_once,
+    )
+
+    def _fed_dist_once():
+        lat = []
+        for qd in REFERENCE_QUERIES[:3]:
+            t0 = time.monotonic()
+            fed.search_bm25(qd["query"], k=qd["k"]).collect()
+            lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 2)
+
+    fed_dist_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_federated_dist",
+        STEAL_SERVE_TICKS, _fed_dist_once,
+    )
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "query_federated_point_p50_ms": fed_point_p50,
+        "query_federated_dist_ms": fed_dist_ms,
+    }
 
 
 def _sessionize_stream_bench(spark, sf_dir: str) -> float:
