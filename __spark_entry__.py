@@ -905,6 +905,25 @@ def _boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-score decay (ES ``function_score`` exp-decay analog):
+    bm25 * exp(ln(0.5)/200 * max(0, |doclen - 60|)) — length-proximity
+    ranking over the analyzed doc-length column, the same shape a
+    recency ranking takes over a meta_cols timestamp."""
+    from fts_engine_spark.query import FtsIndex
+
+    index_dir = _ensure_index(spark, sf_dir)
+    fts = FtsIndex(spark, index_dir)
+    out = fts.search_bm25_decay(
+        " ".join(Q_TERMS), k=10, field="doclen", origin=60.0, scale=200.0,
+        decay=0.5, shape="exp", hydrate=True,
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k with best-window highlighted snippets (rows-only check)."""
     from fts_engine_spark.operators.snippets import search_with_snippets
@@ -1282,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query-time document boosting (FunctionScoreQuery analog):
         # bm25 * per-doc prior joined on url, relational accumulate plan
         "fts_boosted_bm25": _boosted_search,
+        "fts_decay_bm25": _decay_search,
         # best-window highlighted snippets for the top-k (rows-only
         # check: best-window selection over analyzed token space is not
         # SQL-expressible; the kernel is golden-tested in
@@ -1876,6 +1896,19 @@ ORDER BY c.doc_id, c.term
         f"round(raw * {_boost_expr}, 4)" in bm25_boosted
         and f"round(raw * {_boost_expr}, 6)" in bm25_boosted
     )
+    # function-score decay: bm25 * exp(ln(0.5)/200 * max(0, |doclen-60|))
+    # — the factor joins the dl CTE (doc_len == the docs-table doclen)
+    _decay_expr = (
+        "exp(ln(0.5) / 200.0 * greatest(0.0, abs(dl.doc_len - 60.0)))"
+    )
+    bm25_decay = bm25.replace(
+        "SELECT doc_id, round(raw, 4) AS score FROM scored\n"
+        "ORDER BY round(raw, 6) DESC, doc_id LIMIT 10",
+        f"SELECT s.doc_id, round(s.raw * {_decay_expr}, 4) AS score\n"
+        "FROM scored s JOIN dl ON dl.doc_id = s.doc_id\n"
+        f"ORDER BY round(s.raw * {_decay_expr}, 6) DESC, s.doc_id LIMIT 10",
+    )
+    assert f"raw * {_decay_expr}" in bm25_decay
     # conjunctive: every distinct query term must match; tf is unique per
     # (term, doc), so the group's row count is the distinct-match count
     bm25_and = bm25.replace(
@@ -2303,6 +2336,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_facet_percentiles": pctl_sql,
         "fts_explain_bm25": explain_sql,
         "fts_boosted_bm25": bm25_boosted,
+        "fts_decay_bm25": bm25_decay,
         "fts_incremental_bm25": bm25,
         "fts_merge_bm25": bm25,
         "fts_update_bm25": bm25_update,

@@ -920,6 +920,44 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_boosted_ms"] = boosted_ms
 
+    # function-score decay: factor computed from a docs column in-plan
+    # (no prior table) — distributed vs the point tier's numpy pass
+    decay_kw = dict(field="doclen", origin=40.0, scale=60.0, decay=0.5)
+    fts.search_bm25_decay(pg_q, k=10, **decay_kw).collect()  # warm-up
+
+    def _decay_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                fts.search_bm25_decay(qd["query"], k=10, **decay_kw).collect()
+                lat.append((time.monotonic() - t0) * 1000)
+        return round(statistics.median(lat), 1)
+
+    decay_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_decay",
+        STEAL_SERVE_TICKS, _decay_once,
+    )
+    timings["query_decay_ms"] = decay_ms
+
+    fts.search_bm25_decay_point(pg_q, k=10, **decay_kw)  # warm-up
+
+    def _decay_point_once():
+        lat = []
+        for _ in range(3):
+            for qd in REFERENCE_QUERIES[:5]:
+                t0 = time.monotonic()
+                fts.search_bm25_decay_point(qd["query"], k=10, **decay_kw)
+                lat.append((time.monotonic() - t0) * 1000)
+        lat.sort()
+        return round(statistics.median(lat), 2)
+
+    decay_point_ms, _ = gated_phase(
+        meter, contaminated, steal_log, "query_decay_point",
+        STEAL_SERVE_TICKS, _decay_point_once,
+    )
+    timings["query_point_decay_ms"] = decay_point_ms
+
     # score explain: per-term contribution rows for the top-10
     fts.explain_bm25(pg_q, k=10).collect()  # warm-up
 

@@ -318,6 +318,32 @@ class FtsEngine:
             hydrate=hydrate,
         )
 
+    def search_decay(
+        self,
+        query: str,
+        k: int | None = None,
+        field: str = "doclen",
+        origin: float = 0.0,
+        scale: float = 10.0,
+        decay: float = 0.5,
+        offset_dist: float = 0.0,
+        shape: str = "exp",
+        hydrate: bool = False,
+    ) -> DataFrame:
+        """Function-score decay over a docs-table column — recency /
+        proximity ranking (see :meth:`FtsIndex.search_bm25_decay`)."""
+        return self.index.search_bm25_decay(
+            query,
+            self.options.k if k is None else k,
+            field=field,
+            origin=origin,
+            scale=scale,
+            decay=decay,
+            offset_dist=offset_dist,
+            shape=shape,
+            hydrate=hydrate,
+        )
+
     def search_full(
         self,
         query: str,

@@ -2024,6 +2024,234 @@ class FtsIndex:
             scored = scored.limit(k)
         return self._maybe_hydrate(scored, hydrate, bounded=k > 0)
 
+    # ---- function-score decay (ES decay functions over a docs column) --
+
+    @staticmethod
+    def _decay_params(
+        shape: str, scale: float, decay: float
+    ) -> tuple[str, float]:
+        """Validate + precompute the decay constant. Returns (shape, lam):
+        exp    -> factor = e^(lam * dist),   lam = ln(decay)/scale
+        gauss  -> factor = e^(lam * dist^2), lam = ln(decay)/scale^2
+        linear -> factor = max(0, 1 + lam * dist), lam = (decay-1)/scale
+        so every shape hits exactly ``decay`` at distance ``scale`` —
+        the published Elasticsearch decay-function contract."""
+        if shape not in ("exp", "gauss", "linear"):
+            raise ValueError(
+                f"shape must be exp|gauss|linear, got {shape!r}"
+            )
+        scale = float(scale)
+        decay = float(decay)
+        if scale <= 0:
+            raise ValueError(f"scale must be > 0, got {scale}")
+        if not (0.0 < decay < 1.0):
+            raise ValueError(f"decay must be in (0, 1), got {decay}")
+        if shape == "exp":
+            lam = math.log(decay) / scale
+        elif shape == "gauss":
+            lam = math.log(decay) / (scale * scale)
+        else:
+            lam = (decay - 1.0) / scale
+        return shape, lam
+
+    def search_bm25_decay(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        field: str = "doclen",
+        origin: float = 0.0,
+        scale: float = 10.0,
+        decay: float = 0.5,
+        offset_dist: float = 0.0,
+        shape: str = "exp",
+        hydrate: bool = False,
+    ) -> DataFrame:
+        """Function-score DECAY — the Elasticsearch ``function_score``
+        decay functions (``exp``/``gauss``/``linear``) computed from a
+        docs-table column instead of a caller-supplied prior:
+        ``final = bm25(doc) * factor(field_value)`` with
+        ``dist = max(0, |value - origin| - offset_dist)`` and the factor
+        shaped so it equals ``decay`` exactly at ``dist = scale``. The
+        classic web-search uses: recency ranking (``field`` = an epoch
+        column persisted via ``BuildConfig.meta_cols`` — e.g. the
+        input_hint's ``warc_ts`` — ``origin`` = now) and length/quality
+        proximity (``field='doclen'``).
+
+        Plan: same honest shape as :meth:`search_bm25_boosted` — the
+        relational accumulate scores all matches, then ONE doc_id
+        equi-join against the docs table computes the factor in JVM
+        codegen (no Python, no extra shuffle beyond the join; AQE
+        broadcasts the scored side when small). WAND block bounds stay
+        sound only because ``factor <= 1`` everywhere, but a decayed
+        threshold prunes so little that the relational plan wins — and
+        unlike ``boost=`` there is no user-supplied table: the factor
+        is a pure column expression, so the docs join is the only cost.
+        A NULL field value decays nothing (factor 1.0) — documents
+        missing the field rank by plain BM25. Deterministic order:
+        (decayed score desc, doc_id asc)."""
+        shape, lam = self._decay_params(shape, scale, decay)
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return self._maybe_hydrate(
+                self._empty_bm25_result(), hydrate, bounded=True
+            )
+        docs_df = self.docs()
+        if field not in docs_df.columns:
+            raise ValueError(
+                f"decay field {field!r} is not a docs-table column "
+                f"(have: {docs_df.columns}; persist extra input columns "
+                "with BuildConfig.meta_cols)"
+            )
+        v = F.col(field).cast("double")
+        dist = F.greatest(
+            F.lit(0.0), F.abs(v - F.lit(float(origin))) - F.lit(
+                float(offset_dist)
+            )
+        )
+        if shape == "exp":
+            factor = F.exp(F.lit(lam) * dist)
+        elif shape == "gauss":
+            factor = F.exp(F.lit(lam) * dist * dist)
+        else:
+            factor = F.greatest(F.lit(0.0), F.lit(1.0) + F.lit(lam) * dist)
+        factor = F.when(v.isNull(), F.lit(1.0)).otherwise(factor)
+        scored = (
+            self._bm25_scored(mult)
+            .join(docs_df.select("doc_id", factor.alias("_decay")), "doc_id")
+            .withColumn("score", F.col("score") * F.col("_decay"))
+            .drop("_decay")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        if k > 0:
+            scored = scored.limit(k)
+        return self._maybe_hydrate(scored, hydrate, bounded=k > 0)
+
+    def search_bm25_decay_point(
+        self,
+        query: str,
+        k: int = 10,
+        preset: str | None = None,
+        field: str = "doclen",
+        origin: float = 0.0,
+        scale: float = 10.0,
+        decay: float = 0.5,
+        offset_dist: float = 0.0,
+        shape: str = "exp",
+    ) -> list[tuple[int, float]]:
+        """:meth:`search_bm25_decay` below the Spark job floor: the
+        in-process sweep collects the FULL match set (``k=0`` — every
+        matching doc's exact BM25 score is already in the decoded point
+        cache; the sweep walks it either way), the factor is a vectorized
+        numpy pass over a driver-cached column array (one pyarrow read of
+        the docs parquet per field, 8 B/doc, budget-gated — see
+        :meth:`_field_values_local`), and top-k is one argsort. Results
+        match :meth:`search_bm25_decay` to float-sum rounding (the
+        relational aggregate and the kernel sum in different orders —
+        same equivalence class as wand vs relational). Falls back to the
+        distributed path whenever the tier is off, a term exceeds the
+        point budget, or the field array exceeds its budget."""
+        shape, lam = self._decay_params(shape, scale, decay)
+
+        def _fallback() -> list[tuple[int, float]]:
+            return [
+                (int(r["doc_id"]), float(r["score"]))
+                for r in self.search_bm25_decay(
+                    query, k=k, preset=preset, field=field, origin=origin,
+                    scale=scale, decay=decay, offset_dist=offset_dist,
+                    shape=shape,
+                ).collect()
+            ]
+
+        if (
+            self._point_cache is None
+            or self._term_dict is None
+            or self.n_deleted > self.dead_broadcast_max
+        ):
+            return _fallback()
+        vals = self._field_values_local(field)
+        if vals is None:
+            return _fallback()
+        mult = self._query_mult(query, preset)
+        if not mult:
+            return []
+        present = {
+            t: (m, self._term_dict[t][0])
+            for t, m in mult.items()
+            if t in self._term_dict
+        }
+        if not present:
+            return []
+        df_cap = self._point_max_bytes // 40
+        if any(df_ > df_cap for _, df_ in present.values()):
+            return _fallback()
+        rows = self._point_sweep(present, 0, 0)
+        if not rows:
+            return []
+        ids = np.fromiter((d for d, _ in rows), dtype=np.int64, count=len(rows))
+        base = np.fromiter(
+            (s for _, s in rows), dtype=np.float64, count=len(rows)
+        )
+        v = vals[ids]
+        dist = np.maximum(
+            0.0, np.abs(v - float(origin)) - float(offset_dist)
+        )
+        if shape == "exp":
+            factor = np.exp(lam * dist)
+        elif shape == "gauss":
+            factor = np.exp(lam * dist * dist)
+        else:
+            factor = np.maximum(0.0, 1.0 + lam * dist)
+        factor = np.where(np.isnan(v), 1.0, factor)
+        score = base * factor
+        order = np.lexsort((ids, -score))
+        if k > 0:
+            order = order[:k]
+        return [(int(ids[i]), float(score[i])) for i in order]
+
+    def _field_values_local(self, field: str) -> "np.ndarray | None":
+        """Dense ``doc_id -> double`` array of a docs-table column, read
+        ON THE DRIVER with pyarrow (no Spark job), cached per field.
+        Missing/null values are NaN (decay treats them as factor 1.0).
+        Returns None — caller falls back to the distributed plan — when
+        the array would exceed the budget (default 256 MiB = 32M docs
+        per snapshot; point serving is per-snapshot, and a snapshot at
+        web scale is a crawl segment, not the whole corpus) or the
+        column is absent. Invalidated with the point cache on meta
+        refresh (compaction/append flips the meta pointer and the
+        serving handle is re-opened)."""
+        cache = getattr(self, "_field_local_cache", None)
+        if cache is None:
+            cache = self._field_local_cache = {}
+        if field in cache:
+            return cache[field]
+        budget = int(getattr(self, "_field_local_max_bytes", 256 << 20))
+        if self.n_docs * 8 > budget:
+            return None
+        import pyarrow.dataset as pads
+
+        cached = getattr(self, "_docs_dataset", None)
+        if cached is None or cached[0] != self._docs_path:
+            cached = (
+                self._docs_path,
+                pads.dataset(self._docs_path, format="parquet"),
+            )
+            self._docs_dataset = cached
+        if field not in cached[1].schema.names:
+            raise ValueError(
+                f"decay field {field!r} is not a docs-table column "
+                f"(have: {cached[1].schema.names})"
+            )
+        tbl = cached[1].to_table(columns=["doc_id", field])
+        arr = np.full(self.n_docs, np.nan, dtype=np.float64)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(
+            tbl[field].to_pandas(), dtype=np.float64
+        )
+        arr[ids] = vals
+        cache[field] = arr
+        return arr
+
     def explain_bm25(
         self, query: str, k: int = 10, preset: str | None = None
     ) -> DataFrame:
