@@ -580,6 +580,44 @@ def _index_search(
     )
 
 
+def _reindex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_reindex`` analog under the hash gate: rebuild the index from
+    its OWN stored-fields sidecar (no source table) with a different
+    physical layout (shard_size 1024 / 32 id buckets vs the fixture's
+    4096 / 16), then run the same WAND BM25 search — results must
+    hash-match the SAME DuckDB oracle as fts_index_bm25_wand: physical
+    re-layout preserves logical results (fts_engine_spark/mutate.py
+    reindex)."""
+    import hashlib
+
+    from fts_engine_spark.build import META_VERSION, BuildConfig
+    from fts_engine_spark.mutate import reindex
+    from fts_engine_spark.query import FtsIndex
+
+    src = _ensure_index(spark, sf_dir, stored=True)
+    key = hashlib.md5(
+        f"reix:{sf_dir}:v{META_VERSION}".encode()
+    ).hexdigest()[:10]
+    if key not in _INDEX_CACHE:
+        dst = f"/tmp/fts_reix_cache_{key}"
+        reindex(
+            spark, src, dst,
+            BuildConfig(
+                preset="simple", shard_size=1024, id_buckets=32, n_waves=1
+            ),
+            resume=True,
+        )
+        _INDEX_CACHE[key] = dst
+    fts = FtsIndex(spark, _INDEX_CACHE[key])
+    out = fts.search_bm25(
+        " ".join(Q_TERMS), k=10, mode="wand", hydrate=True
+    )
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _ensure_fed_indexes(spark: SparkSession, sf_dir: str) -> list[str]:
     """Two independent index snapshots over a doc_id-parity split of the
     documents table — the federated-search fixture. Split by parity (not
@@ -1302,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bm25 * per-doc prior joined on url, relational accumulate plan
         "fts_boosted_bm25": _boosted_search,
         "fts_decay_bm25": _decay_search,
+        # reindex from the stored sidecar, new physical layout, same oracle
+        "fts_reindex_bm25": _reindex_search,
         # best-window highlighted snippets for the top-k (rows-only
         # check: best-window selection over analyzed token space is not
         # SQL-expressible; the kernel is golden-tested in
@@ -2337,6 +2377,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_explain_bm25": explain_sql,
         "fts_boosted_bm25": bm25_boosted,
         "fts_decay_bm25": bm25_decay,
+        "fts_reindex_bm25": bm25,
         "fts_incremental_bm25": bm25,
         "fts_merge_bm25": bm25,
         "fts_update_bm25": bm25_update,

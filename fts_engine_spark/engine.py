@@ -669,6 +669,15 @@ class FtsEngine:
         self._drop_index()
         return meta
 
+    def reindex_to(self, dst_index_dir: str, cfg: BuildConfig) -> dict:
+        """Rebuild this index under a NEW build config from its own
+        stored-fields sidecar — the ES ``_reindex`` analog; pending
+        deletes become physical. Requires ``store_text=True`` on the
+        source build (see :func:`fts_engine_spark.mutate.reindex`)."""
+        from .mutate import reindex
+
+        return reindex(self.spark, self.index_dir, dst_index_dir, cfg)
+
     def compact(self, remove_old: bool = True) -> dict:
         """Merge delta shards and physically purge tombstones (atomic
         meta-pointer commit; see :mod:`fts_engine_spark.streaming.compact`)."""

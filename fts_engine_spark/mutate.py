@@ -489,3 +489,64 @@ def merge_indexes(
         )
         return compact_index(spark, dst_dir, cfg)
     return meta
+
+
+def reindex(
+    spark: SparkSession,
+    src_index_dir: str,
+    dst_index_dir: str,
+    cfg,
+    resume: bool = False,
+):
+    """Elasticsearch ``_reindex`` analog: rebuild the corpus under a NEW
+    ``BuildConfig`` — different analyzer preset, shard_size, sidecars,
+    filters — from the index's own stored-fields sidecar, with no access
+    to the original source table. The crawler's table can be archived or
+    re-laid-out; the index stays self-sufficient, exactly the operational
+    property Lucene stored fields exist for.
+
+    Semantics: the stored text is byte-identical to what the source build
+    tokenized (:mod:`.stored`), so ``reindex(src, dst, cfg2)`` produces an
+    index IDENTICAL in results to ``build_index(original_docs, dst,
+    cfg2)`` — asserted in tests/test_reindex.py — with one deliberate
+    difference: pending tombstones are EXCLUDED (a reindex is a fresh
+    start; logical deletes become physical, like ``_reindex`` from an
+    index with deleted docs). Columns named in ``cfg.meta_cols`` are
+    pulled from the source docs table (the stored sidecar carries only
+    url/text/lang) via one doc_id equi-join.
+
+    Scale: input is the range-partitioned stored table — a full scan laid
+    out in contiguous doc_id runs, pruned nothing (a reindex reads the
+    corpus by definition) but already columnar and already clean; the
+    build itself is the standard one-wide-shuffle DAG. Raises
+    :class:`..stored.StoredFieldsUnavailableError` when the sidecar is
+    absent or stale (a mutation renumbered ids after it was written).
+    """
+    from .build import build_index
+    from .query import FtsIndex
+    from .stored import _checked_path
+
+    src_abs = os.path.abspath(src_index_dir)
+    if os.path.abspath(dst_index_dir) == src_abs:
+        raise ValueError("reindex cannot target the source index dir")
+    src = FtsIndex(spark, src_index_dir)
+    stored_path = _checked_path(src)
+    docs = spark.read.parquet(stored_path).select("doc_id", "url", "text", "lang")
+    meta_cols = tuple(getattr(cfg, "meta_cols", ()) or ())
+    if meta_cols:
+        src_docs = src.docs()
+        missing = [c for c in meta_cols if c not in src_docs.columns]
+        if missing:
+            raise ValueError(
+                f"meta_cols {missing} are not source docs-table columns "
+                f"(have: {src_docs.columns})"
+            )
+        docs = docs.join(
+            src_docs.select("doc_id", *meta_cols), "doc_id"
+        )
+    ts = src.tombstones()
+    if ts is not None:
+        docs = docs.join(ts.select("doc_id"), "doc_id", "left_anti")
+    return build_index(
+        spark, docs.drop("doc_id"), dst_index_dir, cfg, resume=resume
+    )

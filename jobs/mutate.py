@@ -12,6 +12,13 @@
     spark-submit ... jobs/mutate.py merge --index IX --src /path/to/segment \
         [--no-compact]
 
+    # rebuild under a new config (analyzer preset, shard size, sidecars)
+    # from the index's OWN stored-fields sidecar — no source table needed;
+    # pending deletes become physical (ES _reindex analog)
+    spark-submit ... jobs/mutate.py reindex --index IX --dst /path/new_ix \
+        [--preset by_lang] [--shard-size 1000000] [--store-text] \
+        [--store-positions]
+
     # (re)build the opt-in sidecars without touching the index proper:
     # positional table (index-only phrase) and/or stored fields (snippet
     # text point-reads) — also the way to refresh a sidecar that went
@@ -62,6 +69,15 @@ def main() -> None:
     m.add_argument("--src", required=True, help="segment index to merge in")
     m.add_argument("--no-compact", action="store_true")
 
+    x = sub.add_parser("reindex")
+    x.add_argument("--index", required=True, help="source (needs stored fields)")
+    x.add_argument("--dst", required=True, help="new index dir")
+    x.add_argument("--preset", default=None,
+                   help="new analyzer preset (default: keep the source's)")
+    x.add_argument("--shard-size", type=int, default=None)
+    x.add_argument("--store-text", action="store_true")
+    x.add_argument("--store-positions", action="store_true")
+
     r = sub.add_parser("retrofit")
     r.add_argument("--index", required=True)
     r.add_argument("--docs", required=True,
@@ -109,6 +125,25 @@ def main() -> None:
         )
         print(json.dumps(
             {"n_docs": meta["n_docs"], "n_shards": meta["n_shards"]}
+        ))
+    elif args.cmd == "reindex":
+        import os
+
+        from fts_engine_spark.mutate import reindex
+
+        with open(os.path.join(args.index, "meta.json")) as f:
+            src_meta = json.load(f)
+        cfg = BuildConfig(
+            preset=args.preset or src_meta["preset"],
+            shard_size=args.shard_size or int(src_meta["shard_size"]),
+            store_text=args.store_text,
+            store_positions=args.store_positions,
+            meta_cols=tuple(src_meta.get("meta_cols", ()) or ()),
+        )
+        meta = reindex(spark, args.index, args.dst, cfg)
+        print(json.dumps(
+            {"n_docs": meta["n_docs"], "preset": cfg.preset,
+             "shard_size": cfg.shard_size}
         ))
     else:
         if not (args.positions or args.stored):
