@@ -113,6 +113,21 @@ class FtsEngine:
             self._index = None
 
     @classmethod
+    def from_alias(
+        cls,
+        spark: SparkSession,
+        alias: str,
+        options: "EngineOptions | None" = None,
+    ) -> "FtsEngine":
+        """Open the index an alias currently names (zero-downtime swap
+        target; see :mod:`fts_engine_spark.alias`). The handle serves the
+        resolved directory for its lifetime — re-call after a
+        ``reindex_swap`` flip to pick up the new target."""
+        from .alias import resolve_alias
+
+        return cls(spark, resolve_alias(alias), options)
+
+    @classmethod
     def from_config(
         cls, spark: SparkSession, path: str | None = None
     ) -> "FtsEngine":

@@ -19,6 +19,13 @@
         [--preset by_lang] [--shard-size 1000000] [--store-text] \
         [--store-positions]
 
+    # aliases: publish a stable name over a swappable index dir, and the
+    # zero-downtime migration (reindex into <name>_v{N+1}, atomic flip;
+    # live readers keep the dir they opened)
+    spark-submit ... jobs/mutate.py alias-set --name /srv/webidx --target IX
+    spark-submit ... jobs/mutate.py alias-swap --name /srv/webidx \
+        [--preset by_lang] [--shard-size 1000000] [--rm-old]
+
     # (re)build the opt-in sidecars without touching the index proper:
     # positional table (index-only phrase) and/or stored fields (snippet
     # text point-reads) — also the way to refresh a sidecar that went
@@ -77,6 +84,18 @@ def main() -> None:
     x.add_argument("--shard-size", type=int, default=None)
     x.add_argument("--store-text", action="store_true")
     x.add_argument("--store-positions", action="store_true")
+
+    al = sub.add_parser("alias-set")
+    al.add_argument("--name", required=True, help="alias name/path")
+    al.add_argument("--target", required=True, help="index dir to publish")
+
+    aw = sub.add_parser("alias-swap")
+    aw.add_argument("--name", required=True, help="alias name/path")
+    aw.add_argument("--preset", default=None)
+    aw.add_argument("--shard-size", type=int, default=None)
+    aw.add_argument("--rm-old", action="store_true",
+                    help="remove the superseded index dir after the flip "
+                         "(only when no reader can still hold it)")
 
     r = sub.add_parser("retrofit")
     r.add_argument("--index", required=True)
@@ -144,6 +163,35 @@ def main() -> None:
         print(json.dumps(
             {"n_docs": meta["n_docs"], "preset": cfg.preset,
              "shard_size": cfg.shard_size}
+        ))
+    elif args.cmd == "alias-set":
+        from fts_engine_spark.alias import set_alias
+
+        rec = set_alias(args.name, args.target)
+        print(json.dumps(
+            {"alias_version": rec["alias_version"],
+             "index_dir": rec["index_dir"]}
+        ))
+    elif args.cmd == "alias-swap":
+        import os
+
+        from fts_engine_spark.alias import reindex_swap, resolve_alias
+
+        cur = resolve_alias(args.name)
+        with open(os.path.join(cur, "meta.json")) as f:
+            src_meta = json.load(f)
+        cfg = BuildConfig(
+            preset=args.preset or src_meta["preset"],
+            shard_size=args.shard_size or int(src_meta["shard_size"]),
+            store_text=True,  # keep the swap chain reindexable
+            meta_cols=tuple(src_meta.get("meta_cols", ()) or ()),
+        )
+        rec = reindex_swap(
+            spark, args.name, cfg, keep_old=not args.rm_old
+        )
+        print(json.dumps(
+            {"alias_version": rec["alias_version"],
+             "index_dir": rec["index_dir"], "removed_old": args.rm_old}
         ))
     else:
         if not (args.positions or args.stored):
