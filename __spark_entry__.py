@@ -580,6 +580,40 @@ def _index_search(
     )
 
 
+# percolator stored queries: (query_id, query, min_match) — None = all
+# distinct analyzed terms required (the ES percolator default)
+PERC_QUERIES = [
+    (1, " ".join(Q_TERMS), None),   # conjunctive over the reference terms
+    (2, " ".join(Q_TERMS), 2),      # minimum-should-match 2 of 4
+    (3, Q_TERMS[0], None),          # single-term alert
+    (4, "zzzznomatch", None),       # analyzed but absent: matches nothing
+]
+
+
+def _percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (ES percolate analog): the stored-query table above is
+    matched against the whole documents table — one term-join shuffle,
+    matched-distinct-term counts per (doc, query) with a per-query
+    required threshold (operators/percolate.py)."""
+    from fts_engine_spark.operators.percolate import percolate
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        "lang",
+    )
+    q = spark.createDataFrame(
+        PERC_QUERIES, "query_id long, query string, min_match int"
+    )
+    out = percolate(spark, docs, q, preset="simple")
+    return out.select(
+        F.substring(F.col("url"), 7, 30).cast("long").alias("doc_id"),
+        "query_id",
+        "matched_terms",
+        "n_query_terms",
+    )
+
+
 def _reindex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_reindex`` analog under the hash gate: rebuild the index from
     its OWN stored-fields sidecar (no source table) with a different
@@ -1342,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_decay_bm25": _decay_search,
         # reindex from the stored sidecar, new physical layout, same oracle
         "fts_reindex_bm25": _reindex_search,
+        # percolator: stored queries vs the whole documents table
+        "fts_percolate": _percolate,
         # best-window highlighted snippets for the top-k (rows-only
         # check: best-window selection over analyzed token space is not
         # SQL-expressible; the kernel is golden-tested in
@@ -1949,6 +1985,31 @@ ORDER BY c.doc_id, c.term
         f"ORDER BY round(s.raw * {_decay_expr}, 6) DESC, s.doc_id LIMIT 10",
     )
     assert f"raw * {_decay_expr}" in bm25_decay
+    # percolator: analyzed stored-query terms inlined as VALUES — the
+    # SAME simple-preset pipeline both the Spark side and toks use;
+    # zero-term queries are omitted (they match nothing by contract)
+    from fts_engine_spark.textproc.pipeline import get_pipeline as _gp
+
+    _perc_proc = _gp("simple").process
+    _perc_q, _perc_req = [], []
+    for _qid, _qs, _mm in PERC_QUERIES:
+        _terms = sorted(set(_perc_proc(_qs)))
+        if not _terms:
+            continue
+        _req = len(_terms) if not _mm else min(_mm, len(_terms))
+        _perc_q += [f"({_qid}, '{t}')" for t in _terms]
+        _perc_req.append(f"({_qid}, {_req}, {len(_terms)})")
+    percolate_sql = f"""
+WITH toks AS ({_TOKS}),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+q(query_id, term) AS (VALUES {", ".join(_perc_q)}),
+req(query_id, required, n_query_terms) AS (VALUES {", ".join(_perc_req)}),
+m AS (SELECT dt.doc_id, q.query_id, count(DISTINCT dt.term)::BIGINT AS matched_terms
+      FROM dt JOIN q USING (term) GROUP BY 1, 2)
+SELECT m.doc_id, m.query_id::BIGINT AS query_id, m.matched_terms,
+       r.n_query_terms::BIGINT AS n_query_terms
+FROM m JOIN req r USING (query_id) WHERE m.matched_terms >= r.required
+"""
     # conjunctive: every distinct query term must match; tf is unique per
     # (term, doc), so the group's row count is the distinct-match count
     bm25_and = bm25.replace(
@@ -2378,6 +2439,7 @@ ORDER BY query_id, score DESC, doc_id
         "fts_boosted_bm25": bm25_boosted,
         "fts_decay_bm25": bm25_decay,
         "fts_reindex_bm25": bm25,
+        "fts_percolate": percolate_sql,
         "fts_incremental_bm25": bm25,
         "fts_merge_bm25": bm25,
         "fts_update_bm25": bm25_update,

@@ -1,0 +1,99 @@
+"""Percolator — reverse search (Elasticsearch percolate / Lucene
+MemoryIndex analog): STORED queries are matched against INCOMING
+documents, the mirror image of the serving path. The production shape
+this exists for: millions of standing alerts/routing rules evaluated
+against every new crawl micro-batch — queries are the big side, the doc
+batch is the small side, and the join must stay relational.
+
+Semantics (ES percolator's default `match` behavior, restricted to the
+engine's term queries): a stored query matches a document when at least
+``min_match`` of its DISTINCT analyzed terms appear in the document's
+analyzed terms — ``min_match`` omitted/0 means ALL of them
+(conjunctive, the percolator default). Both sides run the SAME
+normalization pipeline the index uses (tokenize/stopword/stem, preset
+or per-lang routing), so a stored query matches exactly the documents
+it would retrieve from an index of the batch. A query whose text
+analyzes to zero terms (all stopwords) matches nothing, loudly
+distinguishable from matching everything.
+
+Plan (one shuffle): both sides tokenize map-side (Arrow UDF), explode
+to DISTINCT (key, term) rows, inner-join on ``term``, and aggregate
+matched-term counts per (url, query_id) with a partial-agg HAVING.
+Head-term skew is bounded by the doc batch (a term contributes
+|docs_with_term| x |queries_with_term| join rows; selective alert terms
+keep the right side short, and AQE's skew split is the backstop). No
+driver-side structure grows with the query count — 10^7 stored queries
+is a 10^7-row table, not memory.
+
+Extension beyond the reference (no reverse search in ``pkg/fts``);
+phrase/boolean predicates percolate via candidate-match here + the
+existing verify kernels downstream, the same two-phase shape the
+forward phrase path uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.udfs import make_tokenize_by_lang_udf, make_tokenize_udf
+
+
+def _exploded_terms(
+    df: DataFrame, key: str, text_col: str, preset: str, by_lang: bool
+) -> DataFrame:
+    if by_lang and "lang" in df.columns:
+        tok = make_tokenize_by_lang_udf(preset)
+        toks = tok(F.col(text_col), F.col("lang"))
+    else:
+        tok = make_tokenize_udf(preset)
+        toks = tok(F.col(text_col))
+    return (
+        df.select(key, F.explode(F.array_distinct(toks)).alias("term"))
+    )
+
+
+def percolate(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: DataFrame,
+    preset: str = "simple",
+    by_lang: bool = False,
+) -> DataFrame:
+    """Match every stored query against every doc in the batch.
+
+    ``docs``: (url, text [, lang]); ``queries``: (query_id, query
+    [, min_match]) — ``min_match`` NULL/0/absent means all the query's
+    distinct analyzed terms are required. Returns one row per (url,
+    query_id) match: (url, query_id, matched_terms, n_query_terms),
+    deterministic under sort by (url, query_id)."""
+    if "min_match" not in queries.columns:
+        queries = queries.withColumn("min_match", F.lit(None).cast("int"))
+    q_terms = _exploded_terms(
+        queries, "query_id", "query", preset, by_lang=False
+    ).distinct()
+    req = (
+        q_terms.groupBy("query_id")
+        .agg(F.count("*").alias("n_query_terms"))
+        .join(queries.select("query_id", "min_match"), "query_id")
+        .select(
+            "query_id",
+            "n_query_terms",
+            F.when(
+                F.col("min_match").isNull() | (F.col("min_match") <= 0),
+                F.col("n_query_terms"),
+            )
+            .otherwise(F.least("min_match", "n_query_terms"))
+            .alias("required"),
+        )
+    )
+    d_terms = _exploded_terms(docs, "url", "text", preset, by_lang)
+    matched = (
+        d_terms.join(q_terms, "term")
+        .groupBy("url", "query_id")
+        .agg(F.count("*").alias("matched_terms"))
+    )
+    return (
+        matched.join(req, "query_id")
+        .where(F.col("matched_terms") >= F.col("required"))
+        .select("url", "query_id", "matched_terms", "n_query_terms")
+    )
