@@ -958,6 +958,38 @@ def run_bench(sf_dir: str, cpus: str, out_json: bool = True) -> dict:
     )
     timings["query_point_decay_ms"] = decay_point_ms
 
+    # percolator: 100 stored queries (reference query set + generated
+    # variants) against a 2,000-doc incoming batch — the standing-alert
+    # shape; one term-join shuffle, rate in doc*query pairs/sec
+    from fts_engine_spark.operators.percolate import percolate
+
+    perc_queries = spark.createDataFrame(
+        [
+            (i, f"{qd['query']} w{i % 17}", 2)
+            for i, qd in enumerate(REFERENCE_QUERIES * 4)
+        ],
+        "query_id long, query string, min_match int",
+    )
+    perc_docs = docs.limit(2000).select("url", "text", "lang")
+    n_q = perc_queries.count()
+
+    def _percolate_once():
+        t0 = time.monotonic()
+        n = percolate(
+            spark, perc_docs, perc_queries,
+            preset="multilingual", by_lang=True,
+        ).count()
+        secs = time.monotonic() - t0
+        timings["percolate_matches"] = int(n)
+        return round(secs, 3)
+
+    perc_secs, _ = gated_phase(
+        meter, contaminated, steal_log, "percolate",
+        STEAL_SERVE_TICKS, _percolate_once,
+    )
+    timings["percolate_s"] = perc_secs
+    timings["percolate_n_queries"] = int(n_q)
+
     # score explain: per-term contribution rows for the top-10
     fts.explain_bm25(pg_q, k=10).collect()  # warm-up
 
