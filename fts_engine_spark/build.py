@@ -193,7 +193,10 @@ def assign_doc_ids(
         # would be a 2x-that-size expression tree that Catalyst must
         # analyze/serialize per stage. Ship the offsets as a broadcast-join
         # relation instead — same determinism, O(1) plan size.
-        offsets_df = docs.sparkSession.createDataFrame(
+        from .localdf import local_df
+
+        offsets_df = local_df(
+            docs.sparkSession,
             [(b, offsets[b]) for b in range(id_buckets)],
             "_bucket long, _bucket_offset long",
         )

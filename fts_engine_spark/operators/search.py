@@ -63,9 +63,11 @@ def _query_term_df(docs: DataFrame, query_terms: list[str]) -> DataFrame:
     for t in query_terms:
         mult[t] = mult.get(t, 0) + 1
     spark = docs.sparkSession
-    return spark.createDataFrame(
-        list(mult.items()), "term string, mult int"
-    )
+    from ..localdf import local_df
+
+    # Arrow LocalRelation, not a Python-RDD relation: the RDD variant
+    # adds a Python task to every search job just to emit these rows
+    return local_df(spark, list(mult.items()), "term string, mult int")
 
 
 def search_coordinate(
@@ -273,17 +275,23 @@ def search_phrase(
         presets = sorted({*pipeline_by_lang.values(), "multilingual"})
         terms_by = {p: normalize_query(phrase, p) for p in presets}
         # candidates: union of each pipeline's conjunction (dedup by the
-        # distinct analyzed term tuple — english/multilingual often agree)
+        # distinct analyzed term tuple — english/multilingual often agree).
+        # UNHYDRATED: urls attach driver-side below (doc_urls_local, a
+        # pyarrow point-read) — the former per-conjunction hydrate joined
+        # the docs table and broadcast the scored set inside the candidate
+        # job (~250-300 ms per BroadcastExchange, measured r6)
         cand = None
         for terms in sorted({tuple(t) for t in terms_by.values() if t}):
             uniq = list(dict.fromkeys(terms))
             c = index._bm25_wand(
-                {t: 1 for t in uniq}, k=0, hydrate=True, require_n=len(uniq)
-            ).select("doc_id", "url")
+                {t: 1 for t in uniq}, k=0, hydrate=False, require_n=len(uniq)
+            ).select("doc_id")
             cand = c if cand is None else cand.unionByName(c)
         if cand is None:
             return _empty_phrase(spark)
-        cand = cand.dropDuplicates(["doc_id"])
+        cand = cand.repartition(index._agg_parts(), "doc_id").dropDuplicates(
+            ["doc_id"]
+        )
         pcount = _phrase_count_by_lang_udf(terms_by, pipeline_by_lang)(
             F.col("text"), F.col("lang")
         )
@@ -298,21 +306,27 @@ def search_phrase(
         # so hand the multiplicity map to the wand path directly
         uniq = list(dict.fromkeys(terms))
         cand = index._bm25_wand(
-            {t: 1 for t in uniq}, k=0, hydrate=True, require_n=len(uniq)
-        ).select("doc_id", "url")
+            {t: 1 for t in uniq}, k=0, hydrate=False, require_n=len(uniq)
+        ).select("doc_id")
         if preset == "simple":
             pcount = phrase_count_col(terms, "text")
         else:
             pcount = _phrase_count_udf(terms, preset)(F.col("text"))
         proj = ["url", "text"]
     if max_pushdown > 0:
-        pairs = cand.limit(max_pushdown + 1).collect()
-        if len(pairs) <= max_pushdown:
-            if not pairs:
+        id_rows = cand.limit(max_pushdown + 1).collect()
+        if len(id_rows) <= max_pushdown:
+            if not id_rows:
                 return _empty_phrase(spark)
-            id_by_url = {r["url"]: int(r["doc_id"]) for r in pairs}
+            # urls via the driver-side pyarrow point-read: no docs join,
+            # no broadcast, no extra Spark job (bounded by max_pushdown)
+            by_id = index.doc_urls_local(int(r["doc_id"]) for r in id_rows)
+            id_by_url = {u: d for d, (u, _md5) in by_id.items()}
+            from ..localdf import local_df
+
             tiny = F.broadcast(
-                spark.createDataFrame(
+                local_df(
+                    spark,
                     [(u, i) for u, i in id_by_url.items()],
                     "url string, doc_id long",
                 )
@@ -326,9 +340,13 @@ def search_phrase(
                 .orderBy(F.desc("phrase_count"), F.asc("doc_id"))
             )
             return verified.limit(k) if k > 0 else verified
+    # distributed fallback (candidate set past max_pushdown): resolve the
+    # candidates' urls through the index docs table, then semi-restrict
+    # the source scan — the same two-join shape the old hydrated path had
+    cand_urls = index.docs().select("doc_id", "url").join(cand, "doc_id")
     verified = (
         docs.select(*proj)
-        .join(cand, "url")
+        .join(cand_urls, "url")
         .select("doc_id", "url", pcount.alias("phrase_count"))
         .where(F.col("phrase_count") > 0)
         .orderBy(F.desc("phrase_count"), F.asc("doc_id"))

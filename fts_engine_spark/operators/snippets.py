@@ -252,8 +252,11 @@ def search_with_snippets(
                 )
             yield pd.DataFrame({key: pdf[key], "snippet": out})
 
+    from ..localdf import local_df
+
     tiny = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(r["url"], int(r["doc_id"]), float(r["score"])) for r in rows],
             "url string, doc_id long, score double",
         )

@@ -64,7 +64,9 @@ def suggest_terms(
     )
     if not toks:
         return empty
-    rel = spark.createDataFrame([(t,) for t in toks], "token string")
+    from ..localdf import local_df
+
+    rel = local_df(spark, [(t,) for t in toks], "token string")
     dist = F.levenshtein(F.col("term"), F.col("token"))
     cand = (
         index._read_terms()

@@ -767,8 +767,17 @@ def _search_positional(
             }
         )
 
-    matched = scan.groupBy("shard_id").applyInPandas(
-        match_shard, schema="doc_id long, pipeline string, match_count long"
+    # shard-bounded exchange into the kernel (FtsIndex._agg_parts): the
+    # positional scan is never cached, so the groupBy would otherwise
+    # shuffle into the full session partition count — ~250-300 ms of
+    # reduce-task overhead at bench scale for a 15-shard index (r6)
+    matched = (
+        scan.repartition(index._agg_parts(), "shard_id")
+        .groupBy("shard_id")
+        .applyInPandas(
+            match_shard,
+            schema="doc_id long, pipeline string, match_count long",
+        )
     )
     docs = index.docs().select("doc_id", "url", "lang")
     out = (

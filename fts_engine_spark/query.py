@@ -532,26 +532,19 @@ class FtsIndex:
             out.append(QueryTermStats(t, m, df, cf, bm25_idf(self.n_docs, df)))
         return out
 
-    def _mult_df(self, mult: dict[str, float]) -> DataFrame:
-        # double, not int: boosted queries (queryparse `word^2.5`) carry
-        # fractional weights; the column only ever multiplies idf, so
-        # unboosted queries score bit-identically to the old int column
-        return self.spark.createDataFrame(
-            [(t, float(m)) for t, m in mult.items()], "term string, mult double"
-        )
-
     def _query_postings(self, mult: dict[str, int]) -> DataFrame:
-        """Postings rows restricted to the query terms. Cold: isin literals
-        pushed into the parquet scan (row-group stats + bloom). Warm: a
-        broadcast LEFT SEMI join against the query-term relation — the plan
-        source is then identical across queries, so whole-stage codegen
-        caches hit (see warm())."""
-        df = self._read_postings()
-        if self._warm:
-            rel = self._mult_df(mult).select("term")
-            df = df.join(F.broadcast(rel), "term", "left_semi")
-        else:
-            df = self._pruner(df, list(mult))
+        """Postings rows restricted to the query terms — isin through the
+        pruning strategy on BOTH tiers. Cold, the literals push into the
+        parquet scan (row-group stats + bloom); warm, the same predicate
+        filters the cached columnar batches (in-memory partition pruning
+        over the term-sorted cache). Warm mode USED to filter via a
+        broadcast left-semi join for codegen-source stability, but one
+        BroadcastExchange costs ~250-300 ms of fixed per-query latency
+        (measured r6, OPTIMIZATION_r06.md "Broadcast tax") vs ~70 ms for
+        the isin scan — and string literals land in the codegen
+        references array, not the generated source, so the JIT-churn
+        rationale did not hold for term lists."""
+        df = self._pruner(self._read_postings(), list(mult))
         # cast only when needed (partition-dir column reads back as int);
         # re-casting an already-long column would discard the cached
         # shard_id partitioning that warm mode relies on
@@ -560,43 +553,105 @@ class FtsIndex:
         return df
 
     def _query_stats(self, mult: dict[str, int]) -> DataFrame:
-        """(term, df) dictionary slice for the query terms (broadcast-small).
-        Warm mode filters by semi-join with the term relation (stable
-        codegen); cold mode by isin (dictionary scan pruning)."""
+        """(term, df) dictionary slice for the query terms, isin-pruned on
+        both tiers (same broadcast-tax rationale as
+        :meth:`_query_postings`)."""
         stats = self._read_terms()
-        if self._warm:
-            rel = self._mult_df(mult).select("term")
-            return stats.join(F.broadcast(rel), "term", "left_semi").select(
-                "term", "df"
-            )
         return stats.where(F.col("term").isin(list(mult))).select("term", "df")
 
-    def _stats_joined_postings(self, mult: dict[str, int]) -> DataFrame:
-        """Postings rows for the query terms with (mult, df) columns joined
-        in-plan. Warm + driver dictionary: the (term, mult, df) relation is
-        assembled on the driver (no lookup job) and a query ships exactly
-        ONE broadcast join over the shard-partitioned cache. Otherwise the
-        dictionary-slice lookup rides inside the same job as the scan
-        (broadcast of the filtered slice), so still no separate driver
-        collect per query."""
-        if self._term_dict is not None:
-            rows = [
-                (t, float(m), self._term_dict[t][0])
-                for t, m in mult.items()
-                if t in self._term_dict
-            ]
-            rel = self.spark.createDataFrame(
-                rows, "term string, mult double, df long"
-            )
-            df = self._read_postings().join(F.broadcast(rel), "term")
-            if dict(df.dtypes).get("shard_id") != "bigint":
-                df = df.withColumn("shard_id", F.col("shard_id").cast("long"))
-            return df
-        return (
-            self._query_postings(mult)
-            .join(F.broadcast(self._mult_df(mult)), "term")
-            .join(F.broadcast(self._query_stats(mult)), "term")
+    def _agg_parts(self) -> int:
+        """Scale-adaptive reduce-partition count for query-path shuffles:
+        ``min(spark.sql.shuffle.partitions, n_shards)``. The map side of
+        every query-path shuffle is the per-shard posting scan, so more
+        reduce partitions than shards buys nothing — and each SUPERFLUOUS
+        reduce task costs real fixed latency (measured r6: a 128-task
+        reduce stage after the Python decode stage adds ~250-300 ms over
+        a 15-task one on a 15-shard index, with or without AQE
+        coalescing). At production shard counts (thousands of 1M-doc
+        shards) the min() resolves to the session's configured shuffle
+        partitioning, so this bound is inert exactly where wide shuffles
+        are wanted."""
+        try:
+            sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # pragma: no cover - conf always resolvable
+            sp = 200
+        return max(1, min(sp, int(self.meta.get("n_shards", 1))))
+
+    def _query_info(
+        self, mult: dict[str, float]
+    ) -> dict[str, tuple[float, int]]:
+        """term -> (mult, df) for the query terms present in the
+        dictionary. Warm + driver dictionary: pure dict lookups, no job;
+        otherwise ONE pruned lookup over the terms table (~the cost of a
+        small scan job). This replaces the former per-query broadcast
+        joins of the (term, mult, df) relation: each BroadcastExchange
+        costs ~250-300 ms of fixed latency on the serving box (and a
+        cluster pays a broadcast to every executor), while the lookup job
+        is either free (driver dict) or one bloom-pruned scan."""
+        stats = self.term_stats(list(mult))
+        return {
+            t: (float(m), int(stats[t][0]))
+            for t, m in mult.items()
+            if t in stats
+        }
+
+    def _decoded_with_stats(
+        self,
+        mult: dict[str, float],
+        info: dict[str, tuple[float, int]] | None = None,
+        term_gmask: dict[str, int] | None = None,
+    ) -> DataFrame:
+        """(term, doc_id, tf, dl, mult, df[, gmask]) — the decoded posting
+        rows of the query terms with the per-term query stats attached
+        INSIDE the decode kernel from the closure. The relational scorer
+        previously attached (mult) and (df) via two broadcast joins; the
+        decode pass already crosses the Python boundary, so the constants
+        ride along for free and the per-query plan drops two
+        BroadcastExchanges (~500-600 ms fixed cost; scores are
+        bit-identical because the JVM scoring expressions are unchanged —
+        only the column SOURCE moved). ``term_gmask`` additionally
+        attaches the boolean MUST-group bitmask column (replacing a third
+        broadcast on boolean queries)."""
+        if info is None:
+            info = self._query_info(mult)
+        shard_size = self.shard_size
+        with_gmask = term_gmask is not None
+        gmask = dict(term_gmask or {})
+        schema = (
+            "term string, doc_id long, tf int, dl int, mult double, df long"
+            + (", gmask long" if with_gmask else "")
         )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    mi = info.get(row.term)
+                    if mi is None:
+                        # pruning='none' passes non-query terms through;
+                        # the former inner joins dropped them here
+                        continue
+                    base = int(row.shard_id) * shard_size
+                    deltas = varbyte_decode(bytes(row.doc_blob))
+                    cols = {
+                        "term": row.term,
+                        "doc_id": np.cumsum(deltas.astype(np.int64)) + base,
+                        "tf": varbyte_decode(bytes(row.tf_blob)).astype(
+                            np.int32
+                        ),
+                        "dl": varbyte_decode(bytes(row.dl_blob)).astype(
+                            np.int32
+                        ),
+                        "mult": np.float64(mi[0]),
+                        "df": np.int64(mi[1]),
+                    }
+                    if with_gmask:
+                        cols["gmask"] = np.int64(gmask.get(row.term, 0))
+                    outs.append(pd.DataFrame(cols))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return self._query_postings(mult).mapInPandas(decode, schema=schema)
 
     def postings_for(self, terms: list[str]) -> DataFrame:
         df = self._read_postings()
@@ -1174,18 +1229,21 @@ class FtsIndex:
                 for row in pdf.itertuples(index=False):
                     base = int(row.shard_id) * shard_size
                     deltas = varbyte_decode(bytes(row.doc_blob))
-                    outs.append(
-                        pd.DataFrame(
-                            {"doc_id": np.cumsum(deltas.astype(np.int64)) + base}
-                        )
-                    )
+                    outs.append(np.cumsum(deltas.astype(np.int64)) + base)
                 if outs:
-                    yield pd.concat(outs, ignore_index=True)
+                    # partial dedup in-kernel (doc ids repeat across the
+                    # query's terms): fewer rows cross the exchange
+                    yield pd.DataFrame(
+                        {"doc_id": np.unique(np.concatenate(outs))}
+                    )
 
         src = self._query_postings(mult).select("shard_id", "doc_blob")
         return self._exclude_dead(
             src.mapInPandas(decode, schema="doc_id long")
-            .select("doc_id")
+            # shard-bounded reduce partitioning (see _agg_parts): the
+            # default-width distinct costs ~250-300 ms of pure reduce-task
+            # overhead after the Python stage (measured r6)
+            .repartition(self._agg_parts(), "doc_id")
             .distinct()
         )
 
@@ -1262,22 +1320,91 @@ class FtsIndex:
                 F.col("id").cast("double").alias("lift"),
             )
         matches = self._match_count_df(mult)
-        m_df = matches.agg(F.count("*").cast("double").alias("_m"))
-        fg = (
-            self._decoded_term_docs()
-            .join(matches, "doc_id", "left_semi")
-            .groupBy("term")
-            .agg(F.count("*").cast("long").alias("fg_df"))
-        )
+        # r6: when the match-id set fits the driver/broadcast bound (the
+        # same bound the WAND `within` filter uses), the foreground count
+        # runs INSIDE the doc-blob decode kernel against the sorted id
+        # array — per (term, shard) an intersection of two sorted unique
+        # arrays — so the plan ships |distinct terms| partial counts
+        # instead of shuffling every decoded (term, doc_id) posting row
+        # into a corpus-sized semi-join (measured 3.4 s -> the decode
+        # pass alone at bench scale). Counts are identical: posting doc
+        # ids are unique per (term, shard) and shards own disjoint id
+        # ranges, so per-shard partials sum to the exact distinct count.
+        ids_arr = self._within_ids(matches)
+        if ids_arr is None or ids_arr is _INCLUDE_TOO_BIG:
+            # match set beyond the broadcast bound: the fully
+            # distributed semi-join plan serves (unchanged results)
+            m_df = matches.agg(F.count("*").cast("double").alias("_m"))
+            fg = (
+                self._decoded_term_docs()
+                .join(matches, "doc_id", "left_semi")
+                .groupBy("term")
+                .agg(F.count("*").cast("long").alias("fg_df"))
+            )
+            m_col = F.col("_m")
+            fg = fg.crossJoin(F.broadcast(m_df))
+        else:
+            if len(ids_arr) == 0:
+                return self.spark.range(0).select(
+                    F.col("id").cast("string").alias("term"),
+                    F.col("id").alias("fg_df"),
+                    F.col("id").alias("bg_df"),
+                    F.col("id").cast("double").alias("lift"),
+                )
+            m_col = F.lit(float(len(ids_arr)))
+            bc = self.spark.sparkContext.broadcast(ids_arr)
+            shard_size = self.shard_size
+
+            def count_fg(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                ids = bc.value
+                for pdf in batches:
+                    terms_out: list[str] = []
+                    counts: list[int] = []
+                    for row in pdf.itertuples(index=False):
+                        base = int(row.shard_id) * shard_size
+                        lo = int(np.searchsorted(ids, base))
+                        hi = int(np.searchsorted(ids, base + shard_size))
+                        if hi <= lo:
+                            continue
+                        d = (
+                            np.cumsum(
+                                varbyte_decode(bytes(row.doc_blob)).astype(
+                                    np.int64
+                                )
+                            )
+                            + base
+                        )
+                        c = int(
+                            np.isin(d, ids[lo:hi], assume_unique=True).sum()
+                        )
+                        if c:
+                            terms_out.append(row.term)
+                            counts.append(c)
+                    if terms_out:
+                        yield pd.DataFrame(
+                            {
+                                "term": terms_out,
+                                "fg": np.asarray(counts, dtype=np.int64),
+                            }
+                        )
+
+            src = self._read_postings().select("term", "shard_id", "doc_blob")
+            fg = (
+                src.mapInPandas(count_fg, schema="term string, fg long")
+                .repartition(self._agg_parts(), "term")
+                .groupBy("term")
+                .agg(F.sum("fg").cast("long").alias("fg_df"))
+            )
         stats = self._read_terms().select("term", "df")
         lift = (
             F.col("fg_df").cast("double")
             * F.lit(float(self.n_docs))
-            / (F.col("df").cast("double") * F.col("_m"))
+            / (F.col("df").cast("double") * m_col)
         )
         return (
             fg.join(stats, "term")
-            .crossJoin(F.broadcast(m_df))
             .where(F.col("fg_df") >= int(min_fg_df))
             .withColumn("_lift", lift)
             .orderBy(F.desc(F.round(F.col("_lift"), 6)), F.asc("term"))
@@ -1563,35 +1690,50 @@ class FtsIndex:
         ``store_positions=True`` build (raises
         ``PositionsUnavailableError`` otherwise, like
         :meth:`search_phrase_positional`)."""
-        # materialize the N-row candidate list locally (the search_full
-        # pattern): phase 1 runs ONCE, and both phase-2 joins reference a
-        # LocalRelation instead of re-executing the WAND lineage
-        phase1 = self.search_bm25(
+        # both phases are BOUNDED (N candidate rows, <= N phrase-count
+        # rows), so the combine step is driver-side arithmetic — the
+        # former plan materialized the candidates into a LocalRelation
+        # and then paid three per-query BroadcastExchanges (candidate-id
+        # semi-join inside the phrase plan, the phrase side of the final
+        # join, plus phase 1's own broadcasts on a cold handle) at
+        # ~250-300 ms of fixed cost each (measured r6). Now: one WAND
+        # job, one candidate-restricted positional job, N rows of Python
+        # math. The float arithmetic is the same IEEE add/multiply in the
+        # same order, so scores are bit-identical.
+        cand_rows = self.search_bm25(
             query, k=n_candidates, preset=preset, mode="wand"
-        )
-        cand = self.spark.createDataFrame(phase1.collect(), phase1.schema)
-        # the phrase-match set is corpus-dependent (unbounded); restrict
-        # it to the N candidates FIRST — the broadcast ships the N-row
-        # candidate ids, and the final join's right side is then <= N
-        # rows, so both joins stay broadcast-sized at any corpus scale
-        ph = (
-            self.search_phrase_positional(phrase, k=0)
+        ).collect()
+        schema = "doc_id long, score double"
+        if not cand_rows:
+            return self.spark.createDataFrame([], schema)
+        ids = [int(r["doc_id"]) for r in cand_rows]
+        # the phrase-match set is corpus-dependent (unbounded); the isin
+        # restriction pushes to the positional plan's docs-join side, and
+        # its output is <= N rows — bounded at any corpus scale
+        counts = {
+            int(r["doc_id"]): int(r["phrase_count"])
+            for r in self.search_phrase_positional(phrase, k=0)
+            .where(F.col("doc_id").isin(ids))
             .select("doc_id", "phrase_count")
-            .join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
-        )
-        final = (
-            F.col("score")
-            + F.lit(float(weight))
-            * F.coalesce(F.col("phrase_count").cast("double"), F.lit(0.0))
-        )
-        out = (
-            cand.join(F.broadcast(ph), "doc_id", "left")
-            .select("doc_id", final.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
+            .collect()
+        }
+        w = float(weight)
+        out = [
+            (int(r["doc_id"]), float(r["score"]) + w * counts.get(int(r["doc_id"]), 0))
+            for r in cand_rows
+        ]
+        out.sort(key=lambda x: (-x[1], x[0]))
         if k > 0:
-            out = out.limit(k)
-        return out
+            out = out[:k]
+        return self._local_result_df(out, schema)
+
+    def _local_result_df(self, rows: list[tuple], schema) -> DataFrame:
+        """Bounded driver-side rows -> Arrow LocalRelation DataFrame (see
+        :func:`fts_engine_spark.localdf.local_df` for why not the plain
+        list createDataFrame path)."""
+        from .localdf import local_df
+
+        return local_df(self.spark, rows, schema)
 
     def search_bm25_rescored_point(
         self,
@@ -1702,10 +1844,12 @@ class FtsIndex:
         return scored
 
     def _reference_scored(self, mult: dict[str, int]) -> DataFrame:
-        """Pre-truncation coordinate-match aggregation (no sort/limit)."""
-        decoded = self.decoded_postings(list(mult), mult)
+        """Pre-truncation coordinate-match aggregation (no sort/limit).
+        ``mult`` rides the decode kernel closure (broadcast-tax fix, see
+        :meth:`_decoded_with_stats`)."""
+        decoded = self._decoded_with_stats(mult)
         return self._exclude_dead(
-            decoded.join(F.broadcast(self._mult_df(mult)), "term")
+            decoded.repartition(self._agg_parts(), "doc_id")
             .groupBy("doc_id")
             .agg(
                 F.sum("mult").cast("long").alias("unique_matches"),
@@ -1769,7 +1913,7 @@ class FtsIndex:
             if k > 0:
                 top = top.limit(k)
             rows = top.collect()
-            local = self.spark.createDataFrame(rows, top.schema)
+            local = self._local_result_df(rows, top.schema)
             if with_total:
                 scored.unpersist()
         elif scorer == "bm25" and mode == "relational":
@@ -1784,13 +1928,13 @@ class FtsIndex:
             if k > 0:
                 top = top.limit(k)
             rows = top.collect()
-            local = self.spark.createDataFrame(rows, top.schema)
+            local = self._local_result_df(rows, top.schema)
             if with_total:
                 scored.unpersist()
         elif scorer == "bm25":
             order = [F.desc("score"), F.asc("doc_id")]
             rows = self._bm25_wand(mult, k, hydrate=False).collect()
-            local = self.spark.createDataFrame(rows, WAND_SCHEMA)
+            local = self._local_result_df(rows, WAND_SCHEMA)
             total = self._match_count_df(mult).count() if with_total else -1
         else:
             raise ValueError(f"unknown scorer {scorer!r}")
@@ -2284,9 +2428,7 @@ class FtsIndex:
             F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
         )
         rows = (
-            self.decoded_postings(list(mult), mult)
-            .join(F.broadcast(self._mult_df(mult)), "term")
-            .join(F.broadcast(self._query_stats(mult)), "term")
+            self._decoded_with_stats(mult)
             .withColumn("idf", self._idf_col())
             .withColumn(
                 "contrib",
@@ -2295,13 +2437,28 @@ class FtsIndex:
         )
         rows = self._exclude_dead(rows)
         if k > 0:
-            top = (
-                self._bm25_scored(mult)
+            # the top-k doc set is bounded (k rows): collect it and gate
+            # with an isin predicate instead of broadcasting the whole
+            # scoring subtree — the broadcast both re-executed the
+            # aggregation inside its own stage and paid the per-query
+            # BroadcastExchange tax (~250-300 ms measured)
+            top_ids = [
+                int(r["doc_id"])
+                for r in self._bm25_scored(mult)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .select("doc_id")
-            )
-            rows = rows.join(F.broadcast(top), "doc_id", "left_semi")
+                .collect()
+            ]
+            if not top_ids:
+                return self.spark.range(0).select(
+                    F.col("id").alias("doc_id"),
+                    F.col("id").cast("string").alias("term"),
+                    F.col("id").alias("tf"),
+                    F.col("id").alias("df"),
+                    F.col("id").cast("double").alias("contrib"),
+                )
+            rows = rows.where(F.col("doc_id").isin(top_ids))
         return rows.select(
             "doc_id",
             "term",
@@ -3945,8 +4102,13 @@ class FtsIndex:
         the same join, ``bit_or`` aggregates the per-doc coverage, and
         docs whose matched terms don't cover every required group drop."""
         avgdl = self.avgdl
-        stats = self._query_stats(mult)
-        decoded = self.decoded_postings(list(mult), mult)
+        with_gmask = bool(full_mask and term_gmask)
+        # decode-attached (mult, df[, gmask]) — no per-query broadcast
+        # joins; the scoring EXPRESSIONS below are unchanged, so scores
+        # are bit-identical to the former join plan
+        joined = self._decoded_with_stats(
+            mult, term_gmask=term_gmask if with_gmask else None
+        )
         tf = F.col("tf").cast("double")
         norm = F.lit(K1) * (
             F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
@@ -3954,24 +4116,21 @@ class FtsIndex:
         contrib = (
             F.col("mult") * F.col("idf") * tf * F.lit(K1 + 1.0) / (tf + norm)
         )
-        joined = (
-            decoded.join(F.broadcast(self._mult_df(mult)), "term")
-            .join(F.broadcast(stats), "term")
-            .withColumn("idf", self._idf_col())
-            .withColumn("contrib", contrib)
+        joined = joined.withColumn("idf", self._idf_col()).withColumn(
+            "contrib", contrib
         )
         aggs = [
             F.sum("contrib").alias("score"),
             F.count("*").alias("_matched"),
         ]
-        if full_mask and term_gmask:
-            gm_df = self.spark.createDataFrame(
-                [(t, int(term_gmask.get(t, 0))) for t in mult],
-                "term string, gmask long",
-            )
-            joined = joined.join(F.broadcast(gm_df), "term")
+        if with_gmask:
             aggs.append(F.expr("bit_or(gmask)").alias("_gacc"))
-        scored = joined.groupBy("doc_id").agg(*aggs)
+        # shard-bounded reduce partitioning (see _agg_parts)
+        scored = (
+            joined.repartition(self._agg_parts(), "doc_id")
+            .groupBy("doc_id")
+            .agg(*aggs)
+        )
         if require_n > 0:
             scored = scored.where(F.col("_matched") >= require_n)
         if full_mask and term_gmask:
@@ -4071,57 +4230,51 @@ class FtsIndex:
             if incl_ids is not None
             else None
         )
-        if self._term_dict is not None:
-            present = {
-                t: (m, self._term_dict[t][0])
-                for t, m in mult.items()
-                if t in self._term_dict
-            }
-            if not present or (require_n > 0 and len(present) < require_n):
-                # conjunctive: a query term absent from the corpus can
-                # never be matched — the whole result is empty, no job
+        # (mult, df) per present term: driver-dict lookups when warm, ONE
+        # pruned terms-table lookup otherwise — both feed the kernel
+        # CLOSURE. The former cold path attached the stats via two
+        # broadcast joins (~250-300 ms of fixed cost each, measured r6);
+        # now cold and warm run the same zero-broadcast plan shape.
+        stats_all = self.term_stats(list(mult) + list(excl_mult))
+        present = {
+            t: (m, stats_all[t][0]) for t, m in mult.items() if t in stats_all
+        }
+        if not present or (require_n > 0 and len(present) < require_n):
+            # conjunctive: a query term absent from the corpus can
+            # never be matched — the whole result is empty, no job
+            return self._maybe_hydrate(
+                self._empty_bm25_result(), hydrate, bounded=True
+            )
+        if full_mask and term_gmask:
+            covered = 0
+            for t in present:
+                covered |= term_gmask.get(t, 0)
+            if (covered & full_mask) != full_mask:
+                # a required group has no term in the dictionary:
+                # nothing can match — empty result, no job
                 return self._maybe_hydrate(
                     self._empty_bm25_result(), hydrate, bounded=True
                 )
-            if full_mask and term_gmask:
-                covered = 0
-                for t in present:
-                    covered |= term_gmask.get(t, 0)
-                if (covered & full_mask) != full_mask:
-                    # a required group has no term in the dictionary:
-                    # nothing can match — empty result, no job
-                    return self._maybe_hydrate(
-                        self._empty_bm25_result(), hydrate, bounded=True
-                    )
-            excl_present = [t for t in excl_mult if t in self._term_dict]
-            posts = self._pruner(
-                self._read_postings(), list(present) + excl_present
+        excl_present = [t for t in excl_mult if t in stats_all]
+        posts = self._pruner(
+            self._read_postings(), list(present) + excl_present
+        )
+        if dict(posts.dtypes).get("shard_id") != "bigint":
+            posts = posts.withColumn(
+                "shard_id", F.col("shard_id").cast("long")
             )
-            if dict(posts.dtypes).get("shard_id") != "bigint":
-                posts = posts.withColumn(
-                    "shard_id", F.col("shard_id").cast("long")
-                )
-            kernel = make_wand_kernel(
-                self.n_docs, self.shard_size, self.avgdl, k,
-                term_stats=present, require_n=require_n,
-                exclude_terms=frozenset(excl_present) or None,
-                dead_bcast=dead_bc, include_bcast=incl_bc,
-                term_gmask=term_gmask, full_mask=full_mask, after=after,
-            )
-        else:
-            # exclusion terms ride the same stats-joined scan at mult=0;
-            # the kernel separates them from scoring terms by name
-            combined = dict(mult)
-            for t in excl_mult:
-                combined.setdefault(t, 0)
-            posts = self._stats_joined_postings(combined)
-            kernel = make_wand_kernel(
-                self.n_docs, self.shard_size, self.avgdl, k,
-                require_n=require_n,
-                exclude_terms=frozenset(excl_mult) or None,
-                dead_bcast=dead_bc, include_bcast=incl_bc,
-                term_gmask=term_gmask, full_mask=full_mask, after=after,
-            )
+        if self._postings_df is None:
+            # cold scan: bound the groupBy exchange feeding the kernel to
+            # the shard count (see _agg_parts) — the warm cache is already
+            # shard-partitioned and skips the exchange entirely
+            posts = posts.repartition(self._agg_parts(), "shard_id")
+        kernel = make_wand_kernel(
+            self.n_docs, self.shard_size, self.avgdl, k,
+            term_stats=present, require_n=require_n,
+            exclude_terms=frozenset(excl_present) or None,
+            dead_bcast=dead_bc, include_bcast=incl_bc,
+            term_gmask=term_gmask, full_mask=full_mask, after=after,
+        )
         local_topk = posts.groupBy("shard_id").applyInPandas(
             kernel, schema=WAND_SCHEMA
         )

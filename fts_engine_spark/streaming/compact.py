@@ -329,7 +329,10 @@ def compact_index(
     # docs: drop tombstoned rows, renumber the tail ids; one broadcast
     # join on shard plus (under deletes) a vectorized dead-rank subtraction
     # — every dead id is >= P*shard_size, so prefix ids subtract rank 0
-    shift_df = spark.createDataFrame(
+    from ..localdf import local_df
+
+    shift_df = local_df(
+        spark,
         [(s, int(shift_arr[s - P])) for s in tail_shards],
         "shard long, shift long",
     )
