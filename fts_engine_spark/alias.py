@@ -54,7 +54,16 @@ def _alias_path(alias: str) -> str:
 def set_alias(alias: str, index_dir: str) -> dict:
     """Point ``alias`` at ``index_dir`` (atomic create-or-repoint).
     Returns the written alias record. The target must look like an index
-    (have a ``meta.json``) so a typo cannot publish an empty dir."""
+    (have a ``meta.json``) so a typo cannot publish an empty dir.
+
+    SINGLE-WRITER precondition: the write itself is atomic (readers see
+    the old record or the new one, never a torn file), but the
+    read-modify-write of ``alias_version``/``history`` is not a compare-
+    and-swap — two operators repointing the SAME alias concurrently can
+    both read version N and write N+1, silently losing one repoint.
+    Alias mutation must be serialized by the operator (one deploy
+    process per alias); on an object store use a conditional put keyed
+    on the previous version."""
     if not os.path.isfile(os.path.join(index_dir, "meta.json")):
         raise AliasError(
             f"{index_dir} has no meta.json — not an index directory"
@@ -104,12 +113,25 @@ def reindex_swap(spark, alias: str, cfg, keep_old: bool = True) -> dict:
     readers of the old directory are unaffected; new opens resolve the
     new one. ``keep_old=False`` removes the superseded directory AFTER
     the flip — only safe when no reader can still hold it (the same
-    drain discipline ``compact_keep_old`` documents). Returns the new
-    alias record."""
+    drain discipline ``compact_keep_old`` documents) AND when ``cfg``
+    writes a stored-fields sidecar: reindex reads the corpus text from
+    the OLD index's stored table (the premise is that the source table
+    is archived), so deleting the old dir after building a
+    ``store_text=False`` target would destroy the only copy of the text
+    and permanently end the reindex chain — refused loudly here (the
+    ``jobs/mutate.py`` alias-swap CLI enforces the same invariant by
+    forcing ``store_text=True``). Returns the new alias record."""
     import shutil
 
     from .mutate import reindex
 
+    if not keep_old and not getattr(cfg, "store_text", False):
+        raise AliasError(
+            "reindex_swap(keep_old=False) with store_text=False would "
+            "delete the only stored copy of the corpus text (the old "
+            "index's stored sidecar is the reindex source); pass "
+            "keep_old=True or a BuildConfig with store_text=True"
+        )
     record = read_alias(alias)
     old_dir = record["index_dir"]
     base = _alias_path(alias)[: -len(ALIAS_SUFFIX)]

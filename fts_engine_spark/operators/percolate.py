@@ -65,7 +65,17 @@ def percolate(
     [, min_match]) — ``min_match`` NULL/0/absent means all the query's
     distinct analyzed terms are required. Returns one row per (url,
     query_id) match: (url, query_id, matched_terms, n_query_terms),
-    deterministic under sort by (url, query_id)."""
+    deterministic under sort by (url, query_id).
+
+    KEY-UNIQUENESS precondition (ADVICE r5): ``url`` must be unique in
+    the doc batch and ``query_id`` unique in the stored-query table.
+    Per-doc term dedup is array_distinct per ROW, so a duplicated url
+    would inflate ``matched_terms`` past ``required`` (and a duplicated
+    query_id with differing min_match would emit duplicate rows). Both
+    inputs are keyed tables in the intended deployment (an ingest batch
+    and a query registry); callers merging unkeyed sources must
+    ``dropDuplicates`` on the key first — this operator does not pay a
+    dedup shuffle on every batch to paper over unkeyed input."""
     if "min_match" not in queries.columns:
         queries = queries.withColumn("min_match", F.lit(None).cast("int"))
     q_terms = _exploded_terms(

@@ -184,6 +184,10 @@ def main() -> None:
             preset=args.preset or src_meta["preset"],
             shard_size=args.shard_size or int(src_meta["shard_size"]),
             store_text=True,  # keep the swap chain reindexable
+            # inherit the positional sidecar from the source: swapping a
+            # positions-bearing index must not silently stop serving
+            # phrase queries on the new target (ADVICE r5)
+            store_positions=bool(src_meta.get("positions")),
             meta_cols=tuple(src_meta.get("meta_cols", ()) or ()),
         )
         rec = reindex_swap(

@@ -100,12 +100,36 @@ def test_reindex_swap_keep_old_false_removes_dir(spark, tmp_path):
     set_alias(alias, src)
     rec = reindex_swap(
         spark, alias,
-        BuildConfig(preset="simple", shard_size=32, id_buckets=8, n_waves=1),
+        BuildConfig(
+            preset="simple", shard_size=32, id_buckets=8, n_waves=1,
+            store_text=True,
+        ),
         keep_old=False,
     )
     assert not os.path.exists(src)
     assert os.path.abspath(src) not in rec["history"]
     assert read_alias(alias)["index_dir"] == resolve_alias(alias)
+
+
+def test_reindex_swap_refuses_text_destroying_removal(spark, tmp_path):
+    """ADVICE r5 (medium): keep_old=False with store_text=False would
+    rmtree the ONLY copy of the corpus text (the old index's stored
+    sidecar is the reindex source) — must refuse before any build."""
+    src = str(tmp_path / "src")
+    build_index(spark, _docs(spark, 60), src, CFG, resume=False)
+    alias = str(tmp_path / "webidx")
+    set_alias(alias, src)
+    with pytest.raises(AliasError, match="store_text"):
+        reindex_swap(
+            spark, alias,
+            BuildConfig(
+                preset="simple", shard_size=32, id_buckets=8, n_waves=1
+            ),
+            keep_old=False,
+        )
+    # nothing was flipped or deleted
+    assert os.path.exists(src)
+    assert resolve_alias(alias) == os.path.abspath(src)
 
 
 def test_engine_from_alias(spark, ix_dir, tmp_path):

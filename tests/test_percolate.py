@@ -96,3 +96,41 @@ def test_percolate_by_lang_routing(spark):
     # use the russian-capable multilingual default on both sides
     got = percolate(spark, docs, q, preset="russian", by_lang=False).collect()
     assert {r["url"] for r in got} == {"doc://ru"}
+
+
+def test_percolate_by_lang_true_routes_per_doc(spark):
+    """by_lang=True (the bench's multilingual shape, ADVICE r5): each
+    DOC analyzes through its own language pipeline while queries use the
+    single ``preset`` pipeline — so a pre-stemmed query term matches
+    only the doc whose language's stemmer produces it. Sanity-pins the
+    doc-vs-query analyzer asymmetry the bench exercises."""
+    from fts_engine_spark.operators.percolate import percolate
+    from fts_engine_spark.textproc.pipeline import get_pipeline
+
+    # doc-side stems: english "tables" -> tabl; russian "столы" -> стол.
+    # multilingual (query side) does not stem, so the stemmed forms are
+    # only reachable through the per-doc routing.
+    assert get_pipeline("english").process("tables") == ["tabl"]
+    assert get_pipeline("multilingual").process("tabl") == ["tabl"]
+    ru_stem = get_pipeline("russian").process("столы")
+    assert get_pipeline("multilingual").process(ru_stem[0]) == ru_stem
+
+    docs = spark.createDataFrame(
+        [
+            ("doc://en", "tables", "en"),
+            ("doc://ru", "столы", "ru"),
+        ],
+        "url string, text string, lang string",
+    )
+    q = spark.createDataFrame(
+        [(1, "tabl", None), (2, ru_stem[0], None)],
+        "query_id long, query string, min_match int",
+    )
+    got = percolate(
+        spark, docs, q, preset="multilingual", by_lang=True
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(int(r["query_id"]), set()).add(r["url"])
+    assert by_q.get(1) == {"doc://en"}
+    assert by_q.get(2) == {"doc://ru"}
