@@ -790,7 +790,7 @@ def build_index(
 
         build_positions_table(
             spark, with_ids, index_dir, cfg.preset, cfg.shard_size,
-            cfg.bloom_ndv,
+            cfg.bloom_ndv, n_shards=-(-n_docs // cfg.shard_size),
         )
         manifest.mark_done("positions", {"n_docs": n_docs})
         t_phase = _lap("positions", t_phase)

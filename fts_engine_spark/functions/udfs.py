@@ -124,65 +124,6 @@ def make_term_tf_by_lang_udf(default_preset: str = "multilingual"):
     return term_tf_lang
 
 
-# doc-local (term, positions) pairs for the OPT-IN positional table:
-# positions are 0-based indices into the ANALYZED (post-pipeline) token
-# stream — the same stream the phrase verify UDFs match against, so
-# "merge sort" matches "merge the sort" under a stopword-removing preset.
-TERM_POS_TYPE = ArrayType(
-    StructType(
-        [
-            StructField("term", StringType(), False),
-            StructField("pos", ArrayType(IntegerType(), False), False),
-        ]
-    )
-)
-
-
-def _pos_pairs(tokens: list[str]) -> list[dict]:
-    by_term: dict[str, list[int]] = {}
-    for i, t in enumerate(tokens):
-        by_term.setdefault(t, []).append(i)
-    return [{"term": t, "pos": p} for t, p in by_term.items()]
-
-
-def make_term_positions_udf(preset: str = "english"):
-    """``term_positions(text) -> array<struct<term, pos:array<int>>>``:
-    tokenize + doc-local position-list aggregation in one pass (the
-    positional analogue of :func:`make_term_tf_udf`; ``len(pos) == tf``
-    by construction)."""
-    pipe = get_pipeline(preset)
-
-    @pandas_udf(TERM_POS_TYPE)
-    def term_positions(text: pd.Series) -> pd.Series:
-        proc = pipe.process
-        return pd.Series(
-            [_pos_pairs(proc(t)) if t is not None else [] for t in text]
-        )
-
-    return term_positions
-
-
-def make_term_positions_by_lang_udf(default_preset: str = "multilingual"):
-    """Positional analogue of :func:`make_term_tf_by_lang_udf` (per-row
-    pipeline routing en→english, ru→russian, else default): positions are
-    indices into the DOC'S OWN pipeline's token stream."""
-    fallback = get_pipeline(default_preset)
-
-    @pandas_udf(TERM_POS_TYPE)
-    def term_positions_lang(text: pd.Series, lang: pd.Series) -> pd.Series:
-        pipes = {k: get_pipeline(v).process for k, v in _LANG_PRESETS.items()}
-        fb = fallback.process
-        out = []
-        for t, lg in zip(text, lang):
-            if t is None:
-                out.append([])
-            else:
-                out.append(_pos_pairs(pipes.get(lg, fb)(t)))
-        return pd.Series(out)
-
-    return term_positions_lang
-
-
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """``html:binary -> text:string``; byte-identical invariant

@@ -78,11 +78,23 @@ def percolate(
     dedup shuffle on every batch to paper over unkeyed input."""
     if "min_match" not in queries.columns:
         queries = queries.withColumn("min_match", F.lit(None).cast("int"))
-    q_terms = _exploded_terms(
-        queries, "query_id", "query", preset, by_lang=False
-    ).distinct()
+    # shuffle width scales with the CLUSTER (defaultParallelism = total
+    # task slots), not the static session shuffle partitioning: every
+    # exchange here is sized by the micro-batch x matching-queries
+    # volume, and superfluous fixed-width reduce tasks cost real latency
+    # per batch (r6: the 128-partition join+agg stages were ~2/3 of the
+    # 2k-doc bench percolation). Aggregations spill gracefully if a
+    # giant query table meets a small cluster; AQE skew-split remains
+    # the hot-term backstop.
+    p = max(1, spark.sparkContext.defaultParallelism)
+    q_terms = (
+        _exploded_terms(queries, "query_id", "query", preset, by_lang=False)
+        .repartition(p, "query_id", "term")
+        .distinct()
+    )
     req = (
-        q_terms.groupBy("query_id")
+        q_terms.repartition(p, "query_id")
+        .groupBy("query_id")
         .agg(F.count("*").alias("n_query_terms"))
         .join(queries.select("query_id", "min_match"), "query_id")
         .select(
@@ -98,7 +110,9 @@ def percolate(
     )
     d_terms = _exploded_terms(docs, "url", "text", preset, by_lang)
     matched = (
-        d_terms.join(q_terms, "term")
+        d_terms.repartition(p, "term")
+        .join(q_terms, "term")
+        .repartition(p, "url", "query_id")
         .groupBy("url", "query_id")
         .agg(F.count("*").alias("matched_terms"))
     )

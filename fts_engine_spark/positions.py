@@ -138,17 +138,68 @@ def positions_for(
 # ------------------------------------------------------------------ build
 
 
-def _positions_pairs_col(preset: str):
-    from .functions.udfs import (
-        make_term_positions_by_lang_udf,
-        make_term_positions_udf,
-    )
+def _make_flat_positions_kernel(preset: str, shard_size: int):
+    """mapInArrow kernel: (doc_id, text[, lang]) batches -> FLAT
+    (shard_id, doc_id, term, pos) rows, one per analyzed token
+    occurrence. Replaces the r5 nested pandas UDF + JVM explode: the
+    ``array<struct<term, array<int>>>`` column cost far more in
+    pandas->Arrow nested conversion than the tokenize itself (measured
+    r6: the 30k-doc positions tokenize pass was ~7.4 s wall while the
+    pipeline compute is ~9 CPU-seconds total); flat int64/string arrays
+    convert at memcpy speed."""
+    import pyarrow as pa
 
-    if preset == "by_lang":
-        udf = make_term_positions_by_lang_udf()
-        return udf(F.col("text"), F.col("lang"))
-    udf = make_term_positions_udf(preset)
-    return udf(F.col("text"))
+    from .textproc.pipeline import get_pipeline
+
+    by_lang = preset == "by_lang"
+
+    def kernel(batches):
+        from .functions.udfs import _LANG_PRESETS
+
+        if by_lang:
+            pipes = {
+                k: get_pipeline(v).process for k, v in _LANG_PRESETS.items()
+            }
+            fallback = get_pipeline("multilingual").process
+        else:
+            proc = get_pipeline(preset).process
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            langs = (
+                batch.column("lang").to_pylist()
+                if by_lang
+                else [None] * len(doc_ids)
+            )
+            out_docs: list[np.ndarray] = []
+            out_terms: list[str] = []
+            out_pos: list[np.ndarray] = []
+            for d, text, lg in zip(doc_ids, texts, langs):
+                if text is None:
+                    continue
+                toks = (
+                    pipes.get(lg, fallback)(text) if by_lang else proc(text)
+                )
+                if not toks:
+                    continue
+                n = len(toks)
+                out_docs.append(np.full(n, d, dtype=np.int64))
+                out_terms.extend(toks)
+                out_pos.append(np.arange(n, dtype=np.int32))
+            if not out_terms:
+                continue
+            docs_arr = np.concatenate(out_docs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docs_arr // shard_size, type=pa.int64()),
+                    pa.array(docs_arr, type=pa.int64()),
+                    pa.array(out_terms, type=pa.string()),
+                    pa.array(np.concatenate(out_pos), type=pa.int32()),
+                ],
+                names=["shard_id", "doc_id", "term", "pos"],
+            )
+
+    return kernel
 
 
 def build_positions_table(
@@ -158,35 +209,27 @@ def build_positions_table(
     preset: str,
     shard_size: int,
     bloom_ndv: int,
+    n_shards: int | None = None,
 ) -> None:
     """Write the positional table from the id-assigned docs
     (``with_ids``: url, text, lang, doc_id — the same ids the postings
     build assigned, so (shard, doc) coordinates line up exactly).
 
-    One extra tokenize pass (cost of the option), then the same
-    one-wide-shuffle shape as the postings wave: pairs stay PACKED per
-    document across the exchange, explode happens after the shard hash.
-    Per-shard encoding runs in one ``applyInPandas`` group (memory bound:
-    a shard's positional rows, same bound as the main build's doc-packed
-    kernel)."""
-    pairs = with_ids.select(
-        (F.col("doc_id") / shard_size).cast("long").alias("shard_id"),
-        "doc_id",
-        _positions_pairs_col(preset).alias("pairs_pos"),
-    )
-    exploded = (
-        pairs.repartition("shard_id")
-        .select(
-            "shard_id",
-            "doc_id",
-            F.explode("pairs_pos").alias("tp"),
-        )
-        .select(
-            "shard_id",
-            F.col("tp.term").alias("term"),
-            "doc_id",
-            F.col("tp.pos").alias("pos"),
-        )
+    One extra tokenize pass (cost of the option), then one wide shuffle
+    of FLAT ``(shard_id, doc_id, term, pos)`` occurrence rows into the
+    per-shard encode kernel. r6: the r5 shape (nested
+    ``array<struct<term, array<int>>>`` pandas UDF -> packed exchange ->
+    JVM explode) spent most of its wall time converting the nested
+    column between pandas and Arrow; the flat ``mapInArrow`` emission
+    converts plain int64/string arrays instead and the encode kernel
+    reconstructs per-doc position runs vectorized — identical blobs
+    (same sorted (term, doc, pos) order feeds the same varbyte
+    encoding). Per-shard encoding stays one kernel group (memory bound:
+    a shard's occurrence rows)."""
+    proj = ["doc_id", "text"] + (["lang"] if preset == "by_lang" else [])
+    flat = with_ids.select(*proj).mapInArrow(
+        _make_flat_positions_kernel(preset, shard_size),
+        schema="shard_id long, doc_id long, term string, pos int",
     )
 
     def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -196,33 +239,57 @@ def build_positions_table(
             )
         shard_id = int(pdf["shard_id"].iloc[0])
         base = shard_id * shard_size
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        pdf = pdf.sort_values(["term", "doc_id", "pos"], kind="mergesort")
         terms = pdf["term"].to_numpy()
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        pos = pdf["pos"].to_numpy()
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
         change = np.concatenate(([True], terms[1:] != terms[:-1]))
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(terms))
         rows = []
         for lo, hi in zip(starts, ends):
-            doc_blob, cnt_blob, pos_blob = encode_position_group(
-                docs[lo:hi], list(pos[lo:hi]), base
+            dg = docs[lo:hi]
+            pg = pos[lo:hi]
+            run = np.flatnonzero(
+                np.concatenate(([True], dg[1:] != dg[:-1]))
             )
+            ud = dg[run]
+            cnts = np.diff(np.append(run, len(dg)))
+            deltas = np.empty_like(ud)
+            deltas[0] = ud[0] - base
+            deltas[1:] = np.diff(ud)
+            # per-doc delta form: first position absolute, rest diffs —
+            # exactly encode_position_group's bytes
+            dpos = np.empty_like(pg)
+            dpos[0] = pg[0]
+            dpos[1:] = pg[1:] - pg[:-1]
+            dpos[run] = pg[run]
             rows.append(
                 (
                     terms[lo],
                     shard_id,
-                    int(hi - lo),
-                    doc_blob,
-                    cnt_blob,
-                    pos_blob,
+                    int(len(ud)),
+                    varbyte_encode(deltas),
+                    varbyte_encode(cnts),
+                    varbyte_encode(dpos),
                 )
             )
         return pd.DataFrame(
             rows, columns=[f.name for f in _POS_ROW_SCHEMA.fields]
         )
 
-    out = exploded.groupBy("shard_id").applyInPandas(
+    if n_shards is not None:
+        # shard-bounded encode exchange (same rationale as
+        # FtsIndex._agg_parts: superfluous post-shuffle tasks cost real
+        # fixed latency; inert at production shard counts)
+        try:
+            sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # pragma: no cover
+            sp = 200
+        flat = flat.repartition(max(1, min(sp, int(n_shards))), "shard_id")
+    else:
+        flat = flat.repartition("shard_id")
+    out = flat.groupBy("shard_id").applyInPandas(
         encode_shard, schema=_POS_ROW_SCHEMA
     )
     (
@@ -254,6 +321,7 @@ def add_positions_to_index(
         meta["preset"],
         int(meta["shard_size"]),
         int(meta.get("bloom_ndv", 1 << 16)),
+        n_shards=-(-int(meta["n_docs"]) // int(meta["shard_size"])),
     )
     commit_sidecar_meta(index_dir, meta, "positions", 1)
 

