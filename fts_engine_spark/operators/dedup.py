@@ -359,17 +359,37 @@ def dup_clusters(
     recomputes from the last checkpoint — the normal trade for iterative
     algorithms (swap in ``checkpoint()`` + a reliable dir if that
     matters). Deterministic: min() everywhere.
+
+    r6: ``edges`` is ALSO checkpointed once up front — ``pairs`` is
+    usually an entire LSH pipeline, and without the cut every round's
+    actions re-executed it from scratch (the dominant cost of the bench
+    row); O(|E|) executor storage, the same bound the per-round label
+    materialization already accepts. Shuffle widths are bounded by the
+    cluster's defaultParallelism and the label layout is preserved
+    across rounds so the two label joins stay co-partitioned.
     """
+    # per-round shuffle width scales with the cluster (defaultParallelism
+    # = total task slots), not the static session shuffle partitioning:
+    # each round runs 3-4 exchanges over |V|+|E| rows, and superfluous
+    # fixed-width reduce tasks multiply across rounds (r6; same
+    # measurement as the percolate fix). Pre-partitioning edges by dst
+    # also lets every round's neighbor-min join reuse one layout.
+    p = max(1, docs.sparkSession.sparkContext.defaultParallelism)
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .repartition(p, "dst")
+        .localCheckpoint()
     )
-    labels = docs.select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
+    labels = (
+        docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+        .repartition(p, "doc_id")
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
+            .repartition(p, "src")
             .groupBy("src")
             .agg(F.min("cluster_id").alias("_nmin"))
         )
@@ -396,6 +416,9 @@ def dup_clusters(
                     F.coalesce(F.col("_plabel"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
+            # keep the doc_id layout so next round's two label joins stay
+            # co-partitioned (zero exchanges on the labels side)
+            .repartition(p, "doc_id")
             .localCheckpoint()  # eager: materializes + truncates the plan
         )
         changed = (
