@@ -295,6 +295,17 @@ def search_phrase(
         pcount = _phrase_count_by_lang_udf(terms_by, pipeline_by_lang)(
             F.col("text"), F.col("lang")
         )
+        from ..textproc.pipeline import get_pipeline
+
+        _procs = {p: get_pipeline(p).process for p in terms_by}
+
+        def row_counter(text, lang):
+            p = pipeline_by_lang.get(lang, "multilingual")
+            seq = terms_by[p]
+            if text is None or not seq:
+                return 0
+            return _count_contiguous(_procs[p](text), seq)
+
         proj = ["url", "text", "lang"]
     else:
         preset = preset or index.preset
@@ -310,8 +321,19 @@ def search_phrase(
         ).select("doc_id")
         if preset == "simple":
             pcount = phrase_count_col(terms, "text")
+            row_counter = None  # JVM tokens path stays as-is
         else:
             pcount = _phrase_count_udf(terms, preset)(F.col("text"))
+            from ..textproc.pipeline import get_pipeline
+
+            _proc = get_pipeline(preset).process
+            _terms = list(terms)
+
+            def row_counter(text, lang=None):
+                if text is None:
+                    return 0
+                return _count_contiguous(_proc(text), _terms)
+
         proj = ["url", "text"]
     if max_pushdown > 0:
         id_rows = cand.limit(max_pushdown + 1).collect()
@@ -322,6 +344,55 @@ def search_phrase(
             # no broadcast, no extra Spark job (bounded by max_pushdown)
             by_id = index.doc_urls_local(int(r["doc_id"]) for r in id_rows)
             id_by_url = {u: d for d, (u, _md5) in by_id.items()}
+            scan = docs.select(*proj).where(
+                F.col("url").isin(list(id_by_url))
+            )
+            if row_counter is not None:
+                # fused verify (r6): tokenize-count AND the candidate
+                # doc_id attach run in ONE mapInPandas with the bounded
+                # id map in the closure — the former broadcast join of
+                # the (url, doc_id) relation cost ~250-300 ms of fixed
+                # per-query latency. 'simple' keeps the JVM tokens path
+                # (its counting expression is the oracle's twin).
+                import pandas as pd
+
+                has_lang = "lang" in proj
+
+                def verify(batches):
+                    for pdf in batches:
+                        urls_b = pdf["url"]
+                        langs_b = pdf["lang"] if has_lang else None
+                        out_d, out_u, out_c = [], [], []
+                        for i, text in enumerate(pdf["text"]):
+                            c = row_counter(
+                                text,
+                                str(langs_b.iloc[i]) if has_lang else None,
+                            )
+                            if c > 0:
+                                u = urls_b.iloc[i]
+                                out_d.append(id_by_url[u])
+                                out_u.append(u)
+                                out_c.append(c)
+                        if out_d:
+                            yield pd.DataFrame(
+                                {
+                                    "doc_id": pd.Series(out_d, dtype="int64"),
+                                    "url": out_u,
+                                    "phrase_count": pd.Series(
+                                        out_c, dtype="int64"
+                                    ),
+                                }
+                            )
+
+                verified = (
+                    scan.mapInPandas(
+                        verify,
+                        schema="doc_id long, url string, phrase_count long",
+                    )
+                    .coalesce(1)
+                    .orderBy(F.desc("phrase_count"), F.asc("doc_id"))
+                )
+                return verified.limit(k) if k > 0 else verified
             from ..localdf import local_df
 
             tiny = F.broadcast(
@@ -332,9 +403,7 @@ def search_phrase(
                 )
             )
             verified = (
-                docs.select(*proj)
-                .where(F.col("url").isin(list(id_by_url)))
-                .join(tiny, "url")
+                scan.join(tiny, "url")
                 .select("doc_id", "url", pcount.alias("phrase_count"))
                 .where(F.col("phrase_count") > 0)
                 .orderBy(F.desc("phrase_count"), F.asc("doc_id"))

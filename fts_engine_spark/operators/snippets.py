@@ -205,38 +205,49 @@ def search_with_snippets(
     if k <= 0:
         raise ValueError("snippets require a bounded k (top-k hits only)")
     spark = index.spark
-    hits = index.search_bm25(
-        query, k=k, preset=preset, hydrate=True, offset=offset
-    )
-    rows = hits.select("doc_id", "url", "score").collect()  # k rows
-    if not rows:
+    # unhydrated hits + driver-side pyarrow url attach: the former
+    # hydrate=True path paid a per-query BroadcastExchange inside the
+    # search job and the final metadata join paid another (~250-300 ms
+    # each, measured r6); the hit metadata now rides the snippet
+    # kernel's CLOSURE (k rows) and the pass has no join at all
+    srows = index.search_bm25(
+        query, k=k, preset=preset, hydrate=False, offset=offset
+    ).collect()
+    if not srows:
         return spark.range(0).select(
             F.col("id").alias("doc_id"),
             F.col("id").cast("string").alias("url"),
             F.col("id").cast("double").alias("score"),
             F.col("id").cast("string").alias("snippet"),
         )
+    url_by_id = index.doc_urls_local(int(r["doc_id"]) for r in srows)
+    rows = [
+        (int(r["doc_id"]), url_by_id[int(r["doc_id"])][0], float(r["score"]))
+        for r in srows
+    ]
 
     by_lang, lang_presets, qterms = _pipeline_routing(index, query, preset)
 
     if docs is None:
         key = "doc_id"
-        ids = [int(r["doc_id"]) for r in rows]
+        ids = [d for d, _, _ in rows]
         # (doc_id, text[, lang]) in ONE pruned scan — lang rides in the
         # sidecar so by_lang routing needs no docs-table lookup
         src = index.stored_text(ids, with_lang=by_lang)
+        meta_by_key = {d: (d, u, s) for d, u, s in rows}
     else:
         key = "url"
         proj = ["url", "text", "lang"] if by_lang else ["url", "text"]
-        urls = [r["url"] for r in rows]
+        urls = [u for _, u, _ in rows]
         src = docs.select(*proj).where(F.col("url").isin(urls))
+        meta_by_key = {u: (d, u, s) for d, u, s in rows}
 
     def make_snippets(batches):
         import pandas as pd
 
         for pdf in batches:
             langs = pdf["lang"] if by_lang else None
-            out = []
+            out_doc, out_url, out_score, out_snip = [], [], [], []
             for i, text in enumerate(pdf["text"]):
                 if by_lang:
                     pname = lang_presets.get(
@@ -244,28 +255,29 @@ def search_with_snippets(
                     )
                 else:
                     pname = next(iter(qterms))
-                out.append(
+                d, u, s = meta_by_key[pdf[key].iloc[i]]
+                out_doc.append(d)
+                out_url.append(u)
+                out_score.append(s)
+                out_snip.append(
                     best_snippet(
                         text or "", qterms[pname], get_pipeline(pname),
                         window, tag_open, tag_close,
                     )
                 )
-            yield pd.DataFrame({key: pdf[key], "snippet": out})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "url": out_url,
+                    "score": pd.Series(out_score, dtype="float64"),
+                    "snippet": out_snip,
+                }
+            )
 
-    from ..localdf import local_df
-
-    tiny = F.broadcast(
-        local_df(
-            spark,
-            [(r["url"], int(r["doc_id"]), float(r["score"])) for r in rows],
-            "url string, doc_id long, score double",
-        )
-    )
     snipped = src.mapInPandas(
-        make_snippets, schema=f"{key} {'long' if key == 'doc_id' else 'string'}, snippet string"
+        make_snippets,
+        schema="doc_id long, url string, score double, snippet string",
     )
-    return (
-        snipped.join(tiny, key)
-        .select("doc_id", "url", "score", "snippet")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
+    # <= k rows: collapse to one partition so the final order costs one
+    # tiny task instead of a full-width range exchange
+    return snipped.coalesce(1).orderBy(F.desc("score"), F.asc("doc_id"))
