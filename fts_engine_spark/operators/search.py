@@ -389,7 +389,11 @@ def search_phrase(
                         verify,
                         schema="doc_id long, url string, phrase_count long",
                     )
-                    .coalesce(1)
+                    # repartition, NOT coalesce: coalesce(1) would run
+                    # the whole pushdown scan + count in ONE task; this
+                    # ships only the matching rows to a single-partition
+                    # sort (bounded by max_pushdown)
+                    .repartition(1)
                     .orderBy(F.desc("phrase_count"), F.asc("doc_id"))
                 )
                 return verified.limit(k) if k > 0 else verified

@@ -278,6 +278,9 @@ def search_with_snippets(
         make_snippets,
         schema="doc_id long, url string, score double, snippet string",
     )
-    # <= k rows: collapse to one partition so the final order costs one
-    # tiny task instead of a full-width range exchange
-    return snipped.coalesce(1).orderBy(F.desc("score"), F.asc("doc_id"))
+    # <= k rows: one tiny exchange into a single partition, then an
+    # in-partition sort — repartition, NOT coalesce: coalesce(1) would
+    # serialize the upstream scan+kernel into one task (measured r6:
+    # 1.0 -> 1.7 s), while repartition keeps them parallel and ships
+    # only the k result rows
+    return snipped.repartition(1).orderBy(F.desc("score"), F.asc("doc_id"))
