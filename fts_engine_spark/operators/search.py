@@ -415,11 +415,16 @@ def search_phrase(
             return verified.limit(k) if k > 0 else verified
     # distributed fallback (candidate set past max_pushdown): resolve the
     # candidates' urls through the index docs table, then semi-restrict
-    # the source scan — the same two-join shape the old hydrated path had
+    # the source scan — the same two-join shape the old hydrated path
+    # had, with both url-join sides bounded to the query shuffle width
+    # (_agg_parts; the session default costs ~250-300 ms of reduce-task
+    # overhead per exchange at bench scale, r6)
+    p = index._agg_parts()
     cand_urls = index.docs().select("doc_id", "url").join(cand, "doc_id")
     verified = (
         docs.select(*proj)
-        .join(cand_urls, "url")
+        .repartition(p, "url")
+        .join(cand_urls.repartition(p, "url"), "url")
         .select("doc_id", "url", pcount.alias("phrase_count"))
         .where(F.col("phrase_count") > 0)
         .orderBy(F.desc("phrase_count"), F.asc("doc_id"))
