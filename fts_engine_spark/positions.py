@@ -232,24 +232,50 @@ def build_positions_table(
         schema="shard_id long, doc_id long, term string, pos int",
     )
 
-    def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(
-                columns=[f.name for f in _POS_ROW_SCHEMA.fields]
+    def encode_partition(batches):
+        """One pass over a (shard, term-salt) partition: every
+        (shard, term) group lands wholly here (the salt is a
+        deterministic term hash), so the kernel sorts by integer keys
+        (dictionary-encoded term codes — no python string compares),
+        encodes each group with the same vectorized delta forms as
+        :func:`encode_position_group`, and emits rows sorted by
+        (shard, term STRING) so parquet min/max stats on ``term`` stay
+        tight. Memory bound: one partition's occurrence rows
+        (~shard_size/salt_mod documents' positions)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got).combine_chunks()
+        shard_np = tbl.column("shard_id").chunk(0).to_numpy().astype(np.int64)
+        doc_np = tbl.column("doc_id").chunk(0).to_numpy().astype(np.int64)
+        pos_np = (
+            tbl.column("pos").chunk(0).to_numpy().astype(np.int64)
+        )
+        dct = pc.dictionary_encode(tbl.column("term").chunk(0))
+        codes = dct.indices.to_numpy().astype(np.int64)
+        terms_dict = dct.dictionary.to_pylist()
+        order = np.lexsort((pos_np, doc_np, codes, shard_np))
+        shard_s = shard_np[order]
+        code_s = codes[order]
+        doc_s = doc_np[order]
+        pos_s = pos_np[order]
+        change = np.concatenate(
+            (
+                [True],
+                (shard_s[1:] != shard_s[:-1]) | (code_s[1:] != code_s[:-1]),
             )
-        shard_id = int(pdf["shard_id"].iloc[0])
-        base = shard_id * shard_size
-        pdf = pdf.sort_values(["term", "doc_id", "pos"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        pos = pdf["pos"].to_numpy(dtype=np.int64)
-        change = np.concatenate(([True], terms[1:] != terms[:-1]))
+        )
         starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(terms))
+        ends = np.append(starts[1:], len(shard_s))
         rows = []
         for lo, hi in zip(starts, ends):
-            dg = docs[lo:hi]
-            pg = pos[lo:hi]
+            shard_id = int(shard_s[lo])
+            base = shard_id * shard_size
+            dg = doc_s[lo:hi]
+            pg = pos_s[lo:hi]
             run = np.flatnonzero(
                 np.concatenate(([True], dg[1:] != dg[:-1]))
             )
@@ -266,31 +292,52 @@ def build_positions_table(
             dpos[run] = pg[run]
             rows.append(
                 (
-                    terms[lo],
+                    terms_dict[int(code_s[lo])],
                     shard_id,
-                    int(len(ud)),
+                    len(ud),
                     varbyte_encode(deltas),
                     varbyte_encode(cnts),
                     varbyte_encode(dpos),
                 )
             )
-        return pd.DataFrame(
-            rows, columns=[f.name for f in _POS_ROW_SCHEMA.fields]
+        rows.sort(key=lambda r: (r[1], r[0]))
+        cols = list(zip(*rows))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], type=pa.string()),
+                pa.array(cols[1], type=pa.int64()),
+                pa.array(cols[2], type=pa.int64()),
+                pa.array(cols[3], type=pa.binary()),
+                pa.array(cols[4], type=pa.binary()),
+                pa.array(cols[5], type=pa.binary()),
+            ],
+            names=[f.name for f in _POS_ROW_SCHEMA.fields],
         )
 
+    # term-salted encode partitioning (the postings wave's salting
+    # applied to the positional encode, r6): with few shards — staged
+    # incremental batches, small segment builds — a shard-only hash
+    # leaves most of the cluster idle (a 3-shard staged batch encoded on
+    # 3 tasks); salting by a deterministic term hash spreads each
+    # shard's groups over ~enc_p tasks while keeping every (shard, term)
+    # group intact. At production shard counts salt_mod collapses to 1
+    # and the layout is the old per-shard hash.
+    enc_p = max(1, spark.sparkContext.defaultParallelism * 2)
     if n_shards is not None:
-        # shard-bounded encode exchange (same rationale as
-        # FtsIndex._agg_parts: superfluous post-shuffle tasks cost real
-        # fixed latency; inert at production shard counts)
-        try:
-            sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except Exception:  # pragma: no cover
-            sp = 200
-        flat = flat.repartition(max(1, min(sp, int(n_shards))), "shard_id")
+        salt_mod = max(1, -(-enc_p // max(1, int(n_shards))))
+        n_parts = max(1, int(n_shards) * salt_mod)
     else:
-        flat = flat.repartition("shard_id")
-    out = flat.groupBy("shard_id").applyInPandas(
-        encode_shard, schema=_POS_ROW_SCHEMA
+        salt_mod = 1
+        n_parts = None
+    salted = flat.withColumn(
+        "_salt", F.pmod(F.xxhash64("term"), F.lit(salt_mod)).cast("int")
+    )
+    if n_parts is not None:
+        salted = salted.repartition(n_parts, "shard_id", "_salt")
+    else:
+        salted = salted.repartition("shard_id", "_salt")
+    out = salted.drop("_salt").mapInArrow(
+        encode_partition, schema=_POS_ROW_SCHEMA
     )
     (
         out.write.mode("overwrite")
