@@ -76,6 +76,11 @@ META_VERSION = 2
 # buckets; beyond it (auto-scaled counts grow with cluster parallelism) a
 # broadcast-join relation keeps the plan O(1)-sized
 _OFFSET_MAP_MAX_BUCKETS = 1024
+# smallest per-encode-task doc slice worth creating via term salting:
+# below this the fixed per-task cost (~60-90 ms python task floor)
+# exceeds the slice's encode work (~30 us/doc), and every extra salt
+# copy pays the interpreted pairs-filter fan-out (see postings wave)
+_MIN_SALT_SLICE_DOCS = 2048
 
 POSTINGS_SCHEMA = StructType(
     [
@@ -604,7 +609,18 @@ def postings_wave_plan(
     )
     n_wave_shards = hi - lo
     enc_p = cfg.enc_partitions or spark.sparkContext.defaultParallelism * 2
-    salt_mod = max(1, math.ceil(enc_p / max(1, n_wave_shards)))
+    # salt fan-out is NOT free: the per-copy pairs filter is an
+    # interpreted higher-order function, and its cost grows ~linearly in
+    # salt_mod (measured r6 on a 6k-doc staged build: postings 1.6 s at
+    # salt 4 vs 10.3 s at salt 43, identical output). Below ~2k docs per
+    # encode slice the per-task floor exceeds the encode work (~30
+    # us/doc), so never slice finer than that: production 1M-doc shards
+    # keep their full enc_p fan-out, while bench/staged builds with
+    # 1-4k-doc shards drop to salt_mod 1-2 and skip the fan-out cost.
+    max_salt = max(1, cfg.shard_size // _MIN_SALT_SLICE_DOCS)
+    salt_mod = min(
+        max(1, math.ceil(enc_p / max(1, n_wave_shards))), max_salt
+    )
     if salt_mod > 1:
         salted = (
             tf_df.withColumn(
